@@ -1,0 +1,115 @@
+"""VerbatimIndex end-to-end: ingest → hybrid retrieve → browse."""
+
+import pytest
+
+pytest.importorskip("jax")
+
+from verbatim_rag_tpu.engine.embedding_providers import (
+    HashedBowDenseProvider,
+    HashedSparseProvider,
+)
+from verbatim_rag_tpu.engine.index import VerbatimIndex
+from verbatim_rag_tpu.ingestion.schema import DocumentSchema
+
+DOCS = [
+    DocumentSchema(
+        content=(
+            "# Solar Power\n\nSolar panels convert sunlight into electricity. "
+            "Photovoltaic cells are the core technology of solar panels."
+        ),
+        title="Solar",
+        source="solar.md",
+        topic="energy",
+    ),
+    DocumentSchema(
+        content=(
+            "# Wind Power\n\nWind turbines convert kinetic wind energy into "
+            "electricity using large rotating blades."
+        ),
+        title="Wind",
+        source="wind.md",
+        topic="energy",
+    ),
+    DocumentSchema(
+        content=(
+            "# Pasta Cooking\n\nBoil water with salt, add pasta, and cook until "
+            "al dente. Drain and serve with sauce."
+        ),
+        title="Pasta",
+        source="pasta.md",
+        topic="cooking",
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def index():
+    idx = VerbatimIndex(
+        dense_provider=HashedBowDenseProvider(dim=128),
+        sparse_provider=HashedSparseProvider(vocab_size=1024),
+    )
+    idx.add_documents(DOCS)
+    return idx
+
+
+class TestIngestAndQuery:
+    def test_inspect(self, index):
+        stats = index.inspect()
+        assert stats["num_documents"] == 3
+        assert stats["num_chunks"] >= 3
+        assert stats["dense"] and stats["sparse"]
+
+    def test_hybrid_query_finds_relevant_doc(self, index):
+        hits = index.query("solar panels sunlight electricity", k=2)
+        assert "solar" in hits[0].text.lower()
+
+    def test_dense_only(self, index):
+        hits = index.query("wind turbines blades", k=2, search_type="dense")
+        assert "wind" in hits[0].text.lower()
+
+    def test_sparse_only(self, index):
+        hits = index.query("pasta al dente sauce", k=2, search_type="sparse")
+        assert "pasta" in hits[0].text.lower()
+
+    def test_filter_by_metadata(self, index):
+        hits = index.query("electricity", k=5, filter={"topic": "cooking"})
+        assert all(h.metadata["topic"] == "cooking" for h in hits)
+
+    def test_filter_only_browse(self, index):
+        hits = index.query_batch(None, k=10, filter={"topic": "energy"})
+        assert all(h.metadata["topic"] == "energy" for h in hits[0])
+        assert len(hits[0]) >= 2
+
+    def test_enhanced_text_carries_context(self, index):
+        hits = index.query("solar panels", k=1)
+        assert "Document: Solar" in hits[0].enhanced_text
+        assert hits[0].text in DOCS[0].content  # raw text is a verbatim slice
+
+    def test_get_chunks_by_document(self, index):
+        doc_id = index.get_all_documents()[0]["id"]
+        chunks = index.get_chunks_by_document(doc_id)
+        assert chunks
+        assert all(c.metadata["document_id"] == doc_id for c in chunks)
+
+    def test_hybrid_weights(self, index):
+        hits = index.query(
+            "solar panels", k=2, hybrid_weights={"dense": 0.3, "sparse": 0.7}
+        )
+        assert hits
+
+
+class TestBulkIngest:
+    def test_bulk_matches_perdoc(self):
+        idx = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=64))
+        idx.add_documents_bulk(iter(DOCS), chunk_batch_size=2, doc_batch_size=2)
+        assert idx.inspect()["num_documents"] == 3
+        hits = idx.query("wind turbines", k=1)
+        assert "wind" in hits[0].text.lower()
+
+    def test_delete_document(self):
+        idx = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=64))
+        ids = idx.add_documents(DOCS)
+        idx.delete_document(ids[0])
+        assert idx.inspect()["num_documents"] == 2
+        hits = idx.query("solar panels sunlight", k=3)
+        assert all(h.metadata["document_id"] != ids[0] for h in hits)

@@ -1,0 +1,179 @@
+"""DeviceVectorStore: ingest, search dispatch, filters, deletes, persistence."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from verbatim_rag_tpu.engine.store import DeviceVectorStore, _analyze, _pad_sparse
+
+
+def _unit(i, dim=8):
+    v = np.zeros(dim, np.float32)
+    v[i % dim] = 1.0
+    return v
+
+
+def make_store(**kwargs):
+    defaults = dict(dense_dim=8, sparse_vocab=50, sparse_max_nnz=4, block=16)
+    defaults.update(kwargs)
+    return DeviceVectorStore(**defaults)
+
+
+def fill(store, n=10):
+    records = []
+    for i in range(n):
+        records.append(
+            {
+                "id": f"c{i}",
+                "text": f"chunk {i} text about topic{i % 3}",
+                "enhanced_text": f"enhanced {i}",
+                "metadata": {"document_id": f"d{i % 2}", "position": i},
+                "dense": _unit(i),
+                "sparse": {i % 50: 1.0, (i + 1) % 50: 0.5},
+            }
+        )
+    store.add_vectors(records)
+    store.flush()
+    return store
+
+
+class TestIngest:
+    def test_count_and_flush(self):
+        store = fill(make_store())
+        assert store.count() == 10
+        assert store._capacity == 16  # padded to block
+
+    def test_duplicate_id_rejected(self):
+        store = fill(make_store())
+        with pytest.raises(ValueError):
+            store.add_vectors([{"id": "c0", "text": "", "metadata": {}}])
+
+    def test_incremental_append(self):
+        store = fill(make_store(), n=10)
+        store.add_vectors(
+            [{"id": "late", "text": "late", "metadata": {}, "dense": _unit(3)}]
+        )
+        store.flush()
+        assert store.count() == 11
+        hits = store.query(dense_query=_unit(3), top_k=3)
+        assert any(h.id == "late" for h in hits)
+
+
+class TestSearch:
+    def test_dense_exact_neighbor(self):
+        store = fill(make_store())
+        hits = store.query(dense_query=_unit(2), top_k=3)
+        assert hits[0].id in ("c2", "c10")  # rows with the same unit vector
+        assert hits[0].score == pytest.approx(1.0, rel=1e-2)
+
+    def test_sparse_search(self):
+        store = fill(make_store())
+        hits = store.query(sparse_query={3: 1.0}, top_k=3)
+        assert hits[0].id == "c3"  # weight 1.0 on term 3
+
+    def test_hybrid_fuses_methods(self):
+        store = fill(make_store())
+        hits = store.query(dense_query=_unit(2), sparse_query={2: 1.0}, top_k=5)
+        assert hits[0].id == "c2"  # top in both methods
+
+    def test_hybrid_weights_dispatch(self):
+        store = fill(make_store())
+        hits = store.query(
+            dense_query=_unit(2),
+            sparse_query={3: 1.0},
+            hybrid_weights={"dense": 0.9, "sparse": 0.1},
+            top_k=2,
+        )
+        assert hits[0].id == "c2"
+
+    def test_filter_restricts_results(self):
+        store = fill(make_store())
+        hits = store.query(dense_query=_unit(2), top_k=5, filter={"document_id": "d1"})
+        assert all(h.metadata["document_id"] == "d1" for h in hits)
+
+    def test_callable_filter(self):
+        store = fill(make_store())
+        hits = store.query(
+            dense_query=_unit(2), top_k=5, filter=lambda m: m.get("position", 0) > 7
+        )
+        assert {h.id for h in hits} <= {"c8", "c9"}
+
+    def test_filter_only_query(self):
+        store = fill(make_store())
+        hits = store.query(top_k=100, filter={"document_id": "d0"})
+        assert len(hits) == 5
+
+    def test_batched_queries(self):
+        store = fill(make_store())
+        results = store.query_batch(
+            dense_queries=np.stack([_unit(1), _unit(4)]), top_k=2
+        )
+        assert results[0][0].id == "c1"
+        assert results[1][0].id == "c4"
+
+    def test_empty_store(self):
+        store = make_store()
+        assert store.query(dense_query=_unit(0), top_k=3) == []
+
+
+class TestFullText:
+    def test_bm25_ranks_matching_doc_first(self):
+        store = make_store(enable_full_text=True, full_text_vocab=1 << 12)
+        store.add_vectors(
+            [
+                {"id": "a", "text": "the quick brown fox jumps", "metadata": {}},
+                {"id": "b", "text": "lazy dogs sleep all day long", "metadata": {}},
+                {"id": "c", "text": "foxes and dogs are animals", "metadata": {}},
+            ]
+        )
+        store.flush()
+        hits = store.query(text_query="quick brown fox", top_k=2)
+        assert hits[0].id == "a"
+
+    def test_analyzer(self):
+        ids, tfs, dl = _analyze("Hello hello WORLD", 1 << 10)
+        assert dl == 3
+        assert sorted(tfs.tolist()) == [1, 2]
+        assert (ids > 0).all()
+
+
+class TestDelete:
+    def test_delete_hides_rows(self):
+        store = fill(make_store())
+        store.delete(["c2"])
+        hits = store.query(dense_query=_unit(2), top_k=5)
+        assert all(h.id != "c2" for h in hits)
+        assert store.count() == 9
+
+    def test_delete_document(self):
+        store = fill(make_store())
+        store.delete_document("d0")
+        assert store.count() == 5
+        assert store.get("c0") is None
+        assert store.get("c1") is not None
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, tmp_path):
+        store = fill(make_store())
+        store.delete(["c5"])
+        path = str(tmp_path / "index")
+        store.save(path)
+        loaded = DeviceVectorStore.load(path)
+        assert loaded.count() == 9
+        hits = loaded.query(dense_query=_unit(2), top_k=1)
+        assert hits[0].id == "c2"
+        assert loaded.get("c5") is None
+
+
+class TestPadSparse:
+    def test_keeps_heaviest(self):
+        ids, weights = _pad_sparse({1: 0.1, 2: 0.9, 3: 0.5, 4: 0.7, 5: 0.2}, max_nnz=3)
+        kept = {int(t) for t, w in zip(ids, weights) if w != 0}
+        assert kept == {2, 3, 4}
+
+    def test_pads_with_zeros(self):
+        ids, weights = _pad_sparse({7: 1.0}, max_nnz=4)
+        assert ids[0] == 7 and weights[0] == 1.0
+        assert (weights[1:] == 0).all()

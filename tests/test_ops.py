@@ -1,0 +1,139 @@
+"""Retrieval ops vs numpy ground truth (dense, sparse, RRF fusion)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from verbatim_rag_tpu.ops.dense import dense_topk, normalize_rows  # noqa: E402
+from verbatim_rag_tpu.ops.fusion import rrf_fuse_device, rrf_merge_host  # noqa: E402
+from verbatim_rag_tpu.ops.sparse import (  # noqa: E402
+    bm25_idf,
+    bm25_saturate,
+    densify_queries,
+    sparse_topk,
+)
+
+RNG = np.random.default_rng(0)
+
+
+class TestDense:
+    def test_matches_numpy_bruteforce(self):
+        corpus = RNG.normal(size=(256, 64)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        queries = RNG.normal(size=(4, 64)).astype(np.float32)
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+        scores, idx = dense_topk(jnp.asarray(corpus), jnp.asarray(queries), k=10)
+        full = queries.astype(np.float64) @ corpus.astype(np.float64).T
+        expected_scores = -np.sort(-full, axis=1)[:, :10]
+        np.testing.assert_allclose(np.asarray(scores), expected_scores, rtol=5e-3, atol=1e-3)
+        # Returned indices must map back to their returned scores.
+        gathered = np.take_along_axis(full, np.asarray(idx), axis=1)
+        np.testing.assert_allclose(np.asarray(scores), gathered, rtol=5e-3, atol=1e-3)
+
+    def test_mask_excludes_rows(self):
+        corpus = np.eye(8, dtype=np.float32)
+        queries = np.eye(8, dtype=np.float32)[:2]
+        mask = np.ones(8, bool)
+        mask[0] = False
+        _, idx = dense_topk(jnp.asarray(corpus), jnp.asarray(queries), k=3, mask=jnp.asarray(mask))
+        assert 0 not in np.asarray(idx)[0]
+
+    def test_normalize_rows(self):
+        x = RNG.normal(size=(5, 7)).astype(np.float32) * 10
+        normed = np.asarray(normalize_rows(jnp.asarray(x)))
+        np.testing.assert_allclose(np.linalg.norm(normed, axis=1), 1.0, rtol=1e-5)
+
+
+class TestSparse:
+    def _random_forward_index(self, n=64, m=8, vocab=100):
+        ids = RNG.integers(1, vocab, size=(n, m)).astype(np.int32)
+        weights = RNG.random(size=(n, m)).astype(np.float32)
+        # Zero out some slots as padding.
+        pad = RNG.random(size=(n, m)) < 0.3
+        ids[pad] = 0
+        weights[pad] = 0.0
+        return ids, weights
+
+    def test_matches_numpy(self):
+        vocab = 100
+        ids, weights = self._random_forward_index(vocab=vocab)
+        q = np.zeros((2, vocab), np.float32)
+        q[0, [3, 7, 20]] = [1.0, 0.5, 2.0]
+        q[1, [1, 50]] = [1.5, 0.2]
+
+        # numpy ground truth
+        expected_scores = np.zeros((2, 64))
+        for b in range(2):
+            for n in range(64):
+                expected_scores[b, n] = np.sum(weights[n] * q[b, ids[n]])
+
+        scores, idx = sparse_topk(
+            jnp.asarray(ids), jnp.asarray(weights), jnp.asarray(q), k=5, block=16
+        )
+        expected_idx = np.argsort(-expected_scores, axis=1)[:, :5]
+        top_expected = np.take_along_axis(expected_scores, expected_idx, axis=1)
+        np.testing.assert_allclose(np.asarray(scores), top_expected, rtol=1e-5)
+
+    def test_densify_queries(self):
+        ids = jnp.asarray([[1, 3, 0], [2, 0, 0]], jnp.int32)
+        vals = jnp.asarray([[1.0, 2.0, 0.0], [5.0, 0.0, 0.0]], jnp.float32)
+        dense = np.asarray(densify_queries(ids, vals, vocab_size=6))
+        assert dense[0, 1] == 1.0 and dense[0, 3] == 2.0
+        assert dense[1, 2] == 5.0
+
+    def test_bm25_formulas(self):
+        tf = jnp.asarray([[2, 0], [1, 5]], jnp.int32)
+        dl = jnp.asarray([10.0, 20.0])
+        sat = np.asarray(bm25_saturate(tf, dl, jnp.float32(15.0)))
+        assert sat[0, 1] == 0.0
+        assert 0 < sat[0, 0] < 2.2  # bounded by (k1+1)
+        idf = np.asarray(bm25_idf(jnp.asarray([1, 100]), jnp.int32(100)))
+        assert idf[0] > idf[1] > 0
+
+
+class TestRRF:
+    def test_host_merge_matches_reference_semantics(self):
+        dense_hits = [{"id": "a"}, {"id": "b"}, {"id": "c"}]
+        sparse_hits = [{"id": "b"}, {"id": "d"}]
+        merged = rrf_merge_host(
+            {"dense": dense_hits, "sparse": sparse_hits},
+            top_k=3,
+            weights={"dense": 0.5, "sparse": 0.5},
+            rrf_k=60,
+        )
+        # b appears rank 1 dense + rank 0 sparse → highest fused score.
+        assert merged[0]["id"] == "b"
+        assert merged[0]["distance"] == pytest.approx(
+            1.0 - (0.5 / 62 + 0.5 / 61)
+        )
+
+    def test_device_fusion_matches_host(self):
+        # Methods return row indices; compare device fusion vs host merge.
+        dense_rows = np.array([[5, 2, 9, 1]])
+        sparse_rows = np.array([[2, 7, 5, -1]])
+        method_idx = jnp.asarray(np.stack([dense_rows, sparse_rows]))  # [2, 1, 4]
+        scores, rows = rrf_fuse_device(
+            method_idx, jnp.asarray([0.5, 0.5], jnp.float32), k=4, rrf_k=60
+        )
+        host = rrf_merge_host(
+            {
+                "dense": [{"id": r} for r in dense_rows[0]],
+                "sparse": [{"id": r} for r in sparse_rows[0] if r >= 0],
+            },
+            top_k=4,
+            weights={"dense": 0.5, "sparse": 0.5},
+        )
+        host_ids = [h["id"] for h in host]
+        assert list(np.asarray(rows)[0]) == host_ids
+        host_scores = [1.0 - h["distance"] for h in host]
+        np.testing.assert_allclose(np.asarray(scores)[0], host_scores, rtol=1e-6)
+
+    def test_device_fusion_fewer_candidates_than_k(self):
+        method_idx = jnp.asarray(np.array([[[3, -1, -1]]]))
+        scores, rows = rrf_fuse_device(method_idx, jnp.asarray([1.0]), k=3)
+        rows = np.asarray(rows)[0]
+        assert rows[0] == 3
+        assert set(rows[1:]) == {-1}

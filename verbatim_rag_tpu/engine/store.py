@@ -1,0 +1,598 @@
+"""Device-resident hybrid vector store.
+
+TPU-native replacement for the reference's Milvus-backed stores
+(`vector_stores/milvus_local.py`, `milvus_cloud.py`, `milvus_base.py`): the
+index *is* a set of sharded device arrays, not an external service.
+
+Layout per capability (all shapes static, capacity grows in block multiples):
+
+- dense:      ``[cap, d]`` row-normalized bf16 (cosine ≡ dot on the MXU)
+- sparse:     padded forward index ``token_ids [cap, m] i32`` +
+              ``weights [cap, m] f32`` (SPLADE term weights)
+- full-text:  same forward-index layout holding BM25-saturated term
+              frequencies over a hashed analyzer vocab, plus host-side
+              document-frequency stats (parity with the server-side BM25
+              function of `milvus_cloud.py:157-197`)
+- validity:   ``[cap] bool`` — tombstones for deletes (Milvus gives deletes
+              away; device arrays use mask + periodic compaction)
+
+Text, enhanced text, and metadata stay host-side (they are only materialized
+for the final top-k hits); promoted metadata fields are mirrored into hashed
+columns for vectorized filtering (`filters.py`).
+
+Writes append into host-side pending buffers; `flush()` materializes device
+arrays (append = device concat). Queries auto-flush. Hybrid queries fetch
+``top_k*2`` per method (parity with `milvus_base.py:261-294`) and fuse with
+weighted RRF on device.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from abc import ABC, abstractmethod
+from typing import Any, Mapping, Sequence
+
+import numpy as np
+
+from .filters import PROMOTED_FIELDS, FilterSpec, compile_filter, stable_hash64
+from .search_result import SearchResult
+
+logger = logging.getLogger(__name__)
+
+_BLOCK = 8192
+
+
+class VectorStore(ABC):
+    """Abstract store contract (parity: `vector_stores/base.py:42-74`)."""
+
+    @abstractmethod
+    def add_vectors(self, records: list[dict[str, Any]]) -> None:
+        """Insert records: {id, text, enhanced_text, metadata, dense?, sparse?}."""
+
+    @abstractmethod
+    def query(self, **kwargs) -> list[SearchResult]:
+        """Search; see DeviceVectorStore.query for the full parameter set."""
+
+    @abstractmethod
+    def delete(self, ids: list[str]) -> None:
+        """Remove records by id."""
+
+
+def _analyze(text: str, vocab_size: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """BM25 analyzer: lowercase word tokens hashed into a fixed vocab.
+
+    :return: (unique term ids, term frequencies, document length).
+    """
+    tokens = re.findall(r"[a-z0-9]+", text.lower())
+    if not tokens:
+        return np.zeros(0, np.int32), np.zeros(0, np.int32), 0
+    # Hash slot 0 is reserved for padding.
+    ids = np.fromiter(
+        ((int(stable_hash64(t)) % (vocab_size - 1)) + 1 for t in tokens),
+        dtype=np.int64,
+        count=len(tokens),
+    )
+    unique, counts = np.unique(ids, return_counts=True)
+    return unique.astype(np.int32), counts.astype(np.int32), len(tokens)
+
+
+def _pad_sparse(
+    entries: Mapping[int, float] | Sequence[tuple[int, float]],
+    max_nnz: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a sparse vector to fixed width, keeping the heaviest terms."""
+    items = list(entries.items()) if isinstance(entries, Mapping) else list(entries)
+    items = [(int(t), float(w)) for t, w in items if w != 0.0]
+    if len(items) > max_nnz:
+        items.sort(key=lambda tw: -abs(tw[1]))
+        items = items[:max_nnz]
+    ids = np.zeros(max_nnz, np.int32)
+    weights = np.zeros(max_nnz, np.float32)
+    for j, (t, w) in enumerate(items):
+        ids[j] = t
+        weights[j] = w
+    return ids, weights
+
+
+class DeviceVectorStore(VectorStore):
+    """The HBM-resident hybrid index."""
+
+    def __init__(
+        self,
+        dense_dim: int | None = 384,
+        sparse_vocab: int | None = 30522,
+        sparse_max_nnz: int = 128,
+        enable_full_text: bool = False,
+        full_text_vocab: int = 1 << 17,
+        full_text_max_nnz: int = 256,
+        dense_dtype: str = "bfloat16",
+        block: int = _BLOCK,
+        bm25_k1: float = 1.2,
+        bm25_b: float = 0.75,
+    ):
+        self.dense_dim = dense_dim
+        self.sparse_vocab = sparse_vocab
+        self.sparse_max_nnz = sparse_max_nnz
+        self.enable_full_text = enable_full_text
+        self.full_text_vocab = full_text_vocab
+        self.full_text_max_nnz = full_text_max_nnz
+        self.dense_dtype = dense_dtype
+        self.block = block
+        self.bm25_k1 = bm25_k1
+        self.bm25_b = bm25_b
+
+        # Host-side record state.
+        self._ids: list[str] = []
+        self._row_of: dict[str, int] = {}
+        self._texts: list[str] = []
+        self._enhanced: list[str] = []
+        self._metadata: list[dict] = []
+        self._valid = np.zeros(0, dtype=bool)
+        self._promoted: dict[str, np.ndarray] = {
+            f: np.zeros(0, dtype=np.int64) for f in PROMOTED_FIELDS
+        }
+
+        # Pending (unflushed) vector buffers.
+        self._pending: list[dict[str, Any]] = []
+
+        # Device arrays (built lazily on flush).
+        self._dense = None  # [cap, d]
+        self._sp_ids = None  # [cap, m]
+        self._sp_w = None  # [cap, m]
+        self._ft_ids = None  # [cap, fm]
+        self._ft_tf = None  # [cap, fm] raw tf
+        self._ft_w = None  # [cap, fm] BM25-saturated weights
+        self._valid_dev = None  # [cap]
+        self._capacity = 0
+
+        # Full-text corpus stats (host).
+        self._doc_len = np.zeros(0, dtype=np.float32)
+        self._doc_freq = (
+            np.zeros(full_text_vocab, dtype=np.int64) if enable_full_text else None
+        )
+
+    # -- basic accessors -----------------------------------------------------
+
+    @property
+    def size(self) -> int:
+        """Number of rows ever inserted (including tombstones/pending)."""
+        return len(self._ids) + len(self._pending)
+
+    def count(self) -> int:
+        """Number of live records."""
+        live = int(self._valid.sum()) if self._valid.size else 0
+        return live + len(self._pending)
+
+    # -- ingest ----------------------------------------------------------------
+
+    def add_vectors(self, records: list[dict[str, Any]]) -> None:
+        """Queue records for insertion.
+
+        Record keys: ``id`` (str), ``text``, ``enhanced_text``, ``metadata``
+        (dict), ``dense`` (array [d] or None), ``sparse`` (dict token→weight
+        or None). Full-text stats are derived from ``text`` automatically
+        when enabled.
+        """
+        for rec in records:
+            if rec["id"] in self._row_of:
+                raise ValueError(f"Duplicate id: {rec['id']}")
+            self._pending.append(rec)
+
+    def flush(self) -> None:
+        """Materialize pending records into the device arrays."""
+        if not self._pending:
+            if self.enable_full_text and self._bm25_stale:
+                self._recompute_bm25()
+            return
+        import jax.numpy as jnp
+
+        pending, self._pending = self._pending, []
+        n_new = len(pending)
+        offset = len(self._ids)
+
+        dense_new = (
+            np.zeros((n_new, self.dense_dim), np.float32) if self.dense_dim else None
+        )
+        sp_ids_new = (
+            np.zeros((n_new, self.sparse_max_nnz), np.int32) if self.sparse_vocab else None
+        )
+        sp_w_new = (
+            np.zeros((n_new, self.sparse_max_nnz), np.float32) if self.sparse_vocab else None
+        )
+        ft_ids_new = (
+            np.zeros((n_new, self.full_text_max_nnz), np.int32)
+            if self.enable_full_text
+            else None
+        )
+        ft_tf_new = (
+            np.zeros((n_new, self.full_text_max_nnz), np.int32)
+            if self.enable_full_text
+            else None
+        )
+        dl_new = np.zeros(n_new, np.float32)
+
+        for i, rec in enumerate(pending):
+            self._ids.append(rec["id"])
+            self._row_of[rec["id"]] = offset + i
+            self._texts.append(rec.get("text", ""))
+            self._enhanced.append(rec.get("enhanced_text", ""))
+            meta = rec.get("metadata", {}) or {}
+            self._metadata.append(meta)
+
+            if dense_new is not None and rec.get("dense") is not None:
+                vec = np.asarray(rec["dense"], np.float32)
+                norm = np.linalg.norm(vec)
+                dense_new[i] = vec / norm if norm > 0 else vec
+            if sp_ids_new is not None and rec.get("sparse") is not None:
+                sp_ids_new[i], sp_w_new[i] = _pad_sparse(rec["sparse"], self.sparse_max_nnz)
+            if self.enable_full_text:
+                terms, tfs, dl = _analyze(rec.get("text", ""), self.full_text_vocab)
+                keep = min(len(terms), self.full_text_max_nnz)
+                if len(terms) > self.full_text_max_nnz:
+                    top = np.argsort(-tfs)[: self.full_text_max_nnz]
+                    terms, tfs = terms[top], tfs[top]
+                    keep = self.full_text_max_nnz
+                ft_ids_new[i, :keep] = terms[:keep]
+                ft_tf_new[i, :keep] = tfs[:keep]
+                dl_new[i] = dl
+                self._doc_freq[terms] += 1
+
+        # Host columnar state.
+        self._valid = np.concatenate([self._valid, np.ones(n_new, bool)])
+        for f in PROMOTED_FIELDS:
+            col = np.fromiter(
+                (
+                    stable_hash64(m.get(f)) if m.get(f) is not None else np.int64(0)
+                    for m in self._metadata[offset:]
+                ),
+                dtype=np.int64,
+                count=n_new,
+            )
+            self._promoted[f] = np.concatenate([self._promoted[f], col])
+        self._doc_len = np.concatenate([self._doc_len, dl_new])
+
+        # Device arrays: concat + re-pad to a block multiple.
+        n_total = len(self._ids)
+        new_cap = -(-n_total // self.block) * self.block
+
+        def _grow(old, new_host, width, dtype):
+            parts = []
+            if old is not None:
+                parts.append(old[: n_total - n_new])  # drop old padding rows
+            parts.append(jnp.asarray(new_host, dtype=dtype))
+            pad_rows = new_cap - n_total
+            if pad_rows > 0:
+                parts.append(jnp.zeros((pad_rows, width), dtype=dtype))
+            return jnp.concatenate(parts, axis=0)
+
+        dtype_dense = jnp.bfloat16 if self.dense_dtype == "bfloat16" else jnp.float32
+        if dense_new is not None:
+            self._dense = _grow(self._dense, dense_new, self.dense_dim, dtype_dense)
+        if sp_ids_new is not None:
+            self._sp_ids = _grow(self._sp_ids, sp_ids_new, self.sparse_max_nnz, jnp.int32)
+            self._sp_w = _grow(self._sp_w, sp_w_new, self.sparse_max_nnz, jnp.float32)
+        if self.enable_full_text:
+            self._ft_ids = _grow(self._ft_ids, ft_ids_new, self.full_text_max_nnz, jnp.int32)
+            self._ft_tf = _grow(self._ft_tf, ft_tf_new, self.full_text_max_nnz, jnp.int32)
+            self._recompute_bm25()
+
+        valid_padded = np.zeros(new_cap, bool)
+        valid_padded[: self._valid.size] = self._valid
+        self._valid_dev = jnp.asarray(valid_padded)
+        self._capacity = new_cap
+
+    @property
+    def _bm25_stale(self) -> bool:
+        return self._ft_w is None and self._ft_tf is not None
+
+    def _recompute_bm25(self) -> None:
+        """Refresh document-side BM25 saturation (avgdl moved)."""
+        from verbatim_rag_tpu.ops.sparse import bm25_saturate
+        import jax.numpy as jnp
+
+        n = len(self._ids)
+        avgdl = float(self._doc_len[:n].mean()) if n else 1.0
+        cap = int(self._ft_tf.shape[0])
+        dl_padded = np.zeros(cap, np.float32)
+        dl_padded[:n] = self._doc_len[:n]
+        self._ft_w = bm25_saturate(
+            self._ft_tf, jnp.asarray(dl_padded), jnp.float32(max(avgdl, 1.0)),
+            k1=self.bm25_k1, b=self.bm25_b,
+        )
+
+    # -- deletes -----------------------------------------------------------------
+
+    def delete(self, ids: list[str]) -> None:
+        self.flush()
+        import jax.numpy as jnp
+
+        rows = [self._row_of[i] for i in ids if i in self._row_of]
+        if not rows:
+            return
+        self._valid[rows] = False
+        if self._valid_dev is not None:
+            self._valid_dev = self._valid_dev.at[jnp.asarray(rows)].set(False)
+
+    def delete_document(self, document_id: str) -> None:
+        self.flush()
+        rows = [
+            i
+            for i, m in enumerate(self._metadata)
+            if m.get("document_id") == document_id and self._valid[i]
+        ]
+        self.delete([self._ids[r] for r in rows])
+
+    # -- query --------------------------------------------------------------------
+
+    def query(
+        self,
+        dense_query: np.ndarray | None = None,
+        sparse_query: Mapping[int, float] | None = None,
+        text_query: str | None = None,
+        top_k: int = 10,
+        filter: FilterSpec = None,
+        search_type: str | None = None,
+        hybrid_weights: Mapping[str, float] | None = None,
+        rrf_k: int = 60,
+    ) -> list[SearchResult]:
+        """Single-query search. See `query_batch` for the batched fast path."""
+        results = self.query_batch(
+            dense_queries=None if dense_query is None else np.asarray(dense_query)[None, :],
+            sparse_queries=None if sparse_query is None else [sparse_query],
+            text_queries=None if text_query is None else [text_query],
+            top_k=top_k,
+            filter=filter,
+            search_type=search_type,
+            hybrid_weights=hybrid_weights,
+            rrf_k=rrf_k,
+        )
+        return results[0]
+
+    def query_batch(
+        self,
+        dense_queries: np.ndarray | None = None,  # [B, d]
+        sparse_queries: Sequence[Mapping[int, float]] | None = None,
+        text_queries: Sequence[str] | None = None,
+        top_k: int = 10,
+        filter: FilterSpec = None,
+        search_type: str | None = None,
+        hybrid_weights: Mapping[str, float] | None = None,
+        rrf_k: int = 60,
+    ) -> list[list[SearchResult]]:
+        """Batched search over any combination of methods.
+
+        Dispatch (parity with `milvus_base.py:189-313`):
+        - filter-only when no query vectors are given;
+        - a single method runs alone;
+        - multiple methods (or explicit ``hybrid_weights``) run per-method
+          top_k*2 searches fused on device with weighted RRF.
+        """
+        self.flush()
+        n = len(self._ids)
+        if n == 0:
+            batch = self._batch_size(dense_queries, sparse_queries, text_queries)
+            return [[] for _ in range(max(batch, 1))]
+
+        mask = self._build_mask(filter)
+
+        methods: dict[str, Any] = {}
+        if dense_queries is not None and self._dense is not None:
+            methods["dense"] = np.asarray(dense_queries, np.float32)
+        if sparse_queries is not None and self._sp_ids is not None:
+            methods["sparse"] = sparse_queries
+        if text_queries is not None and self.enable_full_text:
+            methods["full_text"] = text_queries
+
+        if search_type in ("dense", "sparse", "full_text") and search_type in methods:
+            methods = {search_type: methods[search_type]}
+
+        if not methods:
+            return self._filter_only(mask, top_k, dense_queries, sparse_queries, text_queries)
+
+        if len(methods) == 1 and not hybrid_weights:
+            name = next(iter(methods))
+            scores, rows = self._run_method(name, methods[name], top_k, mask)
+            return self._materialize(scores, rows)
+
+        # Hybrid: per-method candidates at 2x depth, fused with weighted RRF.
+        from verbatim_rag_tpu.ops.fusion import normalize_weights, rrf_fuse_device
+
+        weights = dict(hybrid_weights) if hybrid_weights else {m: 1.0 for m in methods}
+        weights = normalize_weights({m: [] for m in methods}, weights)
+        fetch_k = min(top_k * 2, n)
+        all_rows, w_list = [], []
+        for name, payload in methods.items():
+            scores, rows = self._run_method(name, payload, fetch_k, mask)
+            valid_rows = np.where(np.asarray(scores) > -1e29, np.asarray(rows), -1)
+            all_rows.append(valid_rows)
+            w_list.append(weights.get(name, 0.0))
+
+        import jax.numpy as jnp
+
+        stacked = jnp.asarray(np.stack(all_rows))  # [M, B, fetch_k]
+        fused_scores, fused_rows = rrf_fuse_device(
+            stacked, jnp.asarray(w_list, jnp.float32), k=min(top_k, fetch_k), rrf_k=rrf_k
+        )
+        return self._materialize(fused_scores, fused_rows)
+
+    # -- internals -------------------------------------------------------------------
+
+    @staticmethod
+    def _batch_size(dense, sparse, text) -> int:
+        if dense is not None:
+            return len(dense)
+        if sparse is not None:
+            return len(sparse)
+        if text is not None:
+            return len(text)
+        return 1
+
+    def _build_mask(self, filter: FilterSpec):
+        import jax.numpy as jnp
+
+        n = len(self._ids)
+        filter_mask = compile_filter(filter, n, self._promoted, self._metadata)
+        host = np.zeros(self._capacity, bool)
+        host[:n] = self._valid[:n]
+        if filter_mask is not None:
+            host[:n] &= filter_mask
+        return jnp.asarray(host)
+
+    def _run_method(self, name: str, payload, k: int, mask):
+        import jax.numpy as jnp
+
+        from verbatim_rag_tpu.ops.dense import dense_topk, normalize_rows
+        from verbatim_rag_tpu.ops.sparse import bm25_idf, densify_queries, sparse_topk
+
+        k = min(k, self._capacity)
+        if name == "dense":
+            q = normalize_rows(jnp.asarray(payload, jnp.float32))
+            return dense_topk(self._dense, q, k, mask)
+        if name == "sparse":
+            q_dense = self._densify_host(payload, self.sparse_vocab)
+            return sparse_topk(
+                self._sp_ids, self._sp_w, jnp.asarray(q_dense), k, mask, block=self.block
+            )
+        if name == "full_text":
+            # Query side: indicator(term) · idf(term).
+            n = len(self._ids)
+            idf = bm25_idf(jnp.asarray(self._doc_freq), jnp.int32(max(n, 1)))
+            q_rows = []
+            for text in payload:
+                terms, _tfs, _dl = _analyze(text, self.full_text_vocab)
+                q_rows.append({int(t): 1.0 for t in terms})
+            q_dense = self._densify_host(q_rows, self.full_text_vocab)
+            q_dense = jnp.asarray(q_dense) * idf[None, :]
+            return sparse_topk(self._ft_ids, self._ft_w, q_dense, k, mask, block=self.block)
+        raise ValueError(f"Unknown method {name!r}")
+
+    @staticmethod
+    def _densify_host(sparse_rows: Sequence[Mapping[int, float]], vocab: int) -> np.ndarray:
+        q = np.zeros((len(sparse_rows), vocab), np.float32)
+        for i, row in enumerate(sparse_rows):
+            for t, w in row.items():
+                t = int(t)
+                if 0 <= t < vocab:
+                    q[i, t] += float(w)
+        return q
+
+    def _filter_only(self, mask, top_k, *query_args) -> list[list[SearchResult]]:
+        batch = self._batch_size(*query_args)
+        rows = np.flatnonzero(np.asarray(mask)[: len(self._ids)])[:top_k]
+        hits = [self._result_for(int(r), 0.0) for r in rows]
+        return [list(hits) for _ in range(max(batch, 1))]
+
+    def _materialize(self, scores, rows) -> list[list[SearchResult]]:
+        scores = np.asarray(scores)
+        rows = np.asarray(rows)
+        out: list[list[SearchResult]] = []
+        n = len(self._ids)
+        for b in range(rows.shape[0]):
+            hits = []
+            for score, row in zip(scores[b], rows[b]):
+                if row < 0 or row >= n or score <= -1e29:
+                    continue
+                hits.append(self._result_for(int(row), float(score)))
+            out.append(hits)
+        return out
+
+    def _result_for(self, row: int, score: float) -> SearchResult:
+        return SearchResult(
+            id=self._ids[row],
+            score=score,
+            text=self._texts[row],
+            enhanced_text=self._enhanced[row],
+            metadata=self._metadata[row],
+        )
+
+    # -- browsing -----------------------------------------------------------------
+
+    def get(self, record_id: str) -> SearchResult | None:
+        self.flush()
+        row = self._row_of.get(record_id)
+        if row is None or not self._valid[row]:
+            return None
+        return self._result_for(row, 0.0)
+
+    def get_by_filter(self, filter: FilterSpec, limit: int = 100) -> list[SearchResult]:
+        self.flush()
+        n = len(self._ids)
+        mask = compile_filter(filter, n, self._promoted, self._metadata)
+        keep = self._valid[:n] if mask is None else (self._valid[:n] & mask)
+        rows = np.flatnonzero(keep)[:limit]
+        return [self._result_for(int(r), 0.0) for r in rows]
+
+    # -- persistence ---------------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        """Persist to ``<path>.npz`` + ``<path>.json`` (Milvus Lite file parity)."""
+        self.flush()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        n = len(self._ids)
+        arrays: dict[str, np.ndarray] = {"valid": self._valid[:n]}
+        if self._dense is not None:
+            arrays["dense"] = np.asarray(self._dense[:n], np.float32)
+        if self._sp_ids is not None:
+            arrays["sp_ids"] = np.asarray(self._sp_ids[:n])
+            arrays["sp_w"] = np.asarray(self._sp_w[:n])
+        if self.enable_full_text:
+            arrays["ft_ids"] = np.asarray(self._ft_ids[:n])
+            arrays["ft_tf"] = np.asarray(self._ft_tf[:n])
+            arrays["doc_len"] = self._doc_len[:n]
+            arrays["doc_freq"] = self._doc_freq
+        np.savez_compressed(path + ".npz", **arrays)
+        with open(path + ".json", "w") as f:
+            json.dump(
+                {
+                    "config": {
+                        "dense_dim": self.dense_dim,
+                        "sparse_vocab": self.sparse_vocab,
+                        "sparse_max_nnz": self.sparse_max_nnz,
+                        "enable_full_text": self.enable_full_text,
+                        "full_text_vocab": self.full_text_vocab,
+                        "full_text_max_nnz": self.full_text_max_nnz,
+                        "dense_dtype": self.dense_dtype,
+                        "block": self.block,
+                    },
+                    "ids": self._ids,
+                    "texts": self._texts,
+                    "enhanced": self._enhanced,
+                    "metadata": self._metadata,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "DeviceVectorStore":
+        with open(path + ".json") as f:
+            meta = json.load(f)
+        store = cls(**meta["config"])
+        arrays = np.load(path + ".npz", allow_pickle=False)
+        records = []
+        dense = arrays.get("dense")
+        sp_ids, sp_w = arrays.get("sp_ids"), arrays.get("sp_w")
+        for i, rid in enumerate(meta["ids"]):
+            rec: dict[str, Any] = {
+                "id": rid,
+                "text": meta["texts"][i],
+                "enhanced_text": meta["enhanced"][i],
+                "metadata": meta["metadata"][i],
+            }
+            if dense is not None:
+                rec["dense"] = dense[i]
+            if sp_ids is not None:
+                rec["sparse"] = {
+                    int(t): float(w)
+                    for t, w in zip(sp_ids[i], sp_w[i])
+                    if w != 0.0
+                }
+            records.append(rec)
+        store.add_vectors(records)
+        store.flush()
+        dead = [rid for i, rid in enumerate(meta["ids"]) if not bool(arrays["valid"][i])]
+        if dead:
+            store.delete(dead)
+        return store

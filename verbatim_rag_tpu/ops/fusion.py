@@ -1,0 +1,157 @@
+"""Hybrid result fusion: weighted Reciprocal Rank Fusion (RRF).
+
+Two implementations of the same math (score(id) = Σ_methods w_m / (rrf_k +
+rank_m(id) + 1), results ordered by fused score, `distance = 1 - score`):
+
+- :func:`rrf_merge_host` — reference-exact host merge over hit dicts, parity
+  with `vector_stores/hybrid_search.py:73-129` (used at the orchestration
+  seam where hits already left the device).
+- :func:`rrf_fuse_device` — fully on-device fusion for the fused hybrid query
+  pipeline: candidate ids from every method are merged by sort +
+  run-segmentation + top-k, all static shapes, no host sync. This is the
+  TPU-native equivalent of Milvus's client-side 2-way merge.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+ALLOWED_METHODS = {"dense", "sparse", "full_text"}
+
+
+# -- host-side (reference-parity) ------------------------------------------------
+
+
+def sanitize_hybrid_weights(hybrid_weights: dict[str, float]) -> dict[str, float]:
+    """Drop unknown methods and non-positive weights; error if nothing remains."""
+    if not hybrid_weights:
+        raise ValueError("hybrid_weights must be a non-empty dict")
+    cleaned: dict[str, float] = {}
+    for method, weight in hybrid_weights.items():
+        if method not in ALLOWED_METHODS:
+            logger.warning("Ignoring unsupported hybrid method %r", method)
+            continue
+        if not isinstance(weight, (int, float)) or weight <= 0:
+            logger.warning("Ignoring non-positive weight for %r: %s", method, weight)
+            continue
+        cleaned[method] = float(weight)
+    if not cleaned:
+        raise ValueError("No valid hybrid_weights after validation")
+    return cleaned
+
+
+def normalize_weights(
+    results_by_method: dict[str, list], weights: dict[str, float]
+) -> dict[str, float]:
+    """Restrict to available methods and normalize to sum 1 (equal if all zero)."""
+    available = {m: weights.get(m, 0.0) for m in results_by_method}
+    total = sum(available.values())
+    if total == 0:
+        logger.warning(
+            "No non-zero weights for available methods; using equal weights for %s",
+            list(results_by_method),
+        )
+        return {m: 1.0 / len(results_by_method) for m in results_by_method}
+    return {m: w / total for m, w in available.items()}
+
+
+def rrf_merge_host(
+    results_by_method: dict[str, list[dict[str, Any]]],
+    top_k: int,
+    weights: dict[str, float],
+    rrf_k: int = 60,
+    log_label: str = "",
+) -> list[dict[str, Any]]:
+    """Weighted RRF over hit dicts ({'id': ..., ...}); returns merged hits with
+    ``distance = 1 - fused_score``."""
+    normalized = normalize_weights(results_by_method, weights)
+    if log_label:
+        logger.info(
+            "Hybrid merge (%s): methods=%s weights=%s rrf_k=%s top_k=%s",
+            log_label,
+            list(results_by_method),
+            normalized,
+            rrf_k,
+            top_k,
+        )
+
+    fused: dict[Any, float] = {}
+    hit_by_id: dict[Any, dict] = {}
+    for method, hits in results_by_method.items():
+        weight = normalized.get(method, 0.0)
+        for rank, hit in enumerate(hits):
+            hit_id = hit.get("id")
+            if not hit_id:
+                continue
+            fused.setdefault(hit_id, 0.0)
+            hit_by_id.setdefault(hit_id, hit)
+            fused[hit_id] += weight / (rrf_k + rank + 1)
+
+    ranked = sorted(fused, key=lambda hid: fused[hid], reverse=True)[:top_k]
+    merged = []
+    for hit_id in ranked:
+        hit = dict(hit_by_id[hit_id])
+        hit["distance"] = 1.0 - fused[hit_id]
+        merged.append(hit)
+    return merged
+
+
+# -- device-side -------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("k", "rrf_k"))
+def rrf_fuse_device(
+    method_indices: jax.Array,  # [M, B, Km] row indices per method (−1 = no hit)
+    method_weights: jax.Array,  # [M] normalized weights
+    k: int,
+    rrf_k: int = 60,
+) -> tuple[jax.Array, jax.Array]:
+    """Fuse M ranked candidate lists on device.
+
+    :return: (fused scores [B, k], row indices [B, k]); slots without a
+        candidate carry index −1 and score 0.
+    """
+    n_methods, batch, km = method_indices.shape
+    total = n_methods * km
+
+    ranks = jnp.broadcast_to(jnp.arange(km)[None, None, :], method_indices.shape)
+    contrib = method_weights[:, None, None] / (rrf_k + ranks + 1.0)  # [M, B, Km]
+    valid = method_indices >= 0
+    contrib = jnp.where(valid, contrib, 0.0)
+
+    # Flatten methods: [B, M·Km]
+    ids = jnp.moveaxis(method_indices, 0, 1).reshape(batch, total)
+    scores = jnp.moveaxis(contrib, 0, 1).reshape(batch, total)
+
+    # Sort by id so duplicates (same row from several methods) are adjacent.
+    # Missing candidates (-1) sort first and carry zero score.
+    order = jnp.argsort(ids, axis=1)
+    ids_sorted = jnp.take_along_axis(ids, order, axis=1)
+    scores_sorted = jnp.take_along_axis(scores, order, axis=1)
+
+    # Segment-sum runs of equal ids: each candidate's fused score lands on the
+    # run's first slot; the rest are zeroed so top-k never double-counts.
+    run_start = jnp.concatenate(
+        [jnp.ones((batch, 1), bool), ids_sorted[:, 1:] != ids_sorted[:, :-1]], axis=1
+    )
+    run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1  # [B, total]
+    rows = jnp.broadcast_to(jnp.arange(batch)[:, None], run_id.shape)
+    summed = jnp.zeros((batch, total), jnp.float32).at[rows, run_id].add(scores_sorted)
+    # Run-representative id per run slot; unused slots (and the all-missing
+    # run) stay at -1 so they can never outrank a real candidate.
+    rep_ids = (
+        jnp.full((batch, total), -1, jnp.int32).at[rows, run_id].max(ids_sorted)
+    )
+
+    fused_scores = jnp.where(rep_ids >= 0, summed, -jnp.inf)
+    top_scores, top_pos = jax.lax.top_k(fused_scores, k)
+    top_ids = jnp.take_along_axis(rep_ids, top_pos, axis=1)
+    top_scores = jnp.where(top_ids >= 0, top_scores, 0.0)
+    return top_scores, top_ids
