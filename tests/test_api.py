@@ -1,0 +1,148 @@
+"""API service: route contract + NDJSON streaming (aiohttp test client)."""
+
+import json
+
+import pytest
+
+pytest.importorskip("jax")
+aiohttp = pytest.importorskip("aiohttp")
+
+from verbatim_rag_tpu.api import dependencies as deps
+from verbatim_rag_tpu.api.app import create_app
+from verbatim_rag_tpu.core.templates import TemplateManager
+from verbatim_rag_tpu.engine.embedding_providers import HashedBowDenseProvider
+from verbatim_rag_tpu.engine.index import VerbatimIndex
+from verbatim_rag_tpu.rag.core import VerbatimRAG
+
+
+class KeywordExtractor:
+    def extract_spans(self, question, search_results):
+        out = {}
+        for r in search_results:
+            text = getattr(r, "text", "")
+            out[text] = ["Solar panels convert sunlight into electricity."] if (
+                "Solar panels convert sunlight into electricity." in text
+            ) else []
+        return out
+
+    async def extract_spans_async(self, question, search_results):
+        return self.extract_spans(question, search_results)
+
+
+@pytest.fixture()
+def client_factory():
+    deps.reset()
+    index = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=64))
+    index.add_documents(
+        [
+            {
+                "content": "Solar panels convert sunlight into electricity. "
+                "They power homes and satellites.",
+                "title": "Solar",
+            }
+        ]
+    )
+    rag = VerbatimRAG(
+        index,
+        extractor=KeywordExtractor(),
+        template_manager=TemplateManager(llm_client=None, default_mode="static"),
+    )
+    deps.set_rag(rag)
+    yield lambda loop=None: create_app()
+    deps.reset()
+
+
+async def _request(app, method, path, json_body=None):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    async with TestClient(TestServer(app)) as client:
+        resp = await client.request(method, path, json=json_body)
+        body = await resp.text()
+        return resp.status, body, resp.headers
+
+
+class TestRoutes:
+    async def test_status(self, client_factory):
+        status, body, _ = await _request(client_factory(), "GET", "/api/status")
+        assert status == 200
+        data = json.loads(body)
+        assert data["status"] == "ok"
+        assert data["num_chunks"] >= 1
+
+    async def test_documents(self, client_factory):
+        status, body, _ = await _request(client_factory(), "GET", "/api/documents")
+        assert status == 200
+        assert json.loads(body)["documents"][0]["title"] == "Solar"
+
+    async def test_templates(self, client_factory):
+        status, body, _ = await _request(client_factory(), "GET", "/api/templates")
+        assert json.loads(body)["current_mode"] == "static"
+
+    async def test_query(self, client_factory):
+        status, body, _ = await _request(
+            client_factory(), "POST", "/api/query", {"question": "how do panels work"}
+        )
+        assert status == 200
+        data = json.loads(body)
+        assert "Solar panels convert sunlight" in data["answer"]
+        assert data["structured_answer"]["citations"]
+
+    async def test_query_validation(self, client_factory):
+        status, _, _ = await _request(client_factory(), "POST", "/api/query", {"question": ""})
+        assert status == 400
+        status, _, _ = await _request(
+            client_factory(), "POST", "/api/query", {"question": "x" * 2000}
+        )
+        assert status == 400
+
+    async def test_query_async_alias(self, client_factory):
+        status, body, _ = await _request(
+            client_factory(), "POST", "/api/query/async", {"question": "panels?"}
+        )
+        assert status == 200
+
+    async def test_stream_ndjson_stages(self, client_factory):
+        status, body, headers = await _request(
+            client_factory(), "POST", "/api/query/stream", {"question": "how do panels work"}
+        )
+        assert status == 200
+        assert headers["Content-Type"].startswith("application/x-ndjson")
+        events = [json.loads(line) for line in body.strip().splitlines()]
+        types = [e["type"] for e in events]
+        assert types == ["documents", "progress", "highlights", "answer"]
+        assert events[-1]["done"] is True
+
+    async def test_cors_headers(self, client_factory):
+        _, _, headers = await _request(client_factory(), "GET", "/api/status")
+        assert "Access-Control-Allow-Origin" in headers
+
+
+class TestVerbatimDoc:
+    def test_process_document(self, client_factory):
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        rag = deps.get_rag()
+        doc = (
+            "# Report\n\n## Energy\n\n"
+            "Summary: [!query=how do solar panels work|format=bullet]\n"
+        )
+        result = VerbatimDOC(rag).process(doc)
+        assert "[!query=" not in result.document
+        assert "Solar panels convert sunlight" in result.document
+        assert result.citations
+        assert result.citations[0]["number"] == 1
+
+    def test_parser_params(self):
+        from verbatim_rag_tpu.rag.verbatim_doc import Parser
+
+        doc = "x [!query=what results|format=short,max_length=100,flag=true] y"
+        [q] = Parser.parse(doc)
+        assert q.text == "what results"
+        assert q.params == {"format": "short", "max_length": 100, "flag": True}
+
+    def test_section_context(self):
+        from verbatim_rag_tpu.rag.verbatim_doc import Parser
+
+        doc = "## Methods\n\n[!query=describe approach]"
+        [q] = Parser.parse(doc)
+        assert q.section == "Methods"

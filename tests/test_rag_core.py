@@ -1,0 +1,196 @@
+"""VerbatimRAG orchestration: the fully offline TPU end-to-end slice."""
+
+from unittest.mock import MagicMock
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from verbatim_rag_tpu.core.templates import TemplateManager
+from verbatim_rag_tpu.engine.embedding_providers import HashedBowDenseProvider
+from verbatim_rag_tpu.engine.index import VerbatimIndex
+from verbatim_rag_tpu.rag.core import VerbatimRAG
+from verbatim_rag_tpu.rag.intent import IntentDecision, IntentSpec, LLMIntentDetector
+from verbatim_rag_tpu.rag.rerankers import BaseReranker
+from verbatim_rag_tpu.rag.streaming import StreamingRAG
+
+DOC = {
+    "content": (
+        "# Solar Energy\n\nSolar panels convert sunlight into electricity. "
+        "They are made of photovoltaic cells. Wind turbines are different machines."
+    ),
+    "title": "Solar",
+    "source": "solar.md",
+}
+
+
+class SubstringExtractor:
+    """Deterministic extractor: verbatim sentences containing a keyword."""
+
+    def __init__(self, keyword="solar"):
+        import re
+
+        self.pattern = re.compile(rf"[^.\n#]*{keyword}[^.\n]*\.", re.IGNORECASE)
+
+    def extract_spans(self, question, search_results):
+        out = {}
+        for r in search_results:
+            text = getattr(r, "text", "")
+            out[text] = [m.group(0).strip() for m in self.pattern.finditer(text)]
+        return out
+
+    async def extract_spans_async(self, question, search_results):
+        return self.extract_spans(question, search_results)
+
+
+@pytest.fixture()
+def rag():
+    index = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=64))
+    index.add_documents([DOC])
+    return VerbatimRAG(
+        index,
+        extractor=SubstringExtractor(),
+        template_manager=TemplateManager(llm_client=None, default_mode="static"),
+    )
+
+
+class TestQuery:
+    def test_end_to_end_offline(self, rag):
+        response = rag.query("How do solar panels work?")
+        assert response.question == "How do solar panels work?"
+        assert "Solar panels convert sunlight into electricity" in response.answer
+        assert response.structured_answer.citations
+        doc = response.documents[0]
+        for h in doc.highlights:
+            assert doc.content[h.start : h.end] == h.text  # provenance exactness
+
+    def test_intent_short_circuit(self, rag):
+        detector = MagicMock()
+        detector.detect.return_value = IntentDecision(
+            intent="greeting", route="predefined", answer="Hello!"
+        )
+        rag.intent_detector = detector
+        response = rag.query("hi there")
+        assert response.answer == "Hello!"
+        assert response.documents == []
+
+    def test_reranker_failure_keeps_order(self, rag):
+        reranker = MagicMock()
+        reranker.rerank.side_effect = RuntimeError("boom")
+        rag.reranker = reranker
+        response = rag.query("How do solar panels work?")
+        assert "Solar panels" in response.answer
+
+    def test_reranker_reorders(self, rag):
+        class ReverseReranker(BaseReranker):
+            def score(self, question, texts):
+                return list(range(len(texts)))  # later = higher
+
+        rag.reranker = ReverseReranker()
+        response = rag.query("How do solar panels work?")
+        assert response.answer
+
+    async def test_query_async(self, rag):
+        response = await rag.query_async("How do solar panels work?")
+        assert "Solar panels convert sunlight" in response.answer
+
+
+class TestStreaming:
+    def test_stages_in_order(self, rag):
+        events = StreamingRAG(rag).stream_query_sync("How do solar panels work?")
+        types = [e["type"] for e in events]
+        assert types == ["documents", "progress", "highlights", "answer"]
+        assert events[-1]["done"] is True
+        highlights_docs = events[2]["data"]["documents"]
+        assert any(d["highlights"] for d in highlights_docs)
+
+    def test_intent_short_circuit_stream(self, rag):
+        detector = MagicMock()
+
+        async def detect_async(q):
+            return IntentDecision(route="skip", answer="Blocked.")
+
+        detector.detect_async = detect_async
+        rag.intent_detector = detector
+        events = StreamingRAG(rag).stream_query_sync("whatever")
+        assert len(events) == 1
+        assert events[0]["data"]["answer"] == "Blocked."
+
+
+class TestIntentDetector:
+    def test_llm_intent_routing(self):
+        client = MagicMock()
+        client.complete.return_value = (
+            '{"intent": "greeting", "confidence": 0.9, "reason": "says hi"}'
+        )
+        detector = LLMIntentDetector(
+            client,
+            intents=[
+                IntentSpec(
+                    name="greeting", examples=["hi"], route="predefined", answer="Hey!"
+                )
+            ],
+        )
+        decision = detector.detect("hello there")
+        assert decision.route == "predefined"
+        assert decision.answer == "Hey!"
+
+    def test_low_confidence_continues(self):
+        client = MagicMock()
+        client.complete.return_value = '{"intent": "greeting", "confidence": 0.2}'
+        detector = LLMIntentDetector(
+            client, intents=[IntentSpec(name="greeting", route="skip")]
+        )
+        assert detector.detect("hmm").route == "continue"
+
+    def test_parse_failure_continues(self):
+        client = MagicMock()
+        client.complete.return_value = "not json"
+        assert LLMIntentDetector(client).detect("q").route == "continue"
+
+
+class TestNeuralExtractorPath:
+    def test_model_span_extractor_returns_verbatim_substrings(self):
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+
+        extractor = ModelSpanExtractor(
+            config=tiny_test_config(),
+            threshold=0.0,  # random weights: accept everything
+            min_span_chars=5,
+            max_length=64,
+            doc_stride=8,
+        )
+        text = "Solar panels convert sunlight into electricity for homes."
+        result = MagicMock()
+        result.text = text
+        spans = extractor.extract_spans("how do panels work", [result])
+        for span in spans[text]:
+            assert span in text  # every span is verbatim
+
+    def test_select_spans_postprocessing(self):
+        from verbatim_rag_tpu.models.highlighter import select_spans_from_token_probs
+
+        #                 0     1      2      3     4
+        offsets = [(0, 10), (11, 20), (25, 35), (60, 70), (72, 80)]
+        probs = np.array([0.9, 0.9, 0.9, 0.1, 0.9])
+        # tokens 0-2 merge (gaps ≤ 20); token 4 region is too short (8 < 30)
+        spans = select_spans_from_token_probs(
+            probs, offsets, threshold=0.5, min_span_chars=30, merge_gap_chars=20
+        )
+        assert spans == [(0, 35)]
+
+    def test_merge_gap(self):
+        from verbatim_rag_tpu.models.highlighter import select_spans_from_token_probs
+
+        offsets = [(0, 10), (15, 25)]
+        probs = np.array([0.9, 0.9])
+        spans = select_spans_from_token_probs(
+            probs, offsets, threshold=0.5, min_span_chars=5, merge_gap_chars=4
+        )
+        assert spans == [(0, 10), (15, 25)]  # gap 5 > 4: no merge
+        spans = select_spans_from_token_probs(
+            probs, offsets, threshold=0.5, min_span_chars=5, merge_gap_chars=5
+        )
+        assert spans == [(0, 25)]

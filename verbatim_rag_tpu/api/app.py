@@ -1,0 +1,224 @@
+"""HTTP API service (aiohttp).
+
+Parity: reference `api/app.py` route contract —
+GET  /api/documents, GET /api/status, GET /api/templates,
+POST /api/query, POST /api/query_async (+ /api/query/async alias),
+POST /api/transform/verbatim (stateless core transform),
+POST /api/query/stream → NDJSON streaming with anti-buffering headers —
+plus CORS and optional static frontend mount. FastAPI/uvicorn are not in the
+image, so the server is aiohttp.web; the wire contract is identical.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+
+from aiohttp import web
+
+from . import dependencies as deps
+
+logger = logging.getLogger(__name__)
+
+
+def _json_error(message: str, status: int = 400) -> web.Response:
+    return web.json_response({"detail": message}, status=status)
+
+
+def _validate_question(data: dict, max_len: int) -> str | None:
+    question = (data or {}).get("question", "")
+    if not isinstance(question, str) or not question.strip():
+        return None
+    if len(question) > max_len:
+        return None
+    return question.strip()
+
+
+# -- handlers -----------------------------------------------------------------------
+
+
+async def handle_status(request: web.Request) -> web.Response:
+    ready, detail = await asyncio.to_thread(deps.check_system_ready)
+    index = deps.get_index()
+    stats = index.inspect()
+    return web.json_response({"status": "ok" if ready else "error", "detail": detail, **stats})
+
+
+async def handle_documents(request: web.Request) -> web.Response:
+    index = deps.get_index()
+    return web.json_response({"documents": index.get_all_documents()})
+
+
+async def handle_templates(request: web.Request) -> web.Response:
+    tm = deps.get_template_manager()
+    return web.json_response(tm.info())
+
+
+async def handle_query(request: web.Request) -> web.Response:
+    config = deps.get_config()
+    try:
+        data = await request.json()
+    except Exception:
+        return _json_error("invalid JSON body")
+    question = _validate_question(data, config.max_question_length)
+    if question is None:
+        return _json_error(
+            f"question must be a non-empty string of at most "
+            f"{config.max_question_length} characters"
+        )
+    rag = deps.get_rag()
+    try:
+        response = await asyncio.to_thread(
+            rag.query,
+            question,
+            data.get("k"),
+            data.get("filter"),
+            data.get("hybrid_weights"),
+            data.get("rrf_k", 60),
+        )
+    except Exception as exc:
+        logger.exception("Query failed")
+        return _json_error(f"query failed: {exc}", status=500)
+    return web.json_response(response.model_dump())
+
+
+async def handle_query_async(request: web.Request) -> web.Response:
+    config = deps.get_config()
+    try:
+        data = await request.json()
+    except Exception:
+        return _json_error("invalid JSON body")
+    question = _validate_question(data, config.max_question_length)
+    if question is None:
+        return _json_error("invalid question")
+    rag = deps.get_rag()
+    try:
+        response = await rag.query_async(
+            question,
+            k=data.get("k"),
+            filter=data.get("filter"),
+            hybrid_weights=data.get("hybrid_weights"),
+            rrf_k=data.get("rrf_k", 60),
+        )
+    except Exception as exc:
+        logger.exception("Async query failed")
+        return _json_error(f"query failed: {exc}", status=500)
+    return web.json_response(response.model_dump())
+
+
+async def handle_transform(request: web.Request) -> web.Response:
+    """Stateless core transform: context in the request, no index involved."""
+    try:
+        data = await request.json()
+    except Exception:
+        return _json_error("invalid JSON body")
+    question = (data or {}).get("question", "")
+    context = (data or {}).get("context") or (data or {}).get("sources") or []
+    if not question or not context:
+        return _json_error("need 'question' and 'context'")
+
+    from verbatim_rag_tpu.core.templates import TemplateManager
+    from verbatim_rag_tpu.core.transform import VerbatimTransform
+
+    llm = deps.get_llm_client()
+    vt = VerbatimTransform(
+        llm_client=llm,
+        extractor=None if llm else _offline_extractor(),
+        template_manager=TemplateManager(
+            llm_client=llm, default_mode="contextual" if llm else "static"
+        ),
+    )
+    try:
+        response = await vt.transform_async(question=question, context=context)
+    except Exception as exc:
+        logger.exception("Transform failed")
+        return _json_error(f"transform failed: {exc}", status=500)
+    return web.json_response(response.model_dump())
+
+
+def _offline_extractor():
+    from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+
+    return ModelSpanExtractor()
+
+
+async def handle_query_stream(request: web.Request) -> web.StreamResponse:
+    config = deps.get_config()
+    try:
+        data = await request.json()
+    except Exception:
+        return _json_error("invalid JSON body")
+    question = _validate_question(data, config.max_question_length)
+    if question is None:
+        return _json_error("invalid question")
+
+    from verbatim_rag_tpu.rag.streaming import StreamingRAG
+
+    stream = StreamingRAG(deps.get_rag())
+    response = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "application/x-ndjson",
+            "Cache-Control": "no-cache",
+            "X-Accel-Buffering": "no",  # anti-buffering (parity: api/app.py:352-402)
+            "Connection": "keep-alive",
+        },
+    )
+    await response.prepare(request)
+    try:
+        async for event in stream.stream_query(
+            question,
+            k=data.get("k"),
+            filter=data.get("filter"),
+            hybrid_weights=data.get("hybrid_weights"),
+        ):
+            await response.write((json.dumps(event) + "\n").encode())
+    except Exception as exc:
+        logger.exception("Streaming failed")
+        await response.write(
+            (json.dumps({"type": "error", "message": str(exc)}) + "\n").encode()
+        )
+    await response.write_eof()
+    return response
+
+
+# -- app factory ------------------------------------------------------------------------
+
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        response = web.Response()
+    else:
+        response = await handler(request)
+    origins = deps.get_config().cors_origins
+    response.headers["Access-Control-Allow-Origin"] = origins[0] if origins else "*"
+    response.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+    response.headers["Access-Control-Allow-Headers"] = "Content-Type, Authorization"
+    return response
+
+
+def create_app(static_dir: str | None = None) -> web.Application:
+    app = web.Application(middlewares=[cors_middleware])
+    app.router.add_get("/api/status", handle_status)
+    app.router.add_get("/api/documents", handle_documents)
+    app.router.add_get("/api/templates", handle_templates)
+    app.router.add_post("/api/query", handle_query)
+    app.router.add_post("/api/query_async", handle_query_async)
+    app.router.add_post("/api/query/async", handle_query_async)
+    app.router.add_post("/api/transform/verbatim", handle_transform)
+    app.router.add_post("/api/query/stream", handle_query_stream)
+    if static_dir:
+        app.router.add_static("/", static_dir, show_index=True)
+    return app
+
+
+def main() -> None:
+    config = deps.get_config()
+    logging.basicConfig(level=config.log_level)
+    web.run_app(create_app(), host=config.host, port=config.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ model at all. Core stays importable without any accelerator.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import re
 from typing import Any, Callable, Sequence
@@ -26,13 +27,18 @@ _TOKEN_RE = re.compile(r"[a-z0-9]+")
 _HASH_DIM = 512
 
 
+def _stable_slot(token: str) -> int:
+    digest = hashlib.blake2b(token.encode(), digest_size=4).digest()
+    return int.from_bytes(digest, "little") % _HASH_DIM
+
+
 def _hashed_bow_embed(texts: Sequence[str]) -> list[list[float]]:
     """Deterministic, dependency-free embedding: hashed unigram counts."""
     out = []
     for text in texts:
         vec = [0.0] * _HASH_DIM
         for tok in _TOKEN_RE.findall(text.lower()):
-            vec[hash(tok) % _HASH_DIM] += 1.0
+            vec[_stable_slot(tok)] += 1.0
         out.append(vec)
     return out
 

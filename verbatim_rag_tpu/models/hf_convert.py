@@ -1,0 +1,247 @@
+"""HuggingFace torch checkpoint → JAX param-tree conversion.
+
+The bridge that lets published weights (MiniLM, SPLADE backbones,
+`KRLabsOrg/verbatim-rag-modern-bert-v2` — `extractors.py:75-113`) run on the
+TPU encoders. torch Linear weights are ``[out, in]`` and transpose to this
+framework's ``[in, out]`` kernels; ModernBERT's fused ``Wqkv`` splits into
+q/k/v. Conversion is pure host-side numpy; torch is imported lazily and only
+needed when actually loading a checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Mapping
+
+import numpy as np
+
+from .config import EncoderConfig, modernbert_base_config
+
+Params = dict[str, Any]
+
+
+def _t(x) -> np.ndarray:
+    """torch tensor / ndarray → float32 ndarray."""
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().float().numpy()
+    return np.asarray(x, np.float32)
+
+
+def _linear(sd: Mapping[str, Any], prefix: str, use_bias: bool = True) -> Params:
+    p = {"kernel": _t(sd[f"{prefix}.weight"]).T}
+    if use_bias and f"{prefix}.bias" in sd:
+        p["bias"] = _t(sd[f"{prefix}.bias"])
+    return p
+
+
+def _norm(sd: Mapping[str, Any], prefix: str) -> Params:
+    p = {"scale": _t(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _t(sd[f"{prefix}.bias"])
+    return p
+
+
+def _stack_layers(layers: list[Params]) -> Params:
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *layers)
+
+
+# -- BERT family ---------------------------------------------------------------------
+
+
+def convert_bert_state_dict(
+    sd: Mapping[str, Any], config: EncoderConfig, prefix: str = ""
+) -> Params:
+    """Map a `BertModel` state dict onto the encoder tree."""
+
+    def key(name: str) -> str:
+        return f"{prefix}{name}"
+
+    embeddings: Params = {
+        "word": _t(sd[key("embeddings.word_embeddings.weight")]),
+        "position": _t(sd[key("embeddings.position_embeddings.weight")]),
+        "ln": _norm(sd, key("embeddings.LayerNorm")),
+    }
+    tt_key = key("embeddings.token_type_embeddings.weight")
+    if tt_key in sd:
+        embeddings["token_type"] = _t(sd[tt_key])
+
+    layers = []
+    for i in range(config.num_layers):
+        base = key(f"encoder.layer.{i}")
+        layers.append(
+            {
+                "attn": {
+                    "q": _linear(sd, f"{base}.attention.self.query"),
+                    "k": _linear(sd, f"{base}.attention.self.key"),
+                    "v": _linear(sd, f"{base}.attention.self.value"),
+                    "o": _linear(sd, f"{base}.attention.output.dense"),
+                },
+                "attn_ln": _norm(sd, f"{base}.attention.output.LayerNorm"),
+                "mlp": {
+                    "wi": _linear(sd, f"{base}.intermediate.dense"),
+                    "wo": _linear(sd, f"{base}.output.dense"),
+                },
+                "mlp_ln": _norm(sd, f"{base}.output.LayerNorm"),
+            }
+        )
+    return {"embeddings": embeddings, "layers": _stack_layers(layers)}
+
+
+def convert_bert_mlm_head(sd: Mapping[str, Any], params: Params) -> Params:
+    """Attach a `BertForMaskedLM` cls head (for SPLADE)."""
+    params["mlm_head"] = {
+        "transform": _linear(sd, "cls.predictions.transform.dense"),
+        "ln": _norm(sd, "cls.predictions.transform.LayerNorm"),
+        "output_bias": _t(sd["cls.predictions.bias"]),
+    }
+    return params
+
+
+# -- ModernBERT family ------------------------------------------------------------------
+
+
+def convert_modernbert_state_dict(
+    sd: Mapping[str, Any], config: EncoderConfig, prefix: str = ""
+) -> Params:
+    """Map a `ModernBertModel` state dict onto the encoder tree."""
+
+    def key(name: str) -> str:
+        return f"{prefix}{name}"
+
+    h = config.hidden_size
+    embeddings: Params = {
+        "word": _t(sd[key("embeddings.tok_embeddings.weight")]),
+        "ln": _norm(sd, key("embeddings.norm")),
+    }
+
+    layers = []
+    for i in range(config.num_layers):
+        base = key(f"layers.{i}")
+        wqkv = _t(sd[f"{base}.attn.Wqkv.weight"]).T  # [h, 3h]
+        q_k, k_k, v_k = wqkv[:, :h], wqkv[:, h : 2 * h], wqkv[:, 2 * h :]
+        attn = {
+            "q": {"kernel": q_k},
+            "k": {"kernel": k_k},
+            "v": {"kernel": v_k},
+            "o": _linear(sd, f"{base}.attn.Wo", use_bias=config.use_bias),
+        }
+        if f"{base}.attn.Wqkv.bias" in sd:
+            bqkv = _t(sd[f"{base}.attn.Wqkv.bias"])
+            attn["q"]["bias"], attn["k"]["bias"], attn["v"]["bias"] = (
+                bqkv[:h],
+                bqkv[h : 2 * h],
+                bqkv[2 * h :],
+            )
+        # Layer 0's attn_norm is Identity in ModernBERT — store a unit LN so
+        # the stacked tree stays rectangular; the forward skips it via
+        # `first_layer_no_attn_norm`.
+        if f"{base}.attn_norm.weight" in sd:
+            attn_ln = _norm(sd, f"{base}.attn_norm")
+        else:
+            attn_ln = {"scale": np.ones(h, np.float32)}
+        layers.append(
+            {
+                "attn": attn,
+                "attn_ln": attn_ln,
+                "mlp": {
+                    "wi": _linear(sd, f"{base}.mlp.Wi", use_bias=config.use_bias),
+                    "wo": _linear(sd, f"{base}.mlp.Wo", use_bias=config.use_bias),
+                },
+                "mlp_ln": _norm(sd, f"{base}.mlp_norm"),
+            }
+        )
+
+    return {
+        "embeddings": embeddings,
+        "layers": _stack_layers(layers),
+        "final_ln": _norm(sd, key("final_norm")),
+    }
+
+
+def config_from_hf(hf_config: Mapping[str, Any]) -> EncoderConfig:
+    """Build an EncoderConfig from an HF config dict (BERT or ModernBERT)."""
+    model_type = hf_config.get("model_type", "bert")
+    if model_type == "modernbert":
+        return modernbert_base_config(
+            vocab_size=hf_config["vocab_size"],
+            hidden_size=hf_config["hidden_size"],
+            num_layers=hf_config["num_hidden_layers"],
+            num_heads=hf_config["num_attention_heads"],
+            intermediate_size=hf_config["intermediate_size"],
+            max_position_embeddings=hf_config.get("max_position_embeddings", 8192),
+            layer_norm_eps=hf_config.get("norm_eps", 1e-5),
+            global_rope_theta=hf_config.get("global_rope_theta", 160_000.0),
+            local_rope_theta=hf_config.get("local_rope_theta", 10_000.0),
+            local_attention_window=hf_config.get("local_attention", 128),
+            global_attn_every_n_layers=hf_config.get("global_attn_every_n_layers", 3),
+        )
+    return EncoderConfig(
+        vocab_size=hf_config["vocab_size"],
+        hidden_size=hf_config["hidden_size"],
+        num_layers=hf_config["num_hidden_layers"],
+        num_heads=hf_config["num_attention_heads"],
+        intermediate_size=hf_config["intermediate_size"],
+        max_position_embeddings=hf_config.get("max_position_embeddings", 512),
+        type_vocab_size=hf_config.get("type_vocab_size", 2),
+        layer_norm_eps=hf_config.get("layer_norm_eps", 1e-12),
+    )
+
+
+# -- checkpoint loading -------------------------------------------------------------------
+
+
+def _read_state_dict(model_dir: str) -> dict[str, np.ndarray]:
+    st_path = os.path.join(model_dir, "model.safetensors")
+    bin_path = os.path.join(model_dir, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        return {k: np.asarray(v, np.float32) for k, v in load_file(st_path).items()}
+    if os.path.exists(bin_path):
+        import torch
+
+        return {k: _t(v) for k, v in torch.load(bin_path, map_location="cpu").items()}
+    raise FileNotFoundError(f"No weights found in {model_dir}")
+
+
+def load_highlighter_checkpoint(model_dir: str):
+    """Load a token-classification highlighter checkpoint directory.
+
+    :return: (params, config, tokenizer)
+    """
+    from .tokenizer import HFTokenizer
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_config = json.load(f)
+    config = config_from_hf(hf_config)
+    sd = _read_state_dict(model_dir)
+
+    # Strip common wrappers.
+    prefix = ""
+    if any(k.startswith("model.") for k in sd):
+        prefix = "model."
+    elif any(k.startswith("bert.") for k in sd):
+        prefix = "bert."
+
+    if hf_config.get("model_type") == "modernbert":
+        params = convert_modernbert_state_dict(sd, config, prefix=prefix)
+    else:
+        params = convert_bert_state_dict(sd, config, prefix=prefix)
+
+    cls_key = next(
+        (k for k in ("classifier.weight", "token_classifier.weight") if k in sd), None
+    )
+    if cls_key:
+        params["classifier"] = {
+            "kernel": _t(sd[cls_key]).T,
+            "bias": _t(sd[cls_key.replace("weight", "bias")])
+            if cls_key.replace("weight", "bias") in sd
+            else np.zeros(_t(sd[cls_key]).shape[0], np.float32),
+        }
+
+    tok_path = os.path.join(model_dir, "tokenizer.json")
+    tokenizer = HFTokenizer(tok_path)
+    return params, config, tokenizer

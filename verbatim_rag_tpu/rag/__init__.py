@@ -1,0 +1,23 @@
+"""Orchestration layer: VerbatimRAG, streaming, intent, rerankers, providers."""
+
+from .core import VerbatimRAG
+from .intent import IntentDecision, IntentDetector, IntentSpec, LLMIntentDetector
+from .providers import IndexProvider, VerbatimRAGProvider
+from .rerankers import BaseReranker, CohereReranker, JaxReranker, JinaReranker, Reranker
+from .streaming import StreamingRAG
+
+__all__ = [
+    "BaseReranker",
+    "CohereReranker",
+    "IndexProvider",
+    "IntentDecision",
+    "IntentDetector",
+    "IntentSpec",
+    "JaxReranker",
+    "JinaReranker",
+    "LLMIntentDetector",
+    "Reranker",
+    "StreamingRAG",
+    "VerbatimRAG",
+    "VerbatimRAGProvider",
+]

@@ -1,0 +1,124 @@
+"""Rerankers: reorder retrieved results by cross-encoder relevance.
+
+Parity: reference `verbatim_rag/rerankers.py` — the `Reranker` ABC with a
+to-thread async default (L14-22), the `BaseReranker` contract of reranking
+only the top ``rerank_k`` results and keeping the tail order (L25-41), plus
+adapters. The local torch CrossEncoder adapter (L109-134) becomes
+`JaxReranker` (batched TPU forward); the HTTP adapters (Cohere L43-68, Jina
+L71-106) are reimplemented over httpx.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from abc import ABC, abstractmethod
+from typing import Any, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+class Reranker(ABC):
+    @abstractmethod
+    def rerank(self, question: str, results: list[Any]) -> list[Any]:
+        """Return results reordered by relevance to the question."""
+
+    async def rerank_async(self, question: str, results: list[Any]) -> list[Any]:
+        return await asyncio.to_thread(self.rerank, question, results)
+
+
+class BaseReranker(Reranker):
+    """Rerank only the head of the list; the tail keeps retrieval order."""
+
+    def __init__(self, rerank_k: int = 50):
+        self.rerank_k = rerank_k
+
+    @abstractmethod
+    def score(self, question: str, texts: Sequence[str]) -> list[float]:
+        """Relevance score per text (higher = more relevant)."""
+
+    def rerank(self, question: str, results: list[Any]) -> list[Any]:
+        if not results:
+            return results
+        head = results[: self.rerank_k]
+        tail = results[self.rerank_k :]
+        scores = self.score(question, [getattr(r, "text", "") for r in head])
+        order = sorted(range(len(head)), key=lambda i: -scores[i])
+        return [head[i] for i in order] + tail
+
+
+class JaxReranker(BaseReranker):
+    """TPU cross-encoder reranker (replaces SentenceTransformersReranker)."""
+
+    def __init__(self, cross_encoder=None, rerank_k: int = 50, **ce_kwargs):
+        super().__init__(rerank_k=rerank_k)
+        if cross_encoder is None:
+            from verbatim_rag_tpu.models.reranker import JaxCrossEncoder
+
+            cross_encoder = JaxCrossEncoder(**ce_kwargs)
+        self.cross_encoder = cross_encoder
+
+    def score(self, question: str, texts: Sequence[str]) -> list[float]:
+        return [float(s) for s in self.cross_encoder.score(question, list(texts))]
+
+
+class CohereReranker(BaseReranker):
+    """Cohere rerank API adapter."""
+
+    def __init__(
+        self,
+        api_key: str,
+        model: str = "rerank-english-v3.0",
+        rerank_k: int = 50,
+        api_base: str = "https://api.cohere.ai/v1",
+    ):
+        super().__init__(rerank_k=rerank_k)
+        self.api_key = api_key
+        self.model = model
+        self.api_base = api_base.rstrip("/")
+
+    def score(self, question: str, texts: Sequence[str]) -> list[float]:
+        import httpx
+
+        resp = httpx.post(
+            f"{self.api_base}/rerank",
+            headers={"Authorization": f"Bearer {self.api_key}"},
+            json={"model": self.model, "query": question, "documents": list(texts)},
+            timeout=30.0,
+        )
+        resp.raise_for_status()
+        scores = [0.0] * len(texts)
+        for item in resp.json().get("results", []):
+            scores[item["index"]] = float(item["relevance_score"])
+        return scores
+
+
+class JinaReranker(BaseReranker):
+    """Jina rerank API adapter."""
+
+    def __init__(
+        self,
+        api_key: str,
+        model: str = "jina-reranker-v2-base-multilingual",
+        rerank_k: int = 50,
+        api_base: str = "https://api.jina.ai/v1",
+    ):
+        super().__init__(rerank_k=rerank_k)
+        self.api_key = api_key
+        self.model = model
+        self.api_base = api_base.rstrip("/")
+
+    def score(self, question: str, texts: Sequence[str]) -> list[float]:
+        import httpx
+
+        resp = httpx.post(
+            f"{self.api_base}/rerank",
+            headers={"Authorization": f"Bearer {self.api_key}"},
+            json={"model": self.model, "query": question, "documents": list(texts)},
+            timeout=30.0,
+        )
+        resp.raise_for_status()
+        scores = [0.0] * len(texts)
+        for item in resp.json().get("results", []):
+            scores[item["index"]] = float(item["relevance_score"])
+        return scores

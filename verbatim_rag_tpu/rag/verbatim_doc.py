@@ -1,0 +1,244 @@
+"""VerbatimDOC — document generation with embedded retrieval queries.
+
+Parity: reference `verbatim_rag/verbatim_doc.py` — documents contain
+directives like ``[!query=what are the results|format=bullet,max_length=200]``
+(regex parse + typed params, L66-93); each query runs through the RAG system
+with the nearest section header prepended as context (L176-192); answers are
+spliced back in with formatting options (bullet/short/max_length, L161-174);
+the final response carries **global citation numbering across all queries**
+with per-document dedup (L336-497). Interactive and streaming variants
+surface per-query progress/approval events.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from dataclasses import dataclass, field
+from typing import Any, AsyncIterator, Callable
+
+logger = logging.getLogger(__name__)
+
+_QUERY_RE = re.compile(r"\[!query=([^\]|]+)(?:\|([^\]]+))?\]")
+_HEADER_RE = re.compile(r"^(#{1,6})\s+(.+)$", re.MULTILINE)
+
+
+def _parse_params(raw: str | None) -> dict[str, Any]:
+    """``format=bullet,max_length=200`` → typed dict."""
+    params: dict[str, Any] = {}
+    if not raw:
+        return params
+    for piece in raw.split(","):
+        if "=" not in piece:
+            continue
+        key, value = piece.split("=", 1)
+        key, value = key.strip(), value.strip()
+        if value.isdigit():
+            params[key] = int(value)
+        elif value.lower() in ("true", "false"):
+            params[key] = value.lower() == "true"
+        else:
+            params[key] = value
+    return params
+
+
+@dataclass
+class DocQuery:
+    text: str
+    params: dict[str, Any]
+    start: int
+    end: int
+    section: str = ""
+
+
+@dataclass
+class QueryResult:
+    query: DocQuery
+    spans: list[dict[str, Any]] = field(default_factory=list)  # {text, doc_title, doc_index}
+    answer_text: str = ""
+    error: str | None = None
+
+
+class Parser:
+    """Find query directives and their enclosing section headers."""
+
+    @staticmethod
+    def parse(document: str) -> list[DocQuery]:
+        headers = [(m.start(), m.group(2).strip()) for m in _HEADER_RE.finditer(document)]
+        queries = []
+        for m in _QUERY_RE.finditer(document):
+            section = ""
+            for pos, title in headers:
+                if pos < m.start():
+                    section = title
+                else:
+                    break
+            queries.append(
+                DocQuery(
+                    text=m.group(1).strip(),
+                    params=_parse_params(m.group(2)),
+                    start=m.start(),
+                    end=m.end(),
+                    section=section,
+                )
+            )
+        return queries
+
+
+class Processor:
+    """Run one DocQuery through the RAG system and collect attributed spans."""
+
+    def __init__(self, rag, k: int = 5):
+        self.rag = rag  # duck-typed: needs .query(question, k=...) → QueryResponse
+        self.k = k
+
+    def run(self, query: DocQuery) -> QueryResult:
+        question = query.text
+        if query.section:
+            question = f"{query.section}: {question}"  # section-context prefix
+        try:
+            response = self.rag.query(question, k=query.params.get("k", self.k))
+        except Exception as exc:
+            logger.error("VerbatimDOC query failed: %s", exc)
+            return QueryResult(query=query, error=str(exc))
+
+        spans: list[dict[str, Any]] = []
+        for doc_index, doc in enumerate(response.documents):
+            for h in doc.highlights:
+                spans.append(
+                    {
+                        "text": h.text,
+                        "doc_title": doc.title or doc.source or f"document {doc_index}",
+                        "doc_index": doc_index,
+                    }
+                )
+        result = QueryResult(query=query, spans=spans)
+        result.answer_text = _format_spans(spans, query.params)
+        return result
+
+
+def _format_spans(spans: list[dict[str, Any]], params: dict[str, Any]) -> str:
+    """Render spans per the directive's format params."""
+    if not spans:
+        return "(no supporting material found)"
+    max_length = params.get("max_length")
+    fmt = params.get("format", "inline")
+
+    texts = [s["text"] for s in spans]
+    if fmt == "short":
+        texts = texts[:1]
+    if max_length:
+        budget = int(max_length)
+        kept: list[str] = []
+        for t in texts:
+            if budget <= 0:
+                break
+            kept.append(t if len(t) <= budget else t[:budget].rstrip() + "…")
+            budget -= len(t)
+        texts = kept
+
+    if fmt == "bullet":
+        return "\n" + "\n".join(f"- {t}" for t in texts)
+    return " ".join(texts)
+
+
+class Replacer:
+    """Splice rendered answers (with citation markers) back into the document."""
+
+    @staticmethod
+    def apply(document: str, results: list[QueryResult], numbering: dict[int, int]) -> str:
+        out = document
+        for result in sorted(results, key=lambda r: -r.query.start):
+            rendered = result.answer_text
+            markers = " ".join(
+                f"[{numbering[id(span)]}]" for span in result.spans if id(span) in numbering
+            )
+            if markers and rendered and "(no supporting" not in rendered:
+                rendered = f"{rendered} {markers}"
+            out = out[: result.query.start] + rendered + out[result.query.end :]
+        return out
+
+
+@dataclass
+class VerbatimDocResponse:
+    document: str
+    queries: list[QueryResult]
+    citations: list[dict[str, Any]]  # {number, text, doc_title}
+
+
+class VerbatimDOC:
+    """End-to-end: parse → process each query → splice with global citations."""
+
+    def __init__(self, rag, k: int = 5):
+        self.rag = rag
+        self.processor = Processor(rag, k=k)
+
+    def process(self, document: str) -> VerbatimDocResponse:
+        queries = Parser.parse(document)
+        results = [self.processor.run(q) for q in queries]
+        return self._build_response(document, results)
+
+    def process_interactive(
+        self, document: str, approve: Callable[[QueryResult], bool]
+    ) -> VerbatimDocResponse:
+        """Run queries one by one; ``approve`` can veto each result (vetoed
+        directives are left in place)."""
+        queries = Parser.parse(document)
+        results = []
+        for q in queries:
+            result = self.processor.run(q)
+            if approve(result):
+                results.append(result)
+        return self._build_response(document, results)
+
+    async def stream_process(self, document: str) -> AsyncIterator[dict[str, Any]]:
+        """Yield progress events per query, then the final document."""
+        import asyncio
+
+        queries = Parser.parse(document)
+        yield {"type": "start", "num_queries": len(queries)}
+        results = []
+        for i, q in enumerate(queries):
+            yield {"type": "progress", "query_index": i, "query": q.text}
+            result = await asyncio.to_thread(self.processor.run, q)
+            results.append(result)
+            yield {
+                "type": "query_complete",
+                "query_index": i,
+                "num_spans": len(result.spans),
+                "error": result.error,
+            }
+        response = self._build_response(document, results)
+        yield {
+            "type": "done",
+            "document": response.document,
+            "citations": response.citations,
+        }
+
+    def _build_response(
+        self, document: str, results: list[QueryResult]
+    ) -> VerbatimDocResponse:
+        # Global citation numbering across queries, deduped by (text, title).
+        numbering: dict[int, int] = {}
+        citations: list[dict[str, Any]] = []
+        seen: dict[tuple[str, str], int] = {}
+        next_number = 1
+        for result in results:
+            for span in result.spans:
+                key = (span["text"], span["doc_title"])
+                if key in seen:
+                    numbering[id(span)] = seen[key]
+                    continue
+                seen[key] = next_number
+                numbering[id(span)] = next_number
+                citations.append(
+                    {
+                        "number": next_number,
+                        "text": span["text"],
+                        "doc_title": span["doc_title"],
+                    }
+                )
+                next_number += 1
+
+        final = Replacer.apply(document, results, numbering)
+        return VerbatimDocResponse(document=final, queries=results, citations=citations)
