@@ -66,7 +66,7 @@ def sharded_dense_topk(
         final_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
         return final_scores, final_idx
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         local_search,
@@ -122,7 +122,7 @@ def sharded_sparse_topk(
         final_scores, pos = jax.lax.top_k(flat_scores, k)
         return final_scores, jnp.take_along_axis(flat_idx, pos, axis=1)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     fn = shard_map(
         local_search,
