@@ -73,7 +73,7 @@ def sharded_dense_topk(
         mesh=mesh,
         in_specs=(P(axis), P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     del n_total
     return fn(corpus, queries, mask)
@@ -129,6 +129,6 @@ def sharded_sparse_topk(
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(token_ids, weights, q_dense, mask)
