@@ -1,0 +1,48 @@
+"""Pallas flash attention vs jnp reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from verbatim_rag_tpu.ops.flash_attention import (  # noqa: E402
+    attention_reference,
+    flash_attention_tpu,
+)
+
+RNG = np.random.default_rng(3)
+
+
+def _qkv(batch=2, seq=256, heads=2, head_dim=64):
+    shape = (batch, seq, heads, head_dim)
+    return (
+        jnp.asarray(RNG.normal(size=shape), jnp.float32),
+        jnp.asarray(RNG.normal(size=shape), jnp.float32),
+        jnp.asarray(RNG.normal(size=shape), jnp.float32),
+    )
+
+
+class TestFlashAttention:
+    @pytest.mark.parametrize("window", [None, 64])
+    def test_matches_reference(self, window):
+        q, k, v = _qkv()
+        lengths = jnp.asarray([256, 173], jnp.int32)
+        expected = np.asarray(attention_reference(q, k, v, lengths, window))
+        got = np.asarray(
+            flash_attention_tpu(
+                q, k, v, lengths, window=window, q_block=64, k_block=64, interpret=True
+            )
+        )
+        # Padded query rows are don't-care; compare valid rows only.
+        np.testing.assert_allclose(got[0], expected[0], rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(got[1, :173], expected[1, :173], rtol=2e-4, atol=2e-4)
+
+    def test_uneven_blocks(self):
+        q, k, v = _qkv(batch=1, seq=192)
+        lengths = jnp.asarray([192], jnp.int32)
+        expected = np.asarray(attention_reference(q, k, v, lengths))
+        got = np.asarray(
+            flash_attention_tpu(q, k, v, lengths, q_block=128, k_block=128, interpret=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)

@@ -215,9 +215,13 @@ def create_app(static_dir: str | None = None) -> web.Application:
 
 
 def main() -> None:
+    import os
+
     config = deps.get_config()
     logging.basicConfig(level=config.log_level)
-    web.run_app(create_app(), host=config.host, port=config.port)
+    frontend = os.path.join(os.path.dirname(__file__), "..", "..", "frontend")
+    static_dir = frontend if os.path.isdir(frontend) else None
+    web.run_app(create_app(static_dir=static_dir), host=config.host, port=config.port)
 
 
 if __name__ == "__main__":

@@ -47,6 +47,7 @@ class EncoderConfig:
 
     # Compute.
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    use_flash_attention: bool = False  # Pallas kernel on TPU (jnp fallback elsewhere)
 
     # Extra heads' dims (heads themselves configured at call sites).
     pad_token_id: int = 0

@@ -216,7 +216,11 @@ def encoder_forward(
     def layer_step(carry, inputs):
         h_in = carry
         layer, g_flag, theta, skip_norm = inputs
-        bias = _build_bias(attention_mask, seq_len, g_flag, config.local_attention_window)
+        bias = (
+            None
+            if config.use_flash_attention
+            else _build_bias(attention_mask, seq_len, g_flag, config.local_attention_window)
+        )
 
         # Attention block.
         if pre_ln:
@@ -230,7 +234,24 @@ def encoder_forward(
         if use_rope:
             q = _rope(q, theta, positions)
             k = _rope(k, theta, positions)
-        ctx = _attention(q.astype(dtype), k.astype(dtype), v.astype(dtype), bias)
+        if config.use_flash_attention:
+            from verbatim_rag_tpu.ops.flash_attention import flash_attention
+
+            lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+            qkv = (q.astype(dtype), k.astype(dtype), v.astype(dtype))
+            if config.position_embedding_type == "rope":
+                ctx = jax.lax.cond(
+                    g_flag,
+                    lambda ops: flash_attention(*ops, lengths, window=None),
+                    lambda ops: flash_attention(
+                        *ops, lengths, window=config.local_attention_window
+                    ),
+                    qkv,
+                )
+            else:
+                ctx = flash_attention(*qkv, lengths, window=None)
+        else:
+            ctx = _attention(q.astype(dtype), k.astype(dtype), v.astype(dtype), bias)
         attn_out = _dense(layer["attn"]["o"], ctx.reshape(batch, seq_len, -1), dtype)
         h = h_in + attn_out
         if not pre_ln:
