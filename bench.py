@@ -1,11 +1,17 @@
 """Headline benchmark: hybrid (dense+sparse, RRF) query throughput at 1M chunks.
 
 Target (BASELINE.md): ≥10k hybrid QPS at 1M chunks on v5e-8 → per-chip share
-1250 QPS. This bench builds a synthetic 1M-chunk device-resident index
-(384-d bf16 dense + 128-nnz sparse forward index, the production layout of
-`DeviceVectorStore`) on ONE chip and measures the fused hybrid pipeline
-(`ops.hybrid.hybrid_topk`: dense matmul top-k + sparse gather-scan top-k +
-on-device weighted RRF) over batched queries.
+1250 QPS. The bench reproduces the production `DeviceVectorStore` hybrid
+pipeline at 1M synthetic chunks on ONE chip:
+
+  dense:  [1M, 384] bf16 exact MXU matmul top-2k
+  sparse: [1M, 768] bf16 sketch matmul top-depth candidates (MXU)
+          + exact forward-index rescore on host (scores are true sparse dots)
+  fusion: weighted RRF over both candidate lists
+
+Timing is host-synchronous end to end (candidate readback + rescore + fusion
+are on the measured path — no async-dispatch inflation; `block_until_ready`
+is not trusted on tunneled backends).
 
 Prints exactly one JSON line:
   {"metric": "hybrid_qps_1m_per_chip", "value": ..., "unit": "qps",
@@ -17,14 +23,18 @@ from __future__ import annotations
 import json
 import time
 
+import numpy as np
+
 N_CHUNKS = 1_000_000
 DIM = 384
 MAX_NNZ = 128
 VOCAB = 30522
+PROJ_DIM = 768
+RESCORE_DEPTH = 256
 QUERY_BATCH = 64
 QUERY_NNZ = 32
-BLOCK = 8192
 TOP_K = 10
+RRF_K = 60
 BASELINE_PER_CHIP_QPS = 10_000 / 8  # BASELINE.md target split across v5e-8
 
 
@@ -32,52 +42,65 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from verbatim_rag_tpu.ops.hybrid import hybrid_topk
+    from verbatim_rag_tpu.ops.dense import dense_topk
+    from verbatim_rag_tpu.ops.fusion import rrf_fuse_np
+    from verbatim_rag_tpu.ops.sparse_projected import exact_rescore
 
-    n = (N_CHUNKS // BLOCK) * BLOCK
+    rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    k_dense, k_ids, k_w, k_q, k_qs = jax.random.split(key, 5)
+    k_dense, k_proj = jax.random.split(key)
 
-    # Synthetic corpus, generated on device (no host transfer of the index).
-    dense = jax.random.normal(k_dense, (n, DIM), jnp.bfloat16)
-    dense = dense / jnp.linalg.norm(dense.astype(jnp.float32), axis=1, keepdims=True).astype(
-        jnp.bfloat16
-    )
-    sp_ids = jax.random.randint(k_ids, (n, MAX_NNZ), 1, VOCAB, jnp.int32)
-    sp_w = jax.random.uniform(k_w, (n, MAX_NNZ), jnp.float32)
-    mask = jnp.ones((n,), bool)
+    # Dense corpus + sparse sketches generated on device (no 1M-row transfer).
+    dense = jax.random.normal(k_dense, (N_CHUNKS, DIM), jnp.bfloat16)
+    dense = dense / jnp.linalg.norm(
+        dense.astype(jnp.float32), axis=1, keepdims=True
+    ).astype(jnp.bfloat16)
+    sp_proj = jax.random.normal(k_proj, (N_CHUNKS, PROJ_DIM), jnp.bfloat16)
+    mask = jnp.ones((N_CHUNKS,), bool)
+
+    # Host forward index (the exact-rescore source of truth).
+    sp_ids_host = rng.integers(1, VOCAB, size=(N_CHUNKS, MAX_NNZ)).astype(np.int32)
+    sp_w_host = rng.random((N_CHUNKS, MAX_NNZ)).astype(np.float32)
+
+    fetch_k = 2 * TOP_K
 
     def make_queries(seed: int):
-        kq, kqs, kqw = jax.random.split(jax.random.PRNGKey(seed), 3)
-        dq = jax.random.normal(kq, (QUERY_BATCH, DIM), jnp.float32)
-        dq = dq / jnp.linalg.norm(dq, axis=1, keepdims=True)
-        q_ids = jax.random.randint(kqs, (QUERY_BATCH, QUERY_NNZ), 1, VOCAB, jnp.int32)
-        q_w = jax.random.uniform(kqw, (QUERY_BATCH, QUERY_NNZ), jnp.float32)
-        rows = jnp.broadcast_to(jnp.arange(QUERY_BATCH)[:, None], q_ids.shape)
-        sq = jnp.zeros((QUERY_BATCH, VOCAB), jnp.float32).at[rows, q_ids].add(q_w)
-        return dq, sq
+        q_rng = np.random.default_rng(seed)
+        dq = q_rng.normal(size=(QUERY_BATCH, DIM)).astype(np.float32)
+        dq /= np.linalg.norm(dq, axis=1, keepdims=True)
+        q_terms = q_rng.integers(1, VOCAB, size=(QUERY_BATCH, QUERY_NNZ))
+        q_weights = q_rng.random((QUERY_BATCH, QUERY_NNZ)).astype(np.float32)
+        q_dense = np.zeros((QUERY_BATCH, VOCAB), np.float32)
+        np.put_along_axis(q_dense, q_terms, q_weights, axis=1)
+        q_proj = q_rng.normal(size=(QUERY_BATCH, PROJ_DIM)).astype(np.float32)
+        return jnp.asarray(dq), jnp.asarray(q_proj), q_dense
 
-    dq, sq = make_queries(1)
-
-    def run(dq, sq):
-        return hybrid_topk(
-            dense, sp_ids, sp_w, dq, sq, k=TOP_K, mask=mask, block=BLOCK
+    def run(dq, q_proj, q_dense):
+        # Device phase: both candidate generations (async dispatch overlaps).
+        d_scores, d_rows = dense_topk(dense, dq, fetch_k, mask)
+        s_scores, s_rows = dense_topk(sp_proj, q_proj, RESCORE_DEPTH, mask)
+        d_rows_np = np.asarray(d_rows)  # host sync
+        cand_rows = np.asarray(s_rows)
+        # Host phase: exact sparse rescore + RRF fusion (production path).
+        exact = exact_rescore(cand_rows, sp_ids_host, sp_w_host, q_dense)
+        order = np.argsort(-exact, axis=1)[:, :fetch_k]
+        sparse_rows_np = np.take_along_axis(cand_rows, order, axis=1)
+        fused_scores, fused_rows = rrf_fuse_np(
+            np.stack([d_rows_np, sparse_rows_np]),
+            np.asarray([0.5, 0.5], np.float32),
+            k=TOP_K,
+            rrf_k=RRF_K,
         )
+        return fused_rows
 
     # Warmup / compile.
-    scores, rows = run(dq, sq)
-    scores.block_until_ready()
+    run(*make_queries(1))
 
     iters = 20
     queries = [make_queries(i + 2) for i in range(iters)]
-    for dq_i, sq_i in queries:  # materialize inputs before timing
-        dq_i.block_until_ready()
-
     start = time.perf_counter()
-    outs = []
-    for dq_i, sq_i in queries:
-        outs.append(run(dq_i, sq_i))
-    outs[-1][0].block_until_ready()
+    for q in queries:
+        run(*q)
     elapsed = time.perf_counter() - start
 
     qps = QUERY_BATCH * iters / elapsed

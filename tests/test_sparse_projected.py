@@ -1,0 +1,146 @@
+"""Projected sparse search: recall vs the exact scan, and exact rescoring."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from verbatim_rag_tpu.engine.store import DeviceVectorStore
+from verbatim_rag_tpu.ops.fusion import rrf_fuse_np, rrf_merge_host
+from verbatim_rag_tpu.ops.sparse_projected import (
+    exact_rescore,
+    project_rows,
+    projection_matrix,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def _random_sparse(n, vocab, nnz):
+    ids = RNG.integers(1, vocab, size=(n, nnz)).astype(np.int32)
+    w = (RNG.random((n, nnz)) + 0.1).astype(np.float32)
+    return ids, w
+
+
+class TestProjection:
+    def test_projection_is_deterministic(self):
+        a = projection_matrix(100, 32, seed=7)
+        b = projection_matrix(100, 32, seed=7)
+        np.testing.assert_array_equal(a, b)
+
+    def test_sketch_preserves_inner_products(self):
+        vocab, d_p = 2000, 512
+        proj = projection_matrix(vocab, d_p, seed=0)
+        ids, w = _random_sparse(64, vocab, 32)
+        sketches = project_rows(ids, w, proj)
+        # Dense ground truth.
+        dense = np.zeros((64, vocab), np.float32)
+        for i in range(64):
+            np.add.at(dense[i], ids[i], w[i])
+        q = dense[0]
+        true = dense @ q
+        approx = sketches @ (q @ proj)
+        corr = np.corrcoef(true, approx)[0, 1]
+        assert corr > 0.95
+
+    def test_exact_rescore_matches_bruteforce(self):
+        vocab = 500
+        ids, w = _random_sparse(20, vocab, 8)
+        q = np.zeros((2, vocab), np.float32)
+        q[0, [3, 7]] = [1.0, 2.0]
+        q[1, [5]] = [0.5]
+        cand = np.array([[0, 5, 19, -1], [2, 3, -1, -1]])
+        scores = exact_rescore(cand, ids, w, q)
+        for b in range(2):
+            for c, row in enumerate(cand[b]):
+                if row < 0:
+                    assert scores[b, c] == -np.inf
+                else:
+                    expected = np.sum(w[row] * q[b, ids[row]])
+                    assert scores[b, c] == pytest.approx(expected, rel=1e-5)
+
+
+class TestStoreRecall:
+    def test_projected_top10_matches_exact(self):
+        """recall@10 of the projected path vs exact scan on 2k docs."""
+        n, vocab, nnz = 2048, 1000, 16
+        ids, w = _random_sparse(n, vocab, nnz)
+
+        def build(mode):
+            store = DeviceVectorStore(
+                dense_dim=None,
+                sparse_vocab=vocab,
+                sparse_max_nnz=nnz,
+                block=256,
+                sparse_mode=mode,
+                projection_dim=768,
+                rescore_depth=256,
+            )
+            records = [
+                {
+                    "id": f"r{i}",
+                    "text": f"t{i}",
+                    "metadata": {},
+                    "sparse": {int(t): float(x) for t, x in zip(ids[i], w[i])},
+                }
+                for i in range(n)
+            ]
+            store.add_vectors(records)
+            store.flush()
+            return store
+
+        exact_store = build("exact")
+        proj_store = build("projected")
+
+        queries = []
+        for i in range(8):
+            terms = RNG.integers(1, 1000, size=12)
+            queries.append({int(t): float(RNG.random() + 0.2) for t in terms})
+
+        recalls = []
+        for q in queries:
+            exact_ids = {h.id for h in exact_store.query(sparse_query=q, top_k=10)}
+            proj_ids = {h.id for h in proj_store.query(sparse_query=q, top_k=10)}
+            recalls.append(len(exact_ids & proj_ids) / max(len(exact_ids), 1))
+        assert np.mean(recalls) >= 0.9, f"recall@10 too low: {recalls}"
+
+    def test_projected_scores_are_exact(self):
+        """Returned scores must be true sparse dots (not sketch scores)."""
+        store = DeviceVectorStore(
+            dense_dim=None, sparse_vocab=200, sparse_max_nnz=4, block=16,
+            sparse_mode="projected", projection_dim=128,
+        )
+        store.add_vectors(
+            [
+                {"id": "a", "text": "a", "metadata": {}, "sparse": {5: 2.0, 9: 1.0}},
+                {"id": "b", "text": "b", "metadata": {}, "sparse": {5: 0.5}},
+            ]
+        )
+        store.flush()
+        hits = store.query(sparse_query={5: 1.0, 9: 3.0}, top_k=2)
+        assert hits[0].id == "a"
+        assert hits[0].score == pytest.approx(2.0 * 1.0 + 1.0 * 3.0, rel=1e-5)
+        assert hits[1].score == pytest.approx(0.5, rel=1e-5)
+
+
+class TestHostFusion:
+    def test_matches_reference_merge(self):
+        dense_rows = np.array([[5, 2, 9, 1]])
+        sparse_rows = np.array([[2, 7, 5, -1]])
+        scores, rows = rrf_fuse_np(
+            np.stack([dense_rows, sparse_rows]),
+            np.asarray([0.5, 0.5], np.float32),
+            k=4,
+        )
+        host = rrf_merge_host(
+            {
+                "dense": [{"id": r} for r in dense_rows[0]],
+                "sparse": [{"id": r} for r in sparse_rows[0] if r >= 0],
+            },
+            top_k=4,
+            weights={"dense": 0.5, "sparse": 0.5},
+        )
+        assert list(rows[0]) == [h["id"] for h in host]
+        np.testing.assert_allclose(
+            scores[0], [1.0 - h["distance"] for h in host], rtol=1e-6
+        )

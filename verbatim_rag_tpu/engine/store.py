@@ -79,6 +79,10 @@ def _analyze(text: str, vocab_size: int) -> tuple[np.ndarray, np.ndarray, int]:
     return unique.astype(np.int32), counts.astype(np.int32), len(tokens)
 
 
+def _append_host(old: np.ndarray | None, new: np.ndarray) -> np.ndarray:
+    return new.copy() if old is None else np.concatenate([old, new], axis=0)
+
+
 def _pad_sparse(
     entries: Mapping[int, float] | Sequence[tuple[int, float]],
     max_nnz: int,
@@ -112,7 +116,13 @@ class DeviceVectorStore(VectorStore):
         block: int = _BLOCK,
         bm25_k1: float = 1.2,
         bm25_b: float = 0.75,
+        sparse_mode: str = "projected",
+        projection_dim: int = 768,
+        rescore_depth: int = 256,
+        projection_seed: int = 0,
     ):
+        if sparse_mode not in ("projected", "exact"):
+            raise ValueError(f"sparse_mode must be 'projected' or 'exact', got {sparse_mode!r}")
         self.dense_dim = dense_dim
         self.sparse_vocab = sparse_vocab
         self.sparse_max_nnz = sparse_max_nnz
@@ -123,6 +133,10 @@ class DeviceVectorStore(VectorStore):
         self.block = block
         self.bm25_k1 = bm25_k1
         self.bm25_b = bm25_b
+        self.sparse_mode = sparse_mode
+        self.projection_dim = projection_dim
+        self.rescore_depth = rescore_depth
+        self.projection_seed = projection_seed
 
         # Host-side record state.
         self._ids: list[str] = []
@@ -142,9 +156,17 @@ class DeviceVectorStore(VectorStore):
         self._dense = None  # [cap, d]
         self._sp_ids = None  # [cap, m]
         self._sp_w = None  # [cap, m]
+        self._sp_proj = None  # [cap, d_p] projected sparse sketches
         self._ft_ids = None  # [cap, fm]
         self._ft_tf = None  # [cap, fm] raw tf
         self._ft_w = None  # [cap, fm] BM25-saturated weights
+        self._ft_proj = None  # [cap, d_p] projected BM25 sketches
+
+        # Host mirrors of the forward indexes (exact rescoring + projection).
+        self._sp_ids_host = None  # np [n, m]
+        self._sp_w_host = None
+        self._ft_ids_host = None
+        self._ft_sat_host = None  # BM25-saturated weights (refreshed at flush)
         self._valid_dev = None  # [cap]
         self._capacity = 0
 
@@ -274,10 +296,36 @@ class DeviceVectorStore(VectorStore):
         if sp_ids_new is not None:
             self._sp_ids = _grow(self._sp_ids, sp_ids_new, self.sparse_max_nnz, jnp.int32)
             self._sp_w = _grow(self._sp_w, sp_w_new, self.sparse_max_nnz, jnp.float32)
+            self._sp_ids_host = _append_host(self._sp_ids_host, sp_ids_new)
+            self._sp_w_host = _append_host(self._sp_w_host, sp_w_new)
+            if self.sparse_mode == "projected":
+                from verbatim_rag_tpu.ops.sparse_projected import project_rows
+
+                proj_new = project_rows(
+                    sp_ids_new, sp_w_new, self._projection(self.sparse_vocab)
+                )
+                self._sp_proj = _grow(
+                    self._sp_proj, proj_new, self.projection_dim, dtype_dense
+                )
         if self.enable_full_text:
             self._ft_ids = _grow(self._ft_ids, ft_ids_new, self.full_text_max_nnz, jnp.int32)
             self._ft_tf = _grow(self._ft_tf, ft_tf_new, self.full_text_max_nnz, jnp.int32)
+            self._ft_ids_host = _append_host(self._ft_ids_host, ft_ids_new)
             self._recompute_bm25()
+            if self.sparse_mode == "projected":
+                from verbatim_rag_tpu.ops.sparse_projected import project_rows
+
+                # Sketch new rows with current-avgdl saturation; older sketches
+                # go slightly stale as avgdl drifts, which only nudges
+                # candidate generation — exact rescoring uses fresh weights.
+                n0 = len(self._ids) - n_new
+                sat_new = self._ft_sat_host[n0 : len(self._ids)]
+                proj_new = project_rows(
+                    ft_ids_new, sat_new, self._projection(self.full_text_vocab)
+                )
+                self._ft_proj = _grow(
+                    self._ft_proj, proj_new, self.projection_dim, dtype_dense
+                )
 
         valid_padded = np.zeros(new_cap, bool)
         valid_padded[: self._valid.size] = self._valid
@@ -294,14 +342,48 @@ class DeviceVectorStore(VectorStore):
         import jax.numpy as jnp
 
         n = len(self._ids)
-        avgdl = float(self._doc_len[:n].mean()) if n else 1.0
+        avgdl = max(float(self._doc_len[:n].mean()) if n else 1.0, 1.0)
         cap = int(self._ft_tf.shape[0])
         dl_padded = np.zeros(cap, np.float32)
         dl_padded[:n] = self._doc_len[:n]
         self._ft_w = bm25_saturate(
-            self._ft_tf, jnp.asarray(dl_padded), jnp.float32(max(avgdl, 1.0)),
+            self._ft_tf, jnp.asarray(dl_padded), jnp.float32(avgdl),
             k1=self.bm25_k1, b=self.bm25_b,
         )
+        # Host mirror of saturated weights (exact rescoring path).
+        if self._ft_ids_host is not None:
+            tf_host = np.asarray(self._ft_tf[:n], np.float32)
+            norm = self.bm25_k1 * (
+                1.0 - self.bm25_b + self.bm25_b * self._doc_len[:n, None] / avgdl
+            )
+            self._ft_sat_host = np.where(
+                tf_host > 0, tf_host * (self.bm25_k1 + 1.0) / (tf_host + norm), 0.0
+            ).astype(np.float32)
+
+    # -- projections ---------------------------------------------------------------
+
+    _projection_cache: dict = {}
+
+    def _projection(self, vocab: int) -> np.ndarray:
+        key = (vocab, self.projection_dim, self.projection_seed)
+        if key not in DeviceVectorStore._projection_cache:
+            from verbatim_rag_tpu.ops.sparse_projected import projection_matrix
+
+            DeviceVectorStore._projection_cache[key] = projection_matrix(
+                vocab, self.projection_dim, self.projection_seed
+            )
+        return DeviceVectorStore._projection_cache[key]
+
+    def _projection_device(self, vocab: int):
+        import jax.numpy as jnp
+
+        key = ("dev", vocab, self.projection_dim, self.projection_seed)
+        if key not in DeviceVectorStore._projection_cache:
+            dtype = jnp.bfloat16 if self.dense_dtype == "bfloat16" else jnp.float32
+            DeviceVectorStore._projection_cache[key] = jnp.asarray(
+                self._projection(vocab), dtype
+            )
+        return DeviceVectorStore._projection_cache[key]
 
     # -- deletes -----------------------------------------------------------------
 
@@ -397,8 +479,8 @@ class DeviceVectorStore(VectorStore):
             scores, rows = self._run_method(name, methods[name], top_k, mask)
             return self._materialize(scores, rows)
 
-        # Hybrid: per-method candidates at 2x depth, fused with weighted RRF.
-        from verbatim_rag_tpu.ops.fusion import normalize_weights, rrf_fuse_device
+        # Hybrid: per-method candidates at 2x depth, weighted-RRF fused.
+        from verbatim_rag_tpu.ops.fusion import normalize_weights, rrf_fuse_np
 
         weights = dict(hybrid_weights) if hybrid_weights else {m: 1.0 for m in methods}
         weights = normalize_weights({m: [] for m in methods}, weights)
@@ -406,15 +488,12 @@ class DeviceVectorStore(VectorStore):
         all_rows, w_list = [], []
         for name, payload in methods.items():
             scores, rows = self._run_method(name, payload, fetch_k, mask)
-            valid_rows = np.where(np.asarray(scores) > -1e29, np.asarray(rows), -1)
-            all_rows.append(valid_rows)
+            all_rows.append(np.where(scores > -1e29, rows, -1))
             w_list.append(weights.get(name, 0.0))
 
-        import jax.numpy as jnp
-
-        stacked = jnp.asarray(np.stack(all_rows))  # [M, B, fetch_k]
-        fused_scores, fused_rows = rrf_fuse_device(
-            stacked, jnp.asarray(w_list, jnp.float32), k=min(top_k, fetch_k), rrf_k=rrf_k
+        fused_scores, fused_rows = rrf_fuse_np(
+            np.stack(all_rows), np.asarray(w_list, np.float32),
+            k=min(top_k, fetch_k), rrf_k=rrf_k,
         )
         return self._materialize(fused_scores, fused_rows)
 
@@ -441,33 +520,94 @@ class DeviceVectorStore(VectorStore):
             host[:n] &= filter_mask
         return jnp.asarray(host)
 
-    def _run_method(self, name: str, payload, k: int, mask):
+    def _run_method(self, name: str, payload, k: int, mask) -> tuple[np.ndarray, np.ndarray]:
+        """Run one retrieval method → host (scores [B,k], rows [B,k]; -1 pad)."""
         import jax.numpy as jnp
 
         from verbatim_rag_tpu.ops.dense import dense_topk, normalize_rows
-        from verbatim_rag_tpu.ops.sparse import bm25_idf, densify_queries, sparse_topk
+        from verbatim_rag_tpu.ops.sparse import sparse_topk
 
         k = min(k, self._capacity)
         if name == "dense":
             q = normalize_rows(jnp.asarray(payload, jnp.float32))
-            return dense_topk(self._dense, q, k, mask)
+            scores, rows = dense_topk(self._dense, q, k, mask)
+            return np.asarray(scores), np.asarray(rows)
+
         if name == "sparse":
+            if self.sparse_mode == "projected":
+                return self._projected_search(
+                    list(payload), self._sp_proj, self._sp_ids_host, self._sp_w_host,
+                    self.sparse_vocab, k, mask,
+                )
             q_dense = self._densify_host(payload, self.sparse_vocab)
-            return sparse_topk(
+            scores, rows = sparse_topk(
                 self._sp_ids, self._sp_w, jnp.asarray(q_dense), k, mask, block=self.block
             )
+            return np.asarray(scores), np.asarray(rows)
+
         if name == "full_text":
-            # Query side: indicator(term) · idf(term).
-            n = len(self._ids)
-            idf = bm25_idf(jnp.asarray(self._doc_freq), jnp.int32(max(n, 1)))
-            q_rows = []
-            for text in payload:
-                terms, _tfs, _dl = _analyze(text, self.full_text_vocab)
-                q_rows.append({int(t): 1.0 for t in terms})
-            q_dense = self._densify_host(q_rows, self.full_text_vocab)
-            q_dense = jnp.asarray(q_dense) * idf[None, :]
-            return sparse_topk(self._ft_ids, self._ft_w, q_dense, k, mask, block=self.block)
+            q_sparse = self._bm25_query_sparse(payload)
+            if self.sparse_mode == "projected":
+                return self._projected_search(
+                    q_sparse, self._ft_proj, self._ft_ids_host, self._ft_sat_host,
+                    self.full_text_vocab, k, mask,
+                )
+            q_dense = self._densify_host(q_sparse, self.full_text_vocab)
+            scores, rows = sparse_topk(
+                self._ft_ids, self._ft_w, jnp.asarray(q_dense), k, mask, block=self.block
+            )
+            return np.asarray(scores), np.asarray(rows)
         raise ValueError(f"Unknown method {name!r}")
+
+    def _bm25_query_sparse(self, texts: Sequence[str]) -> list[dict[int, float]]:
+        """BM25 query side: {term: idf(term)} per text."""
+        n = max(len(self._ids), 1)
+        df = self._doc_freq.astype(np.float64)
+        idf = np.log1p((n - df + 0.5) / (df + 0.5)).astype(np.float32)
+        out = []
+        for text in texts:
+            terms, _tfs, _dl = _analyze(text, self.full_text_vocab)
+            out.append({int(t): float(idf[t]) for t in terms})
+        return out
+
+    def _projected_search(
+        self,
+        q_sparse: list[Mapping[int, float]],
+        proj_corpus,  # device [cap, d_p]
+        ids_host: np.ndarray,  # [n, m]
+        weights_host: np.ndarray,  # [n, m]
+        vocab: int,
+        k: int,
+        mask,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Two-phase sparse search: MXU sketch-matmul candidates + exact
+        host rescore (see `ops/sparse_projected.py`)."""
+        import jax.numpy as jnp
+
+        from verbatim_rag_tpu.ops.dense import dense_topk
+        from verbatim_rag_tpu.ops.sparse_projected import (
+            exact_rescore,
+            project_sparse_queries,
+        )
+
+        depth = min(max(self.rescore_depth, 2 * k), self._capacity)
+        q_proj = jnp.asarray(project_sparse_queries(list(q_sparse), self._projection(vocab)))
+        q_dense = self._densify_host(q_sparse, vocab)
+        # Candidate generation re-uses the dense matmul top-k kernel
+        # (sketches are unnormalized — inner products approximate the true
+        # sparse scores, which is what ranking needs).
+        cand_scores, cand_rows = dense_topk(proj_corpus, q_proj, depth, mask)
+        cand_rows = np.asarray(cand_rows)
+        cand_rows = np.where(np.asarray(cand_scores) > -1e29, cand_rows, -1)
+
+        exact = exact_rescore(cand_rows, ids_host, weights_host, q_dense)  # [B, depth]
+        order = np.argsort(-exact, axis=1)[:, :k]
+        top_rows = np.take_along_axis(cand_rows, order, axis=1)
+        top_scores = np.take_along_axis(exact, order, axis=1)
+        invalid = ~np.isfinite(top_scores)
+        top_rows[invalid] = -1
+        top_scores[invalid] = -1e30
+        return top_scores.astype(np.float32), top_rows
 
     @staticmethod
     def _densify_host(sparse_rows: Sequence[Mapping[int, float]], vocab: int) -> np.ndarray:
@@ -556,6 +696,10 @@ class DeviceVectorStore(VectorStore):
                         "full_text_max_nnz": self.full_text_max_nnz,
                         "dense_dtype": self.dense_dtype,
                         "block": self.block,
+                        "sparse_mode": self.sparse_mode,
+                        "projection_dim": self.projection_dim,
+                        "rescore_depth": self.rescore_depth,
+                        "projection_seed": self.projection_seed,
                     },
                     "ids": self._ids,
                     "texts": self._texts,

@@ -103,6 +103,42 @@ def rrf_merge_host(
     return merged
 
 
+def rrf_fuse_np(
+    method_indices, method_weights, k: int, rrf_k: int = 60
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Vectorized host RRF over per-method candidate row arrays.
+
+    Same math as :func:`rrf_fuse_device`, for pipelines where candidates are
+    already host-resident (e.g. after exact sparse rescoring).
+
+    :param method_indices: [M, B, Km] int rows (−1 = missing)
+    :param method_weights: [M] normalized weights
+    :return: (fused scores [B, k], rows [B, k]; −1 pads)
+    """
+    import numpy as np
+
+    n_methods, batch, km = method_indices.shape
+    ranks = np.arange(km)[None, None, :]
+    contrib = method_weights[:, None, None] / (rrf_k + ranks + 1.0)
+    contrib = np.where(method_indices >= 0, contrib, 0.0)
+
+    ids = np.moveaxis(method_indices, 0, 1).reshape(batch, -1)
+    scores = np.moveaxis(contrib, 0, 1).reshape(batch, -1)
+
+    out_scores = np.zeros((batch, k), np.float32)
+    out_rows = np.full((batch, k), -1, np.int64)
+    for b in range(batch):
+        fused: dict[int, float] = {}
+        for row, s in zip(ids[b], scores[b]):
+            if row >= 0:
+                fused[int(row)] = fused.get(int(row), 0.0) + float(s)
+        ranked = sorted(fused.items(), key=lambda kv: -kv[1])[:k]
+        for j, (row, s) in enumerate(ranked):
+            out_rows[b, j] = row
+            out_scores[b, j] = s
+    return out_scores, out_rows
+
+
 # -- device-side -------------------------------------------------------------------
 
 
