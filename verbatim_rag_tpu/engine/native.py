@@ -1,0 +1,109 @@
+"""ctypes bindings for the C++ host runtime (`native/verbatim_host.cpp`).
+
+Auto-builds the shared library on first use (g++ is in the image); every
+entry point has a numpy fallback so the framework works without a compiler.
+The native paths accelerate ingest (SpMM projection, BM25 analyzer) and the
+query-time exact rescore — host work the reference delegated to Milvus's
+C++ core (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libverbatim_host.so")
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_lib_failed = False
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _lib_failed
+    with _lock:
+        if _lib is not None or _lib_failed:
+            return _lib
+        try:
+            if not os.path.exists(_LIB_PATH):
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "libverbatim_host.so"],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.project_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.exact_rescore.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.analyze_text.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ]
+            lib.analyze_text.restype = ctypes.c_int64
+            _lib = lib
+            logger.info("Loaded native host runtime: %s", _LIB_PATH)
+        except Exception as exc:
+            logger.warning("Native host runtime unavailable (%s); using numpy", exc)
+            _lib_failed = True
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def project_rows_native(
+    token_ids: np.ndarray, weights: np.ndarray, projection: np.ndarray
+) -> np.ndarray | None:
+    """C++ SpMM sketching; None if the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(token_ids, np.int32)
+    w = np.ascontiguousarray(weights, np.float32)
+    proj = np.ascontiguousarray(projection, np.float32)
+    n, m = ids.shape
+    vocab, d = proj.shape
+    out = np.empty((n, d), np.float32)
+    lib.project_rows(
+        ids.ctypes.data, w.ctypes.data, n, m, proj.ctypes.data, vocab, d, out.ctypes.data
+    )
+    return out
+
+
+def exact_rescore_native(
+    candidate_rows: np.ndarray,
+    sp_ids: np.ndarray,
+    sp_weights: np.ndarray,
+    q_dense: np.ndarray,
+) -> np.ndarray | None:
+    lib = _load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(candidate_rows, np.int64)
+    ids = np.ascontiguousarray(sp_ids, np.int32)
+    w = np.ascontiguousarray(sp_weights, np.float32)
+    q = np.ascontiguousarray(q_dense, np.float32)
+    batch, c = rows.shape
+    n, m = ids.shape
+    out = np.empty((batch, c), np.float32)
+    lib.exact_rescore(
+        rows.ctypes.data, batch, c, ids.ctypes.data, w.ctypes.data, n, m,
+        q.ctypes.data, q.shape[1], out.ctypes.data,
+    )
+    out[rows < 0] = -np.inf
+    return out

@@ -38,9 +38,15 @@ def project_rows(
 ) -> np.ndarray:
     """Sketch forward-index rows: out[n] = Σ_j w[n,j] · P[ids[n,j]].
 
-    Host-side numpy (one-time flush cost); pad slots contribute 0 because
-    their weight is 0.
+    One-time flush cost. Uses the C++ SpMM kernel when available
+    (`engine/native.py`); numpy fallback otherwise. Pad slots contribute 0
+    because their weight is 0.
     """
+    from verbatim_rag_tpu.engine.native import project_rows_native
+
+    native = project_rows_native(token_ids, weights, projection)
+    if native is not None:
+        return native
     gathered = projection[token_ids]  # [n, m, d_p]
     return np.einsum("nmd,nm->nd", gathered, weights).astype(np.float32)
 
@@ -75,6 +81,11 @@ def exact_rescore(
     q_dense: np.ndarray,  # [B, V]
 ) -> np.ndarray:
     """Exact sparse scores for each (query, candidate) — [B, C] float32."""
+    from verbatim_rag_tpu.engine.native import exact_rescore_native
+
+    native = exact_rescore_native(candidate_rows, sp_ids, sp_weights, q_dense)
+    if native is not None:
+        return native
     batch, c = candidate_rows.shape
     safe_rows = np.clip(candidate_rows, 0, sp_ids.shape[0] - 1)
     ids = sp_ids[safe_rows]  # [B, C, m]
