@@ -485,6 +485,19 @@ class DeviceVectorStore(VectorStore):
         weights = dict(hybrid_weights) if hybrid_weights else {m: 1.0 for m in methods}
         weights = normalize_weights({m: [] for m in methods}, weights)
         fetch_k = min(top_k * 2, n)
+
+        if (
+            set(methods) == {"dense", "sparse"}
+            and self.sparse_mode == "projected"
+            and self._dense is not None
+            and self._sp_proj is not None
+        ):
+            # Serving fast path: both candidate matmuls in one device program.
+            scores, rows = self._hybrid_projected(
+                methods["dense"], list(methods["sparse"]), top_k, fetch_k, mask,
+                weights, rrf_k,
+            )
+            return self._materialize(scores, rows)
         all_rows, w_list = [], []
         for name, payload in methods.items():
             scores, rows = self._run_method(name, payload, fetch_k, mask)
@@ -558,6 +571,57 @@ class DeviceVectorStore(VectorStore):
             )
             return np.asarray(scores), np.asarray(rows)
         raise ValueError(f"Unknown method {name!r}")
+
+    def _hybrid_projected(
+        self,
+        dense_q: np.ndarray,
+        sparse_q: list[Mapping[int, float]],
+        top_k: int,
+        fetch_k: int,
+        mask,
+        weights: Mapping[str, float],
+        rrf_k: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One-device-call hybrid: fused candidate matmuls + host rescore/RRF."""
+        import jax.numpy as jnp
+
+        from verbatim_rag_tpu.ops.fusion import rrf_fuse_np
+        from verbatim_rag_tpu.ops.hybrid import hybrid_candidates
+        from verbatim_rag_tpu.ops.sparse_projected import (
+            exact_rescore,
+            project_sparse_queries,
+        )
+
+        depth = min(max(self.rescore_depth, fetch_k), self._capacity)
+        q = np.asarray(dense_q, np.float32)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        q_proj = project_sparse_queries(sparse_q, self._projection(self.sparse_vocab))
+
+        d_rows, s_cand = hybrid_candidates(
+            self._dense, self._sp_proj, jnp.asarray(q), jnp.asarray(q_proj),
+            fetch_k, depth, mask,
+        )
+        d_rows = np.asarray(d_rows)
+        s_cand = np.asarray(s_cand)
+
+        q_dense = self._densify_host(sparse_q, self.sparse_vocab)
+        exact = exact_rescore(
+            s_cand.astype(np.int64), self._sp_ids_host, self._sp_w_host, q_dense
+        )
+        order = np.argsort(-exact, axis=1)[:, :fetch_k]
+        s_rows = np.take_along_axis(s_cand, order, axis=1)
+        s_rows = np.where(
+            np.isfinite(np.take_along_axis(exact, order, axis=1)), s_rows, -1
+        )
+
+        return rrf_fuse_np(
+            np.stack([d_rows, s_rows]),
+            np.asarray(
+                [weights.get("dense", 0.5), weights.get("sparse", 0.5)], np.float32
+            ),
+            k=min(top_k, fetch_k),
+            rrf_k=rrf_k,
+        )
 
     def _bm25_query_sparse(self, texts: Sequence[str]) -> list[dict[int, float]]:
         """BM25 query side: {term: idf(term)} per text."""

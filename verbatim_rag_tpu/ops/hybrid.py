@@ -19,6 +19,39 @@ from .fusion import rrf_fuse_device
 from .sparse import sparse_topk
 
 
+@partial(jax.jit, static_argnames=("fetch_k", "depth"))
+def hybrid_candidates(
+    dense_corpus: jax.Array,  # [N, d] row-normalized bf16
+    sketch_corpus: jax.Array,  # [N, d_p] sparse sketches bf16
+    dense_q: jax.Array,  # [B, d]
+    sketch_q: jax.Array,  # [B, d_p]
+    fetch_k: int,
+    depth: int,
+    mask: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Both hybrid candidate generations in ONE device program.
+
+    Returns (dense candidate rows [B, fetch_k], sparse candidate rows
+    [B, depth]; −1 where masked out). One dispatch + one host sync per query
+    batch — on tunneled/remote backends the round-trip dominates, so fusing
+    the two matmul top-ks halves the fixed cost.
+    """
+    d_scores = jnp.dot(
+        dense_q.astype(dense_corpus.dtype), dense_corpus.T, preferred_element_type=jnp.float32
+    )
+    s_scores = jnp.dot(
+        sketch_q.astype(sketch_corpus.dtype), sketch_corpus.T, preferred_element_type=jnp.float32
+    )
+    if mask is not None:
+        d_scores = jnp.where(mask[None, :], d_scores, NEG_INF)
+        s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
+    d_top, d_rows = jax.lax.top_k(d_scores, fetch_k)
+    s_top, s_rows = jax.lax.top_k(s_scores, depth)
+    d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
+    s_rows = jnp.where(s_top > NEG_INF / 2, s_rows, -1)
+    return d_rows, s_rows
+
+
 @partial(jax.jit, static_argnames=("k", "rrf_k", "block"))
 def hybrid_topk(
     dense_corpus: jax.Array,  # [N, d] row-normalized
