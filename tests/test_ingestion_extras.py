@@ -1,0 +1,100 @@
+"""Document processor, heading wrapper, legacy strategies, eval harness."""
+
+import pytest
+
+from verbatim_rag_tpu.ingestion.chunkers import SimpleChunkerProvider
+from verbatim_rag_tpu.ingestion.document_processor import DocumentProcessor
+from verbatim_rag_tpu.ingestion.extra_chunkers import (
+    ChunkingStrategy,
+    HeadingPathWrapper,
+    chunk_with_strategy,
+)
+
+MD = "# Top\n\nintro text here\n\n## Sub\n\nsub body content with words\n"
+
+
+class TestDocumentProcessor:
+    def test_markdown_file(self, tmp_path):
+        path = tmp_path / "doc.md"
+        path.write_text(MD)
+        doc = DocumentProcessor().process_file(str(path), author="me")
+        assert doc.content == MD
+        assert doc.chunks
+        assert doc.metadata["author"] == "me"
+
+    def test_csv_to_markdown(self, tmp_path):
+        path = tmp_path / "t.csv"
+        path.write_text("a,b\n1,2\n")
+        content = DocumentProcessor().extract_content_from_file(str(path))
+        assert "| a | b |" in content
+        assert "| 1 | 2 |" in content
+
+    def test_json_to_markdown(self, tmp_path):
+        path = tmp_path / "t.json"
+        path.write_text('{"k": 1}')
+        content = DocumentProcessor().extract_content_from_file(str(path))
+        assert content.startswith("```json")
+
+    def test_pdf_requires_docling(self, tmp_path):
+        path = tmp_path / "t.pdf"
+        path.write_bytes(b"%PDF-fake")
+        with pytest.raises(RuntimeError, match="docling"):
+            DocumentProcessor().extract_content_from_file(str(path))
+
+    def test_factories(self):
+        assert DocumentProcessor.for_embeddings().chunker.max_chunk_size == 2000
+        assert DocumentProcessor.for_qa().chunker.max_chunk_size == 6000
+
+
+class TestHeadingPathWrapper:
+    def test_paths_attached(self):
+        wrapper = HeadingPathWrapper(SimpleChunkerProvider(chunk_size=30, overlap=5))
+        pairs = wrapper.chunk(MD)
+        tail = [enh for _raw, enh in pairs if "sub body" in enh]
+        assert tail and "Top > Sub" in tail[0]
+
+
+class TestLegacyStrategies:
+    def test_markdown_strategy(self):
+        pairs = chunk_with_strategy(MD, ChunkingStrategy.MARKDOWN)
+        assert "".join(raw for raw, _ in pairs) == MD
+
+    def test_fixed_strategy(self):
+        pairs = chunk_with_strategy("x" * 100, ChunkingStrategy.FIXED, chunk_size=40, overlap=5)
+        assert pairs
+
+    def test_sentence_strategy(self):
+        text = "One sentence. Two sentence. " * 30
+        pairs = chunk_with_strategy(text.strip(), ChunkingStrategy.SENTENCE, chunk_size=100)
+        assert all(len(raw) <= 130 for raw, _ in pairs)
+
+
+class TestWordF1:
+    def test_micro_word_f1(self):
+        from verbatim_rag_tpu.training.eval_f1 import evaluate_extractor
+
+        examples = [
+            {"question": "q1", "context": "c", "answers": ["the cat sat"]},
+            {"question": "q2", "context": "c", "answers": ["dogs bark loudly"]},
+        ]
+
+        def perfect(question, context):
+            return {"q1": ["the cat sat"], "q2": ["dogs bark loudly"]}[question]
+
+        assert evaluate_extractor(perfect, examples)["micro_word_f1"] == 100.0
+
+        def half(question, context):
+            return {"q1": ["the cat"], "q2": []}[question]
+
+        metrics = evaluate_extractor(half, examples)
+        # TP=2 (the, cat), FP=0, FN=4 → P=1, R=1/3, F1=0.5
+        assert metrics["precision"] == 100.0
+        assert metrics["micro_word_f1"] == 50.0
+
+    def test_counts_are_multisets(self):
+        from verbatim_rag_tpu.training.eval_f1 import F1Counts
+
+        counts = F1Counts()
+        counts.add(["a a b"], ["a b b"])
+        # pred {a:2, b:1}, gold {a:1, b:2} → overlap 2, fp 1, fn 1
+        assert (counts.tp, counts.fp, counts.fn) == (2, 1, 1)

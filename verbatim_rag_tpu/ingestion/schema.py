@@ -43,14 +43,32 @@ class DocumentSchema(BaseModel):
 
     @classmethod
     def from_file(cls, path: str, **kwargs) -> "DocumentSchema":
-        with open(path, encoding="utf-8") as f:
-            content = f.read()
-        doc_type = infer_document_type(path).value
+        doc_type = infer_document_type(path)
+        if doc_type.value in ("markdown", "text"):
+            with open(path, encoding="utf-8") as f:
+                content = f.read()
+        else:
+            from .document_processor import DocumentProcessor
+
+            content = DocumentProcessor().extract_content_from_file(path)
         return cls(
             content=content,
             source=kwargs.pop("source", path),
             title=kwargs.pop("title", path.rsplit("/", 1)[-1]),
-            doc_type=doc_type,
+            doc_type=doc_type.value,
+            **kwargs,
+        )
+
+    @classmethod
+    def from_url(cls, url: str, **kwargs) -> "DocumentSchema":
+        from .document_processor import DocumentProcessor
+
+        content = DocumentProcessor().extract_content_from_url(url)
+        return cls(
+            content=content,
+            source=kwargs.pop("source", url),
+            title=kwargs.pop("title", url),
+            doc_type=infer_document_type(url).value,
             **kwargs,
         )
 

@@ -1,0 +1,113 @@
+"""Ring attention: sequence-sharded exact attention over the device mesh.
+
+SURVEY.md §2.9/§5: the reference handles >8k contexts with host-side sliding
+windows (`max_length=8192, doc_stride=256`, `extractors.py:103-104`) — an
+approximation. The TPU-native replacement scores a whole document in one
+sequence-sharded pass: the sequence dimension is split over the mesh, each
+device holds its Q/K/V shard, and K/V shards rotate around the ring via
+`jax.lax.ppermute` while an online-softmax accumulator merges each block's
+contribution. After `n_devices` steps every query row has attended to the
+full sequence exactly — compute per device is O(S²/n) and memory O(S/n).
+
+Built on `shard_map` + XLA collectives so the same code runs on a TPU pod
+slice or the virtual CPU mesh in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+NEG_INF = -1e30
+
+
+def _block_attend(q, k, v, k_offset, lengths, seq_len):
+    """One KV block's contribution with masking: returns (numerator
+    [B, Sq, H, D], max [B, H, Sq], denom [B, H, Sq])."""
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    )  # [B, H, Sq, Sk]
+    k_idx = k_offset + jnp.arange(k.shape[1])
+    valid = (k_idx[None, :] < lengths[:, None]) & (k_idx[None, :] < seq_len)
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    block_max = jnp.max(logits, axis=-1)  # [B, H, Sq]
+    probs = jnp.exp(logits - block_max[..., None])
+    probs = jnp.where(valid[:, None, None, :], probs, 0.0)
+    denom = jnp.sum(probs, axis=-1)
+    numer = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    return numer, block_max, denom
+
+
+@partial(jax.jit, static_argnames=("mesh", "axis"))
+def ring_attention(
+    q: jax.Array,  # [B, S, H, D] — S sharded over `axis`
+    k: jax.Array,
+    v: jax.Array,
+    lengths: jax.Array,  # [B] valid lengths (global positions)
+    mesh: Mesh,
+    axis: str = "tp",
+) -> jax.Array:
+    """Exact sequence-sharded attention; returns [B, S, H, D] sharded like q."""
+    seq_len = q.shape[1]
+
+    def local_fn(q_shard, k_shard, v_shard, lengths_rep):
+        n_dev = jax.lax.axis_size(axis)
+        my_idx = jax.lax.axis_index(axis)
+        shard_len = q_shard.shape[1]
+
+        def step(i, carry):
+            acc, m_run, l_run, k_cur, v_cur = carry
+            # Blocks rotate j→j+1, so after i steps we hold (my_idx − i)'s block.
+            block_owner = jnp.mod(my_idx - i, n_dev)
+            k_offset = block_owner * shard_len
+            numer, block_max, denom = _block_attend(
+                q_shard, k_cur, v_cur, k_offset, lengths_rep, seq_len
+            )
+            m_new = jnp.maximum(m_run, block_max)
+            scale_old = jnp.exp(m_run - m_new)
+            scale_blk = jnp.exp(block_max - m_new)
+            acc = (
+                acc * scale_old.transpose(0, 2, 1)[..., None]
+                + numer * scale_blk.transpose(0, 2, 1)[..., None]
+            )
+            l_run = l_run * scale_old + denom * scale_blk
+            # Rotate KV to the next device in the ring.
+            perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+            k_next = jax.lax.ppermute(k_cur, axis, perm)
+            v_next = jax.lax.ppermute(v_cur, axis, perm)
+            return acc, m_new, l_run, k_next, v_next
+
+        batch, _, heads, head_dim = q_shard.shape
+        init = (
+            jnp.zeros((batch, shard_len, heads, head_dim), jnp.float32),
+            jnp.full((batch, heads, shard_len), NEG_INF, jnp.float32),
+            jnp.zeros((batch, heads, shard_len), jnp.float32),
+            k_shard.astype(jnp.float32),
+            v_shard.astype(jnp.float32),
+        )
+        acc, _m, l_run, _k, _v = jax.lax.fori_loop(0, n_dev, step, init)
+        denom = jnp.maximum(l_run, 1e-20).transpose(0, 2, 1)[..., None]
+        return (acc / denom).astype(q_shard.dtype)
+
+    shard = P(None, axis, None, None)
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(shard, shard, shard, P()),
+        out_specs=shard,
+        check_vma=False,
+    )
+    return fn(q, k, v, lengths)
+
+
+def shard_sequence(x: jax.Array, mesh: Mesh, axis: str = "tp") -> jax.Array:
+    """Place [B, S, ...] with the sequence dim sharded over `axis`."""
+    spec = [None] * x.ndim
+    spec[1] = axis
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
