@@ -177,3 +177,24 @@ class TestPadSparse:
         ids, weights = _pad_sparse({7: 1.0}, max_nnz=4)
         assert ids[0] == 7 and weights[0] == 1.0
         assert (weights[1:] == 0).all()
+
+
+class TestCompaction:
+    def test_compact_reclaims_tombstones(self):
+        store = fill(make_store())
+        store.delete(["c1", "c3", "c5"])
+        reclaimed = store.compact()
+        assert reclaimed == 3
+        assert store.count() == 7
+        assert store.get("c1") is None
+        hits = store.query(dense_query=_unit(2), top_k=3)
+        assert hits[0].id == "c2"
+        # Sparse still works after rebuild.
+        hits = store.query(sparse_query={4: 1.0}, top_k=2)
+        assert hits[0].id == "c4"
+
+    def test_compact_noop_below_threshold(self):
+        store = fill(make_store())
+        store.delete(["c1"])
+        assert store.compact(min_dead_fraction=0.5) == 0
+        assert store.count() == 9

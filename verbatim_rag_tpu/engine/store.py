@@ -407,6 +407,60 @@ class DeviceVectorStore(VectorStore):
         ]
         self.delete([self._ids[r] for r in rows])
 
+    def compact(self, min_dead_fraction: float = 0.0) -> int:
+        """Reclaim tombstoned rows by rebuilding the arrays densely.
+
+        Milvus hides this housekeeping inside the service (SURVEY.md §7 hard
+        parts: "incremental updates/deletes ... need tombstones + compaction");
+        here it is an explicit O(N) rebuild, worth running when the dead
+        fraction is large. Returns the number of rows reclaimed.
+        """
+        self.flush()
+        n = len(self._ids)
+        dead = n - int(self._valid[:n].sum())
+        if n == 0 or dead == 0 or dead / n < min_dead_fraction:
+            return 0
+
+        keep = np.flatnonzero(self._valid[:n])
+        records = []
+        for row in keep:
+            rec: dict[str, Any] = {
+                "id": self._ids[row],
+                "text": self._texts[row],
+                "enhanced_text": self._enhanced[row],
+                "metadata": self._metadata[row],
+            }
+            if self._dense is not None:
+                rec["dense"] = np.asarray(self._dense[int(row)], np.float32)
+            if self._sp_ids_host is not None:
+                rec["sparse"] = {
+                    int(t): float(w)
+                    for t, w in zip(self._sp_ids_host[row], self._sp_w_host[row])
+                    if w != 0.0
+                }
+            records.append(rec)
+
+        fresh = DeviceVectorStore(
+            dense_dim=self.dense_dim,
+            sparse_vocab=self.sparse_vocab,
+            sparse_max_nnz=self.sparse_max_nnz,
+            enable_full_text=self.enable_full_text,
+            full_text_vocab=self.full_text_vocab,
+            full_text_max_nnz=self.full_text_max_nnz,
+            dense_dtype=self.dense_dtype,
+            block=self.block,
+            bm25_k1=self.bm25_k1,
+            bm25_b=self.bm25_b,
+            sparse_mode=self.sparse_mode,
+            projection_dim=self.projection_dim,
+            rescore_depth=self.rescore_depth,
+            projection_seed=self.projection_seed,
+        )
+        fresh.add_vectors(records)
+        fresh.flush()
+        self.__dict__.update(fresh.__dict__)
+        return dead
+
     # -- query --------------------------------------------------------------------
 
     def query(

@@ -113,6 +113,34 @@ def modernbert_base_config(**overrides) -> EncoderConfig:
     return EncoderConfig(**base)
 
 
+def demo_highlighter_config(**overrides) -> EncoderConfig:
+    """Compact ModernBERT-style config for checkpoint-free demos.
+
+    Random weights carry no extraction quality, so the offline default
+    doesn't pay for 150M parameters; loading a real checkpoint
+    (`ModelSpanExtractor(model_path=...)`) always uses the checkpoint's own
+    architecture.
+    """
+    base = dict(
+        vocab_size=30522,
+        hidden_size=256,
+        num_layers=4,
+        num_heads=4,
+        intermediate_size=512,
+        max_position_embeddings=8192,
+        layer_norm_eps=1e-5,
+        position_embedding_type="rope",
+        norm_location="pre",
+        activation="geglu",
+        use_bias=False,
+        final_norm=True,
+        type_vocab_size=0,
+        first_layer_no_attn_norm=True,
+    )
+    base.update(overrides)
+    return EncoderConfig(**base)
+
+
 def tiny_test_config(**overrides) -> EncoderConfig:
     """Small config for unit tests (fast compile, real code paths)."""
     base = dict(

@@ -26,7 +26,7 @@ import numpy as np
 
 from verbatim_rag_tpu.core.extractors import SpanExtractor
 
-from .config import EncoderConfig, modernbert_base_config
+from .config import EncoderConfig, demo_highlighter_config
 from .encoder import _dense, encoder_forward, init_encoder_params
 from .tokenizer import HashTokenizer, Tokenizer
 
@@ -132,7 +132,7 @@ class ModelSpanExtractor(SpanExtractor):
 
             self.params, self.config, self.tokenizer = load_highlighter_checkpoint(model_path)
         else:
-            self.config = config or modernbert_base_config()
+            self.config = config or demo_highlighter_config()
             self.params = params or init_highlighter_params(
                 jax.random.PRNGKey(seed), self.config
             )

@@ -5,6 +5,7 @@ from .intent import IntentDecision, IntentDetector, IntentSpec, LLMIntentDetecto
 from .providers import IndexProvider, VerbatimRAGProvider
 from .rerankers import BaseReranker, CohereReranker, JaxReranker, JinaReranker, Reranker
 from .streaming import StreamingRAG
+from .verbatim_doc import VerbatimDOC
 
 __all__ = [
     "BaseReranker",
@@ -18,6 +19,7 @@ __all__ = [
     "LLMIntentDetector",
     "Reranker",
     "StreamingRAG",
+    "VerbatimDOC",
     "VerbatimRAG",
     "VerbatimRAGProvider",
 ]
