@@ -86,6 +86,60 @@ class HashedSparseProvider(SparseEmbeddingProvider):
         return self.vocab_size
 
 
+class OpenAIEmbeddingProvider(DenseEmbeddingProvider):
+    """Dense embeddings from an OpenAI-compatible /embeddings endpoint.
+
+    Parity: reference `embedding_providers.py:83-114` (`OpenAIProvider`,
+    text-embedding-ada-002, 1536-d) — implemented over httpx like the chat
+    client, so it also works against vLLM/TEI-style servers.
+    """
+
+    _DIMS = {
+        "text-embedding-ada-002": 1536,
+        "text-embedding-3-small": 1536,
+        "text-embedding-3-large": 3072,
+    }
+
+    def __init__(
+        self,
+        model: str = "text-embedding-ada-002",
+        api_base: str = "https://api.openai.com/v1",
+        api_key: str | None = None,
+        dimension: int | None = None,
+        batch_size: int = 256,
+    ):
+        import os
+
+        self.model = model
+        self.api_base = api_base.rstrip("/")
+        self.api_key = api_key or os.getenv("OPENAI_API_KEY") or "EMPTY"
+        self.dimension = dimension or self._DIMS.get(model, 1536)
+        self.batch_size = batch_size
+
+    def embed_text(self, text: str) -> np.ndarray:
+        return self.embed_batch([text])[0]
+
+    def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
+        import httpx
+
+        out = []
+        for start in range(0, len(texts), self.batch_size):
+            chunk = list(texts[start : start + self.batch_size])
+            resp = httpx.post(
+                f"{self.api_base}/embeddings",
+                headers={"Authorization": f"Bearer {self.api_key}"},
+                json={"model": self.model, "input": chunk},
+                timeout=60.0,
+            )
+            resp.raise_for_status()
+            data = sorted(resp.json()["data"], key=lambda d: d["index"])
+            out.extend(np.asarray(d["embedding"], np.float32) for d in data)
+        return np.stack(out)
+
+    def get_dimension(self) -> int:
+        return self.dimension
+
+
 def __getattr__(name: str):
     # Lazy: the neural providers pull in JAX + tokenizers.
     if name in ("JaxDenseProvider", "JaxSpladeProvider"):

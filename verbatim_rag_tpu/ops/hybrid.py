@@ -19,7 +19,7 @@ from .fusion import rrf_fuse_device
 from .sparse import sparse_topk
 
 
-@partial(jax.jit, static_argnames=("fetch_k", "depth"))
+@partial(jax.jit, static_argnames=("fetch_k", "depth", "exact_topk"))
 def hybrid_candidates(
     dense_corpus: jax.Array,  # [N, d] row-normalized bf16
     sketch_corpus: jax.Array,  # [N, d_p] sparse sketches bf16
@@ -28,6 +28,7 @@ def hybrid_candidates(
     fetch_k: int,
     depth: int,
     mask: jax.Array | None = None,
+    exact_topk: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Both hybrid candidate generations in ONE device program.
 
@@ -35,7 +36,17 @@ def hybrid_candidates(
     [B, depth]; −1 where masked out). One dispatch + one host sync per query
     batch — on tunneled/remote backends the round-trip dominates, so fusing
     the two matmul top-ks halves the fixed cost.
+
+    k-selection uses the TPU-native `approx_max_k` (the hardware MIPS top-k;
+    recall target 0.99 per list) unless ``exact_topk`` — candidate lists feed
+    RRF/rescoring, so per-list selection recall folds into the same knob as
+    the sketch depth.
     """
+    select = (
+        jax.lax.top_k
+        if exact_topk
+        else partial(jax.lax.approx_max_k, recall_target=0.99)
+    )
     d_scores = jnp.dot(
         dense_q.astype(dense_corpus.dtype), dense_corpus.T, preferred_element_type=jnp.float32
     )
@@ -45,8 +56,8 @@ def hybrid_candidates(
     if mask is not None:
         d_scores = jnp.where(mask[None, :], d_scores, NEG_INF)
         s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
-    d_top, d_rows = jax.lax.top_k(d_scores, fetch_k)
-    s_top, s_rows = jax.lax.top_k(s_scores, depth)
+    d_top, d_rows = select(d_scores, k=fetch_k)
+    s_top, s_rows = select(s_scores, k=depth)
     d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
     s_rows = jnp.where(s_top > NEG_INF / 2, s_rows, -1)
     return d_rows, s_rows

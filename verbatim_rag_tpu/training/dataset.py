@@ -187,24 +187,35 @@ class QADatasetEncoder:
 
 
 def make_synthetic_qadata(
-    n_samples: int = 32, sentences_per_doc: int = 6, seed: int = 0
+    n_samples: int = 32,
+    sentences_per_doc: int = 6,
+    seed: int = 0,
+    task: str = "marker",
 ) -> QAData:
-    """Tiny synthetic dataset for tests/benchmarks (keyword-relevance task)."""
+    """Tiny synthetic dataset for tests/benchmarks.
+
+    task="marker": relevance is signaled by an in-sentence marker token —
+    trivially learnable, so tests exercising the train→extract→eval plumbing
+    converge deterministically. task="keyword": relevance = sentence mentions
+    the question's topic — a harder matching task for optimization studies.
+    """
     rng = np.random.default_rng(seed)
     topics = ["solar", "wind", "pasta", "rivers", "metals", "birds"]
     samples = []
     for i in range(n_samples):
         topic = topics[rng.integers(len(topics))]
+        others = [t for t in topics if t != topic]
         sentences = []
         for j in range(sentences_per_doc):
             relevant = bool(rng.random() < 0.3)
-            word = topic if relevant else topics[rng.integers(len(topics))]
-            sentences.append(
-                Sentence(
-                    text=f"Sentence {j} about {word} with detail {rng.integers(100)}.",
-                    relevant=relevant,
-                )
-            )
+            if task == "marker":
+                word = topic if relevant else others[rng.integers(len(others))]
+                flag = "noteworthy" if relevant else "ordinary"
+                text = f"Sentence {j} has {flag} detail about {word} number {rng.integers(100)}."
+            else:
+                word = topic if relevant else others[rng.integers(len(others))]
+                text = f"Sentence {j} about {word} with detail {rng.integers(100)}."
+            sentences.append(Sentence(text=text, relevant=relevant))
         samples.append(
             QASample(
                 question=f"what about {topic}?",

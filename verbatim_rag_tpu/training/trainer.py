@@ -151,10 +151,21 @@ class Trainer:
             losses = []
             for batch in make_train_iter(epoch):
                 device_batch = _batch_to_device(batch, self.mesh)
-                self.params, self.opt_state, loss, _aux = train_step(
-                    self.params, self.opt_state, device_batch, self.encoder_config, self.optimizer
-                )
-                losses.append(float(loss))
+                try:
+                    self.params, self.opt_state, loss, _aux = train_step(
+                        self.params,
+                        self.opt_state,
+                        device_batch,
+                        self.encoder_config,
+                        self.optimizer,
+                    )
+                    losses.append(float(loss))
+                except jax.errors.JaxRuntimeError as exc:
+                    # OOM tolerance (parity: `trainer.py:246-253` catches CUDA
+                    # OOM and continues): skip the offending batch.
+                    if "RESOURCE_EXHAUSTED" not in str(exc):
+                        raise
+                    logger.warning("Skipping batch after OOM: %s", str(exc)[:200])
             record = {
                 "epoch": epoch,
                 "train_loss": float(np.mean(losses)) if losses else float("nan"),
