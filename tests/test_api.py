@@ -146,3 +146,23 @@ class TestVerbatimDoc:
         doc = "## Methods\n\n[!query=describe approach]"
         [q] = Parser.parse(doc)
         assert q.section == "Methods"
+
+
+class TestAPIService:
+    async def test_validation_and_query(self, client_factory):
+        from verbatim_rag_tpu.api.service import APIService, ValidationError
+
+        service = APIService(deps.get_rag(), max_question_length=50)
+        with pytest.raises(ValidationError):
+            service.validate_question("")
+        with pytest.raises(ValidationError):
+            service.validate_question("x" * 51)
+        result = await service.query("how do panels work")
+        assert "Solar panels convert sunlight" in result["answer"]
+
+    def test_health_check(self, client_factory):
+        from verbatim_rag_tpu.api.service import APIService
+
+        health = APIService(deps.get_rag()).health_check()
+        assert health["status"] == "ok"
+        assert health["num_chunks"] >= 1

@@ -1,0 +1,93 @@
+"""Retrieval quality pinning: projected-sparse recall and hybrid behavior at
+a scale big enough to be meaningful (64k docs, SPLADE-like skewed weights).
+
+BASELINE.md's quality bar is "recall@10 parity with the Milvus-backed
+reference at equal memory"; the reference's sparse search is exact, so
+parity means the projected path must recover (effectively) the exact top-10.
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from verbatim_rag_tpu.ops.sparse import sparse_topk  # noqa: E402
+from verbatim_rag_tpu.ops.sparse_projected import (  # noqa: E402
+    exact_rescore,
+    project_rows,
+    project_sparse_queries,
+    projection_matrix,
+)
+
+RNG = np.random.default_rng(21)
+
+N, VOCAB, NNZ = 65536, 30522, 64
+PROJ_DIM, DEPTH, K = 768, 256, 10
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    # SPLADE-like: skewed (pareto) weights, zipf-ish token popularity.
+    ids = (RNG.zipf(1.3, size=(N, NNZ)) % (VOCAB - 1) + 1).astype(np.int32)
+    weights = (RNG.pareto(2.0, size=(N, NNZ)) + 0.05).astype(np.float32)
+    return ids, weights
+
+
+@pytest.fixture(scope="module")
+def queries():
+    out = []
+    for _ in range(8):
+        terms = (RNG.zipf(1.3, size=24) % (VOCAB - 1) + 1).astype(np.int64)
+        weights = RNG.pareto(2.0, size=24) + 0.1
+        out.append({int(t): float(w) for t, w in zip(terms, weights)})
+    return out
+
+
+@pytest.mark.slow
+def test_projected_recall_at_10_vs_exact(corpus, queries):
+    ids, weights = corpus
+    proj = projection_matrix(VOCAB, PROJ_DIM, seed=0)
+    sketches = project_rows(ids, weights, proj)
+
+    # Dense queries for both paths.
+    q_dense = np.zeros((len(queries), VOCAB), np.float32)
+    for i, q in enumerate(queries):
+        for t, w in q.items():
+            q_dense[i, t] = w
+
+    # Exact ground truth via the device scan.
+    exact_scores, exact_rows = sparse_topk(
+        jnp.asarray(ids), jnp.asarray(weights), jnp.asarray(q_dense), K, None, block=4096
+    )
+    exact_rows = np.asarray(exact_rows)
+
+    # Projected path: sketch matmul candidates + exact rescore.
+    q_proj = project_sparse_queries(queries, proj)
+    sk_scores = q_proj @ sketches.T  # [B, N]
+    cand = np.argsort(-sk_scores, axis=1)[:, :DEPTH]
+    rescored = exact_rescore(cand.astype(np.int64), ids, weights, q_dense)
+    order = np.argsort(-rescored, axis=1)[:, :K]
+    proj_rows = np.take_along_axis(cand, order, axis=1)
+
+    recalls = [
+        len(set(exact_rows[b]) & set(proj_rows[b])) / K for b in range(len(queries))
+    ]
+    assert float(np.mean(recalls)) >= 0.97, recalls
+
+
+@pytest.mark.slow
+def test_rescored_scores_match_exact_scores(corpus, queries):
+    """Where the projected path finds the same rows, scores are identical."""
+    ids, weights = corpus
+    q_dense = np.zeros((len(queries), VOCAB), np.float32)
+    for i, q in enumerate(queries):
+        for t, w in q.items():
+            q_dense[i, t] = w
+    rows = RNG.integers(0, N, size=(len(queries), 16)).astype(np.int64)
+    got = exact_rescore(rows, ids, weights, q_dense)
+    for b in range(len(queries)):
+        for c in range(16):
+            expected = float(np.sum(weights[rows[b, c]] * q_dense[b, ids[rows[b, c]]]))
+            assert got[b, c] == pytest.approx(expected, rel=1e-4)

@@ -1,5 +1,6 @@
 """HTTP service layer (aiohttp)."""
 
 from .config import APIConfig
+from .service import APIService, ValidationError
 
-__all__ = ["APIConfig"]
+__all__ = ["APIConfig", "APIService", "ValidationError"]

@@ -802,6 +802,23 @@ class DeviceVectorStore(VectorStore):
             arrays["doc_len"] = self._doc_len[:n]
             arrays["doc_freq"] = self._doc_freq
         np.savez_compressed(path + ".npz", **arrays)
+
+        def _json_safe(value):
+            # Parity: `vector_stores/utils.py:10-29` json_serialize_safe —
+            # datetimes/enums/sets in metadata must not break persistence.
+            import datetime
+            import enum
+
+            if isinstance(value, (datetime.date, datetime.datetime)):
+                return value.isoformat()
+            if isinstance(value, enum.Enum):
+                return value.value
+            if isinstance(value, (set, frozenset)):
+                return sorted(value)
+            if isinstance(value, np.generic):
+                return value.item()
+            return str(value)
+
         with open(path + ".json", "w") as f:
             json.dump(
                 {
@@ -825,6 +842,7 @@ class DeviceVectorStore(VectorStore):
                     "metadata": self._metadata,
                 },
                 f,
+                default=_json_safe,
             )
 
     @classmethod
