@@ -245,3 +245,40 @@ def load_highlighter_checkpoint(model_dir: str):
     tok_path = os.path.join(model_dir, "tokenizer.json")
     tokenizer = HFTokenizer(tok_path)
     return params, config, tokenizer
+
+
+def detect_checkpoint_format(model_dir: str) -> str:
+    """'highlighter_v2' (token classifier) vs 'qa_model_v1' (sentence level).
+
+    Parity: the reference auto-detects via ``auto_map`` containing
+    "Highlighter" (`extractors.py:135-149`); a sentence-classifier head in
+    the weights also marks v1.
+    """
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf_config = json.load(f)
+    auto_map = hf_config.get("auto_map") or {}
+    if any("Highlighter" in str(v) for v in auto_map.values()):
+        return "highlighter_v2"
+    if hf_config.get("architectures") and any(
+        "TokenClassification" in a for a in hf_config["architectures"]
+    ):
+        return "highlighter_v2"
+    sd_keys = set(_read_state_dict(model_dir))
+    if "sentence_classifier.weight" in sd_keys or "qa_outputs.weight" in sd_keys:
+        return "qa_model_v1"
+    return "highlighter_v2"
+
+
+def load_span_extractor(model_dir: str, **kwargs):
+    """Factory: open a checkpoint dir and build the right extractor class."""
+    fmt = detect_checkpoint_format(model_dir)
+    if fmt == "highlighter_v2":
+        from .highlighter import ModelSpanExtractor
+
+        return ModelSpanExtractor(model_path=model_dir, **kwargs)
+    from .sentence_extractor import SentenceModelExtractor
+
+    params, config, tokenizer = load_highlighter_checkpoint(model_dir)
+    return SentenceModelExtractor(
+        params=params, config=config, tokenizer=tokenizer, **kwargs
+    )
