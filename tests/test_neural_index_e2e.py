@@ -1,0 +1,69 @@
+"""Neural providers through the full index: encode → device store → hybrid."""
+
+import pytest
+
+pytest.importorskip("jax")
+
+from verbatim_rag_tpu.engine.index import VerbatimIndex
+from verbatim_rag_tpu.models.config import tiny_test_config
+from verbatim_rag_tpu.models.providers import JaxDenseProvider, JaxSpladeProvider
+
+DOCS = [
+    {"content": "Solar panels convert sunlight into electricity.", "title": "Solar"},
+    {"content": "Wind turbines convert wind into electricity.", "title": "Wind"},
+    {"content": "Pasta is cooked in boiling salted water.", "title": "Pasta"},
+]
+
+
+@pytest.fixture(scope="module")
+def index():
+    config = tiny_test_config()
+    idx = VerbatimIndex(
+        dense_provider=JaxDenseProvider(config=config, max_length=64),
+        sparse_provider=JaxSpladeProvider(config=config, max_length=64, max_nnz=16),
+    )
+    idx.add_documents(DOCS)
+    return idx
+
+
+class TestNeuralEndToEnd:
+    def test_hybrid_query_runs(self, index):
+        hits = index.query("solar electricity", k=2)
+        assert len(hits) == 2
+        assert all(h.text for h in hits)
+
+    def test_deterministic_self_retrieval(self, index):
+        """A chunk's own enhanced text must retrieve that chunk first (dense)."""
+        chunks = index.get_all_chunks()
+        target = chunks[0]
+        hits = index.query(target.enhanced_text, k=1, search_type="dense")
+        assert hits[0].id == target.id
+
+    def test_sparse_path_with_neural_terms(self, index):
+        hits = index.query("wind turbines", k=3, search_type="sparse")
+        assert hits
+
+    def test_full_rag_loop(self, index):
+        from verbatim_rag_tpu.core.templates import TemplateManager
+        from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+        from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+        from verbatim_rag_tpu.rag.core import VerbatimRAG
+
+        config = tiny_test_config(max_position_embeddings=256)
+        rag = VerbatimRAG(
+            index,
+            extractor=ModelSpanExtractor(
+                config=config,
+                tokenizer=HashTokenizer(vocab_size=config.vocab_size),
+                threshold=0.0,
+                min_span_chars=5,
+                max_length=128,
+                doc_stride=16,
+            ),
+            template_manager=TemplateManager(llm_client=None, default_mode="static"),
+        )
+        response = rag.query("how do solar panels work?")
+        assert response.answer
+        for doc in response.documents:
+            for h in doc.highlights:
+                assert doc.content[h.start : h.end] == h.text
