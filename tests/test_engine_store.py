@@ -198,3 +198,30 @@ class TestCompaction:
         store.delete(["c1"])
         assert store.compact(min_dead_fraction=0.5) == 0
         assert store.count() == 9
+
+
+class TestAnalyzerParity:
+    def test_native_and_python_agree(self):
+        from verbatim_rag_tpu.engine import native
+        from verbatim_rag_tpu.engine.store import _analyze, _fnv1a
+        import numpy as np
+
+        text = "The Quick brown FOX fox jumps over 42 lazy dogs! dogs dogs."
+        vocab = 1 << 12
+
+        # Python reference path (force fallback).
+        import re as _re
+        tokens = _re.findall(r"[a-z0-9]+", text.lower())
+        py_ids = np.array(sorted({(_fnv1a(t) % (vocab - 1)) + 1 for t in tokens}))
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        got = native.analyze_text_native(text, vocab)
+        assert got is not None
+        ids, tfs, dl = got
+        assert dl == len(tokens)
+        np.testing.assert_array_equal(np.sort(ids), py_ids)
+        # And the store-level dispatch agrees with itself.
+        ids2, tfs2, dl2 = _analyze(text, vocab)
+        np.testing.assert_array_equal(np.sort(ids2), np.sort(ids))
+        assert dl2 == dl

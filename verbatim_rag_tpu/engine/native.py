@@ -85,6 +85,34 @@ def project_rows_native(
     return out
 
 
+def analyze_text_native(
+    text: str, vocab_size: int, max_terms: int = 4096
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """C++ BM25 analyzer; None if the library is unavailable.
+
+    Returns (unique term ids, term frequencies, document length) with the
+    same FNV-1a slot layout as the Python fallback.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    raw = text.encode("utf-8", errors="ignore")
+    term_ids = np.zeros(max_terms, np.int32)
+    term_tfs = np.zeros(max_terms, np.int32)
+    n_terms = ctypes.c_int64(0)
+    dl = lib.analyze_text(
+        raw,
+        len(raw),
+        vocab_size,
+        term_ids.ctypes.data,
+        term_tfs.ctypes.data,
+        max_terms,
+        ctypes.byref(n_terms),
+    )
+    n = n_terms.value
+    return term_ids[:n].copy(), term_tfs[:n].copy(), int(dl)
+
+
 def exact_rescore_native(
     candidate_rows: np.ndarray,
     sp_ids: np.ndarray,

@@ -61,17 +61,34 @@ class VectorStore(ABC):
         """Remove records by id."""
 
 
+def _fnv1a(token: str) -> int:
+    """FNV-1a 32-bit — identical to the C++ analyzer so an index built with
+    either implementation is queryable with the other."""
+    h = 2166136261
+    for byte in token.encode():
+        h = ((h ^ byte) * 16777619) & 0xFFFFFFFF
+    return h
+
+
 def _analyze(text: str, vocab_size: int) -> tuple[np.ndarray, np.ndarray, int]:
     """BM25 analyzer: lowercase word tokens hashed into a fixed vocab.
 
     :return: (unique term ids, term frequencies, document length).
+
+    Slot layout matches `native/verbatim_host.cpp::analyze_text` exactly
+    (FNV-1a mod vocab−1, slot 0 reserved for padding); the native path is
+    used when available.
     """
+    from .native import analyze_text_native
+
+    native = analyze_text_native(text, vocab_size)
+    if native is not None:
+        return native
     tokens = re.findall(r"[a-z0-9]+", text.lower())
     if not tokens:
         return np.zeros(0, np.int32), np.zeros(0, np.int32), 0
-    # Hash slot 0 is reserved for padding.
     ids = np.fromiter(
-        ((int(stable_hash64(t)) % (vocab_size - 1)) + 1 for t in tokens),
+        ((_fnv1a(t[:256]) % (vocab_size - 1)) + 1 for t in tokens),
         dtype=np.int64,
         count=len(tokens),
     )
