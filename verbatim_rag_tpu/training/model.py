@@ -98,6 +98,44 @@ def sentence_loss(
     return loss, aux
 
 
+def token_loss(
+    params: Params,
+    config: EncoderConfig,
+    batch: dict[str, jax.Array],
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Token-classification loss for the v2 highlighter.
+
+    batch: input_ids/attention_mask [B, S], labels [B, S], label_mask [B, S]
+    (1 only on context tokens). Uses the same ``classifier`` head layout as
+    `models/highlighter.py`, so trained params drop into `ModelSpanExtractor`.
+    """
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    hidden = encoder_forward(
+        params, config, batch["input_ids"], batch["attention_mask"]
+    )
+    logits = _dense(params["classifier"], hidden, dtype)  # [B, S, 2]
+    labels = batch["labels"]
+    mask = batch["label_mask"].astype(jnp.float32)
+
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(log_probs, labels[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(mask.sum(), 1.0)
+    loss = (nll * mask).sum() / denom
+
+    preds = jnp.argmax(logits, axis=-1)
+    tp = ((preds == 1) & (labels == 1)).astype(jnp.float32) * mask
+    fp = ((preds == 1) & (labels == 0)).astype(jnp.float32) * mask
+    fn = ((preds == 0) & (labels == 1)).astype(jnp.float32) * mask
+    aux = {
+        "n_sentences": mask.sum(),
+        "n_correct": ((preds == labels) * mask).sum(),
+        "tp": tp.sum(),
+        "fp": fp.sum(),
+        "fn": fn.sum(),
+    }
+    return loss, aux
+
+
 @partial(jax.jit, static_argnames=("config",))
 def predict_sentence_relevance(
     params: Params,

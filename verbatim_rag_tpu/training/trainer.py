@@ -55,36 +55,43 @@ def make_optimizer(tc: TrainingConfig, total_steps: int = 10_000) -> optax.Gradi
     )
 
 
-@partial(jax.jit, static_argnames=("config", "optimizer"), donate_argnums=(0, 1))
+@partial(
+    jax.jit, static_argnames=("config", "optimizer", "loss_fn"), donate_argnums=(0, 1)
+)
 def train_step(
     params: Params,
     opt_state,
     batch: dict[str, jax.Array],
     config: EncoderConfig,
     optimizer: optax.GradientTransformation,
+    loss_fn=sentence_loss,
 ):
     """One sharded optimization step: loss → grads → AdamW update."""
-    (loss, aux), grads = jax.value_and_grad(sentence_loss, has_aux=True)(
-        params, config, batch
-    )
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, config, batch)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss, aux
 
 
-@partial(jax.jit, static_argnames=("config",))
-def eval_step(params: Params, batch: dict[str, jax.Array], config: EncoderConfig):
-    loss, aux = sentence_loss(params, config, batch)
+@partial(jax.jit, static_argnames=("config", "loss_fn"))
+def eval_step(
+    params: Params,
+    batch: dict[str, jax.Array],
+    config: EncoderConfig,
+    loss_fn=sentence_loss,
+):
+    loss, aux = loss_fn(params, config, batch)
     return loss, aux
 
 
-def _batch_to_device(batch: EncodedBatch, mesh=None) -> dict[str, jax.Array]:
+def _batch_to_device(batch, mesh=None) -> dict[str, jax.Array]:
+    """Any dataclass batch (EncodedBatch, TokenBatch, ...) → device dict."""
+    import dataclasses
+
     arrays = {
-        "input_ids": batch.input_ids,
-        "attention_mask": batch.attention_mask,
-        "boundaries": batch.boundaries,
-        "sentence_mask": batch.sentence_mask,
-        "labels": batch.labels,
+        f.name: getattr(batch, f.name)
+        for f in dataclasses.fields(batch)
+        if getattr(batch, f.name) is not None
     }
     if mesh is None:
         return {k: jnp.asarray(v) for k, v in arrays.items()}
@@ -117,11 +124,13 @@ class Trainer:
         training_config: TrainingConfig | None = None,
         output_dir: str = "./qa_model_out",
         mesh=None,
+        loss_fn=sentence_loss,
     ):
         self.encoder_config = encoder_config
         self.tc = training_config or TrainingConfig()
         self.output_dir = output_dir
         self.mesh = mesh
+        self.loss_fn = loss_fn
         self.optimizer = make_optimizer(self.tc)
         if mesh is not None:
             from verbatim_rag_tpu.parallel.mesh import shard_params
@@ -158,6 +167,7 @@ class Trainer:
                         device_batch,
                         self.encoder_config,
                         self.optimizer,
+                        self.loss_fn,
                     )
                     losses.append(float(loss))
                 except jax.errors.JaxRuntimeError as exc:
@@ -189,7 +199,10 @@ class Trainer:
         losses = []
         for batch in batches:
             loss, aux = eval_step(
-                self.params, _batch_to_device(batch, self.mesh), self.encoder_config
+                self.params,
+                _batch_to_device(batch, self.mesh),
+                self.encoder_config,
+                self.loss_fn,
             )
             losses.append(float(loss))
             for key, value in aux.items():
