@@ -141,68 +141,107 @@ class ModelSpanExtractor(SpanExtractor):
     # -- SpanExtractor interface ------------------------------------------------
 
     def extract_spans(self, question: str, search_results: list[Any]) -> dict[str, list[str]]:
+        """ALL documents' windows run in ONE device forward — the window loop
+        is data layout, never a per-document dispatch."""
         texts = [getattr(r, "text", "") for r in search_results]
-        out: dict[str, list[str]] = {}
-        for text in texts:
-            spans = self.process(question, text)
-            out[text] = [text[s:e] for s, e in spans]
-        return out
+        span_lists = self.process_batch(question, texts)
+        return {
+            text: [text[s:e] for s, e in spans]
+            for text, spans in zip(texts, span_lists)
+        }
 
     # -- core ---------------------------------------------------------------------
 
     def process(self, question: str, context: str) -> list[tuple[int, int]]:
         """Score a (question, context) pair → char spans in ``context``."""
+        return self.process_batch(question, [context])[0]
+
+    def process_batch(
+        self, question: str, contexts: list[str]
+    ) -> list[list[tuple[int, int]]]:
+        """Batched scoring: one padded forward over every context's windows."""
+        plans = [self._plan(question, c) for c in contexts]
+        rows: list[list[int]] = []
+        for plan in plans:
+            if plan is not None:
+                rows.extend(plan["rows"])
+        if not rows:
+            return [[] for _ in contexts]
+
+        from .tokenizer import bucket_length
+
+        seq = min(bucket_length(max(len(r) for r in rows)), self.max_length)
+        ids = np.full((len(rows), seq), self.tokenizer.pad_id, np.int32)
+        mask = np.zeros((len(rows), seq), np.int32)
+        for i, row in enumerate(rows):
+            row = row[:seq]
+            ids[i, : len(row)] = row
+            mask[i, : len(row)] = 1
+
+        probs = np.asarray(
+            token_relevance_probs(
+                self.params, self.config, jnp.asarray(ids), jnp.asarray(mask)
+            )
+        )
+
+        out: list[list[tuple[int, int]]] = []
+        cursor = 0
+        for plan in plans:
+            if plan is None:
+                out.append([])
+                continue
+            n_windows = len(plan["rows"])
+            doc_probs = probs[cursor : cursor + n_windows]
+            cursor += n_windows
+            # Max-aggregate across overlapping windows.
+            agg = np.zeros(plan["n_tokens"], np.float32)
+            for w, (ctx_start, ctx_len, tok_offset) in enumerate(plan["layout"]):
+                window = doc_probs[w, tok_offset : tok_offset + ctx_len]
+                agg[ctx_start : ctx_start + ctx_len] = np.maximum(
+                    agg[ctx_start : ctx_start + ctx_len], window
+                )
+            out.append(
+                select_spans_from_token_probs(
+                    agg,
+                    plan["offsets"],
+                    threshold=self.threshold,
+                    min_span_chars=self.min_span_chars,
+                    merge_gap_chars=self.merge_gap_chars,
+                )
+            )
+        return out
+
+    def _plan(self, question: str, context: str) -> dict | None:
+        """Tokenize one document and lay out its windows (host-only work)."""
         if not context.strip():
-            return []
-        # Tokenize the context once with offsets.
+            return None
         enc = self.tokenizer.encode_batch([context], max_length=10**9, with_offsets=True)
         ctx_ids = [t for t, m in zip(enc.input_ids[0], enc.attention_mask[0]) if m]
         ctx_offsets = enc.offsets[0][: len(ctx_ids)]
         # Strip specials added by encode_batch (offset (0,0) + cls/sep ids at ends).
-        ctx = [
-            (int(t), off)
-            for t, off in zip(ctx_ids, ctx_offsets)
-            if off[1] > off[0]
-        ]
+        ctx = [(int(t), off) for t, off in zip(ctx_ids, ctx_offsets) if off[1] > off[0]]
         if not ctx:
-            return []
+            return None
         ctx_token_ids = [t for t, _ in ctx]
         ctx_token_offsets = [off for _, off in ctx]
 
         q_enc = self.tokenizer.encode_batch([question], max_length=512)
-        q_tokens = [
-            int(t) for t, m in zip(q_enc.input_ids[0], q_enc.attention_mask[0]) if m
-        ]
+        q_tokens = [int(t) for t, m in zip(q_enc.input_ids[0], q_enc.attention_mask[0]) if m]
         # Question tokens keep their cls/sep framing; context appended after.
-        budget = self.max_length - len(q_tokens) - 1  # -1 for trailing sep
-        budget = max(budget, 16)
+        budget = max(self.max_length - len(q_tokens) - 1, 16)  # -1: trailing sep
 
         windows = self._make_windows(len(ctx_token_ids), budget, self.doc_stride)
-        batch_ids, batch_mask, spans_in_window = self._pack_windows(
-            q_tokens, ctx_token_ids, windows
-        )
-
-        probs = np.asarray(
-            token_relevance_probs(
-                self.params, self.config, jnp.asarray(batch_ids), jnp.asarray(batch_mask)
-            )
-        )
-
-        # Max-aggregate across overlapping windows.
-        agg = np.zeros(len(ctx_token_ids), np.float32)
-        for w, (ctx_start, ctx_len, tok_offset) in enumerate(spans_in_window):
-            window_probs = probs[w, tok_offset : tok_offset + ctx_len]
-            agg[ctx_start : ctx_start + ctx_len] = np.maximum(
-                agg[ctx_start : ctx_start + ctx_len], window_probs
-            )
-
-        return select_spans_from_token_probs(
-            agg,
-            ctx_token_offsets,
-            threshold=self.threshold,
-            min_span_chars=self.min_span_chars,
-            merge_gap_chars=self.merge_gap_chars,
-        )
+        sep = self.tokenizer.sep_id
+        rows, layout = [], []
+        for start, length in windows:
+            rows.append(list(q_tokens) + ctx_token_ids[start : start + length] + [sep])
+            layout.append((start, length, len(q_tokens)))
+        return {
+            "rows": rows,
+            "layout": layout,
+            "n_tokens": len(ctx_token_ids),
+            "offsets": ctx_token_offsets,
+        }
 
     @staticmethod
     def _make_windows(n_tokens: int, budget: int, stride: int) -> list[tuple[int, int]]:
@@ -219,32 +258,6 @@ class ModelSpanExtractor(SpanExtractor):
                 break
             start += step
         return windows
-
-    def _pack_windows(
-        self,
-        q_tokens: list[int],
-        ctx_tokens: list[int],
-        windows: list[tuple[int, int]],
-    ) -> tuple[np.ndarray, np.ndarray, list[tuple[int, int, int]]]:
-        """Build one padded batch over all windows of one document."""
-        from .tokenizer import bucket_length
-
-        sep = self.tokenizer.sep_id
-        rows = []
-        layout = []  # (ctx_start, ctx_len, token_offset_in_row)
-        for start, length in windows:
-            row = list(q_tokens) + ctx_tokens[start : start + length] + [sep]
-            rows.append(row)
-            layout.append((start, length, len(q_tokens)))
-        seq = min(bucket_length(max(len(r) for r in rows)), self.max_length)
-        ids = np.full((len(rows), seq), self.tokenizer.pad_id, np.int32)
-        mask = np.zeros((len(rows), seq), np.int32)
-        for i, row in enumerate(rows):
-            row = row[:seq]
-            ids[i, : len(row)] = row
-            mask[i, : len(row)] = 1
-        return ids, mask, layout
-
 
 class SemanticHighlightExtractor(ModelSpanExtractor):
     """Sentence/span-mode adapter (parity surface with the reference's
