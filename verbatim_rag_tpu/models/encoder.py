@@ -272,6 +272,63 @@ def encoder_forward(
     return x.astype(jnp.float32)
 
 
+def encoder_forward_sp(
+    params: Params,
+    config: EncoderConfig,
+    input_ids: jax.Array,  # [B, S] — S sharded over mesh axis
+    attention_mask: jax.Array,
+    mesh,
+    axis: str = "tp",
+) -> jax.Array:
+    """Sequence-parallel encoder forward (global-attention models).
+
+    The sequence dimension stays sharded over ``axis`` end to end; attention
+    runs as exact ring attention (`ops/ring_attention.py`) so no device ever
+    holds the full sequence — the single-pass long-context path that replaces
+    the reference's host-side sliding windows (SURVEY.md §5).
+
+    Restriction: models whose every layer is global attention (BERT family).
+    ModernBERT's local layers need halo exchange — planned, not yet wired.
+    """
+    if config.position_embedding_type == "rope" and config.global_attn_every_n_layers != 1:
+        raise NotImplementedError(
+            "Sequence-parallel forward currently supports global-attention "
+            "models only (local-attention halo exchange not yet implemented)"
+        )
+    from verbatim_rag_tpu.ops.ring_attention import ring_attention
+
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    batch, seq_len = input_ids.shape
+    heads, head_dim = config.num_heads, config.head_dim
+    lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)
+
+    x = _embed(params, config, input_ids, None)
+    pre_ln = config.norm_location == "pre"
+    eps = config.layer_norm_eps
+
+    def layer_step(carry, layer):
+        h_in = carry
+        a_in = _layer_norm(layer["attn_ln"], h_in, eps) if pre_ln else h_in
+        q = _dense(layer["attn"]["q"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
+        k = _dense(layer["attn"]["k"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
+        v = _dense(layer["attn"]["v"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
+        ctx = ring_attention(q, k, v, lengths, mesh, axis=axis)
+        attn_out = _dense(layer["attn"]["o"], ctx.reshape(batch, seq_len, -1), dtype)
+        h = h_in + attn_out
+        if not pre_ln:
+            h = _layer_norm(layer["attn_ln"], h, eps)
+        m_in = _layer_norm(layer["mlp_ln"], h, eps) if pre_ln else h
+        h = h + _mlp(layer["mlp"], m_in, config.activation, dtype)
+        if not pre_ln:
+            h = _layer_norm(layer["mlp_ln"], h, eps)
+        return h, None
+
+    x, _ = jax.lax.scan(layer_step, x, params["layers"])
+    if config.final_norm and "final_ln" in params:
+        x = _layer_norm(params["final_ln"], x, eps)
+    return x.astype(jnp.float32)
+
+
 # -- pooling heads ------------------------------------------------------------------
 
 
