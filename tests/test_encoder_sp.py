@@ -44,17 +44,82 @@ def test_sp_forward_matches_single_device():
     np.testing.assert_allclose(got[1, :50], expected[1, :50], rtol=3e-4, atol=3e-4)
 
 
-def test_sp_rejects_local_attention_models():
+def test_sp_modernbert_local_global_matches_single_device():
+    """ModernBERT-style stack: ring attention for global layers + halo
+    exchange for local layers, RoPE with global positions."""
     config = tiny_test_config(
-        position_embedding_type="rope", global_attn_every_n_layers=2, type_vocab_size=0
+        position_embedding_type="rope",
+        norm_location="pre",
+        activation="geglu",
+        use_bias=False,
+        final_norm=True,
+        type_vocab_size=0,
+        first_layer_no_attn_norm=True,
+        global_attn_every_n_layers=2,
+        local_attention_window=16,  # halo 8 ≤ shard_len 8
+        num_layers=4,
     )
-    params = init_encoder_params(jax.random.PRNGKey(0), config)
+    params = init_encoder_params(jax.random.PRNGKey(1), config)
     mesh = make_mesh(dp=1, tp=8)
-    with pytest.raises(NotImplementedError):
+
+    seq = 64
+    ids_np = RNG.integers(3, config.vocab_size, size=(2, seq)).astype(np.int32)
+    mask_np = np.ones((2, seq), np.int32)
+    mask_np[1, 40:] = 0
+    ids_np[1, 40:] = 0
+
+    expected = np.asarray(
+        encoder_forward(params, config, jnp.asarray(ids_np), jnp.asarray(mask_np))
+    )
+    shard = NamedSharding(mesh, P(None, "tp"))
+    got = np.asarray(
         encoder_forward_sp(
             params,
             config,
-            jnp.zeros((1, 64), jnp.int32),
-            jnp.ones((1, 64), jnp.int32),
+            jax.device_put(jnp.asarray(ids_np), shard),
+            jax.device_put(jnp.asarray(mask_np), shard),
             mesh,
         )
+    )
+    np.testing.assert_allclose(got[0], expected[0], rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(got[1, :40], expected[1, :40], rtol=5e-4, atol=5e-4)
+
+
+def test_sp_extractor_no_windowing_matches_windowed():
+    """sp_mesh extraction (one sharded pass) agrees with the windowed path."""
+    from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+    from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+
+    config = tiny_test_config(
+        position_embedding_type="rope",
+        norm_location="pre",
+        activation="geglu",
+        use_bias=False,
+        final_norm=True,
+        type_vocab_size=0,
+        first_layer_no_attn_norm=True,
+        global_attn_every_n_layers=2,
+        local_attention_window=16,
+        num_layers=2,
+        max_position_embeddings=1024,
+    )
+    tokenizer = HashTokenizer(vocab_size=config.vocab_size)
+    mesh = make_mesh(dp=1, tp=8)
+
+    common = dict(
+        config=config,
+        tokenizer=tokenizer,
+        threshold=0.4,
+        min_span_chars=10,
+        merge_gap_chars=5,
+        seed=5,
+    )
+    # Windowed path gets a max_length large enough to hold everything, so
+    # both paths see identical token layouts.
+    windowed = ModelSpanExtractor(max_length=512, doc_stride=16, **common)
+    sp = ModelSpanExtractor(max_length=512, doc_stride=16, sp_mesh=mesh, **common)
+
+    context = " ".join(f"word{i} noteworthy item{i}." for i in range(40))
+    spans_w = windowed.process("what is noteworthy?", context)
+    spans_sp = sp.process("what is noteworthy?", context)
+    assert spans_sp == spans_w

@@ -287,15 +287,12 @@ def encoder_forward_sp(
     holds the full sequence — the single-pass long-context path that replaces
     the reference's host-side sliding windows (SURVEY.md §5).
 
-    Restriction: models whose every layer is global attention (BERT family).
-    ModernBERT's local layers need halo exchange — planned, not yet wired.
+    Global layers run as ring attention (full-sequence, exact); ModernBERT's
+    local layers exchange only ``window//2`` halo tokens with neighbors
+    (`ops/ring_attention.py::halo_attention`). RoPE uses global positions, so
+    results match the single-device forward bit-for-role.
     """
-    if config.position_embedding_type == "rope" and config.global_attn_every_n_layers != 1:
-        raise NotImplementedError(
-            "Sequence-parallel forward currently supports global-attention "
-            "models only (local-attention halo exchange not yet implemented)"
-        )
-    from verbatim_rag_tpu.ops.ring_attention import ring_attention
+    from verbatim_rag_tpu.ops.ring_attention import halo_attention, ring_attention
 
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     batch, seq_len = input_ids.shape
@@ -305,14 +302,48 @@ def encoder_forward_sp(
     x = _embed(params, config, input_ids, None)
     pre_ln = config.norm_location == "pre"
     eps = config.layer_norm_eps
+    use_rope = config.position_embedding_type == "rope"
+    positions = jnp.arange(seq_len)
 
-    def layer_step(carry, layer):
+    layer_ids = jnp.arange(config.num_layers)
+    is_global = (
+        jnp.ones((config.num_layers,), bool)
+        if not use_rope
+        else (layer_ids % config.global_attn_every_n_layers) == 0
+    )
+    thetas = jnp.where(is_global, config.global_rope_theta, config.local_rope_theta)
+    skip_attn_norm = (
+        (layer_ids == 0) & config.first_layer_no_attn_norm
+        if pre_ln
+        else jnp.zeros((config.num_layers,), bool)
+    )
+    all_global = not use_rope or config.global_attn_every_n_layers == 1
+
+    def layer_step(carry, inputs):
         h_in = carry
-        a_in = _layer_norm(layer["attn_ln"], h_in, eps) if pre_ln else h_in
+        layer, g_flag, theta, skip_norm = inputs
+        if pre_ln:
+            normed = _layer_norm(layer["attn_ln"], h_in, eps)
+            a_in = jnp.where(skip_norm, h_in, normed)
+        else:
+            a_in = h_in
         q = _dense(layer["attn"]["q"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
         k = _dense(layer["attn"]["k"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
         v = _dense(layer["attn"]["v"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
-        ctx = ring_attention(q, k, v, lengths, mesh, axis=axis)
+        if use_rope:
+            q = _rope(q, theta, positions).astype(dtype)
+            k = _rope(k, theta, positions).astype(dtype)
+        if all_global:
+            ctx = ring_attention(q, k, v, lengths, mesh, axis=axis)
+        else:
+            ctx = jax.lax.cond(
+                g_flag,
+                lambda ops: ring_attention(*ops, lengths, mesh, axis=axis),
+                lambda ops: halo_attention(
+                    *ops, lengths, config.local_attention_window, mesh, axis=axis
+                ),
+                (q, k, v),
+            )
         attn_out = _dense(layer["attn"]["o"], ctx.reshape(batch, seq_len, -1), dtype)
         h = h_in + attn_out
         if not pre_ln:
@@ -323,7 +354,9 @@ def encoder_forward_sp(
             h = _layer_norm(layer["mlp_ln"], h, eps)
         return h, None
 
-    x, _ = jax.lax.scan(layer_step, x, params["layers"])
+    x, _ = jax.lax.scan(
+        layer_step, x, (params["layers"], is_global, thetas, skip_attn_norm)
+    )
     if config.final_norm and "final_ln" in params:
         x = _layer_norm(params["final_ln"], x, eps)
     return x.astype(jnp.float32)

@@ -60,6 +60,27 @@ def token_relevance_probs(
     return probs * attention_mask.astype(jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("config", "mesh", "axis"))
+def token_relevance_probs_sp(
+    params: Params,
+    config: EncoderConfig,
+    input_ids: jax.Array,  # [B, S] — S sharded over the mesh axis
+    attention_mask: jax.Array,
+    mesh,
+    axis: str = "tp",
+) -> jax.Array:
+    """Sequence-parallel token scoring: the single-pass long-context path
+    (no sliding windows) — ring attention for global layers, halo exchange
+    for local layers (`models/encoder.py::encoder_forward_sp`)."""
+    from .encoder import encoder_forward_sp
+
+    dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
+    hidden = encoder_forward_sp(params, config, input_ids, attention_mask, mesh, axis=axis)
+    logits = _dense(params["classifier"], hidden, dtype)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
+    return probs * attention_mask.astype(jnp.float32)
+
+
 def select_spans_from_token_probs(
     probs: np.ndarray,  # [T] per-context-token probabilities
     offsets: list[tuple[int, int]],  # [T] char offsets into the document
@@ -120,12 +141,18 @@ class ModelSpanExtractor(SpanExtractor):
         max_length: int = 8192,
         doc_stride: int = 256,
         seed: int = 0,
+        sp_mesh=None,
+        sp_axis: str = "tp",
     ):
         self.threshold = threshold
         self.min_span_chars = min_span_chars
         self.merge_gap_chars = merge_gap_chars
         self.max_length = max_length
         self.doc_stride = doc_stride
+        #: When set, contexts are scored in ONE sequence-sharded pass over
+        #: this mesh (no sliding windows) — the SP long-context path.
+        self.sp_mesh = sp_mesh
+        self.sp_axis = sp_axis
 
         if model_path is not None:
             from .hf_convert import load_highlighter_checkpoint
@@ -170,7 +197,8 @@ class ModelSpanExtractor(SpanExtractor):
 
         from .tokenizer import bucket_length
 
-        seq = min(bucket_length(max(len(r) for r in rows)), self.max_length)
+        longest = bucket_length(max(len(r) for r in rows))
+        seq = longest if self.sp_mesh is not None else min(longest, self.max_length)
         ids = np.full((len(rows), seq), self.tokenizer.pad_id, np.int32)
         mask = np.zeros((len(rows), seq), np.int32)
         for i, row in enumerate(rows):
@@ -178,11 +206,26 @@ class ModelSpanExtractor(SpanExtractor):
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1
 
-        probs = np.asarray(
-            token_relevance_probs(
-                self.params, self.config, jnp.asarray(ids), jnp.asarray(mask)
+        if self.sp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.sp_mesh, P(None, self.sp_axis))
+            probs = np.asarray(
+                token_relevance_probs_sp(
+                    self.params,
+                    self.config,
+                    jax.device_put(jnp.asarray(ids), shard),
+                    jax.device_put(jnp.asarray(mask), shard),
+                    self.sp_mesh,
+                    axis=self.sp_axis,
+                )
             )
-        )
+        else:
+            probs = np.asarray(
+                token_relevance_probs(
+                    self.params, self.config, jnp.asarray(ids), jnp.asarray(mask)
+                )
+            )
 
         out: list[list[tuple[int, int]]] = []
         cursor = 0
@@ -228,7 +271,10 @@ class ModelSpanExtractor(SpanExtractor):
         q_enc = self.tokenizer.encode_batch([question], max_length=512)
         q_tokens = [int(t) for t, m in zip(q_enc.input_ids[0], q_enc.attention_mask[0]) if m]
         # Question tokens keep their cls/sep framing; context appended after.
-        budget = max(self.max_length - len(q_tokens) - 1, 16)  # -1: trailing sep
+        if self.sp_mesh is not None:
+            budget = max(len(ctx_token_ids), 16)  # single window: SP pass
+        else:
+            budget = max(self.max_length - len(q_tokens) - 1, 16)  # -1: trailing sep
 
         windows = self._make_windows(len(ctx_token_ids), budget, self.doc_stride)
         sep = self.tokenizer.sep_id

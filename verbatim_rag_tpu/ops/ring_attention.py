@@ -106,6 +106,82 @@ def ring_attention(
     return fn(q, k, v, lengths)
 
 
+@partial(jax.jit, static_argnames=("window", "mesh", "axis"))
+def halo_attention(
+    q: jax.Array,  # [B, S, H, D] — S sharded over `axis`
+    k: jax.Array,
+    v: jax.Array,
+    lengths: jax.Array,  # [B]
+    window: int,  # full window width: attend iff |i−j| ≤ window//2
+    mesh: Mesh,
+    axis: str = "tp",
+) -> jax.Array:
+    """Sequence-sharded LOCAL attention via halo exchange.
+
+    The companion to :func:`ring_attention` for ModernBERT's sliding-window
+    layers: each device ppermutes only ``window//2`` boundary tokens from its
+    neighbors instead of rotating full KV shards, so local layers stay
+    O(S·window) even under sequence parallelism. Edge devices receive
+    wrap-around halos whose (global-position) mask kills them — correctness
+    never depends on ring topology.
+
+    Requires ``S / n_devices ≥ window//2``.
+    """
+    halo = window // 2
+    seq_len = q.shape[1]
+
+    def local_fn(q_s, k_s, v_s, lengths_rep):
+        n_dev = jax.lax.axis_size(axis)
+        my = jax.lax.axis_index(axis)
+        shard_len = q_s.shape[1]
+
+        right = [(j, (j + 1) % n_dev) for j in range(n_dev)]
+        left = [(j, (j - 1) % n_dev) for j in range(n_dev)]
+        # Halo from the LEFT neighbor = its last `halo` tokens sent rightward.
+        k_lh = jax.lax.ppermute(k_s[:, -halo:], axis, right)
+        v_lh = jax.lax.ppermute(v_s[:, -halo:], axis, right)
+        # Halo from the RIGHT neighbor = its first `halo` tokens sent leftward.
+        k_rh = jax.lax.ppermute(k_s[:, :halo], axis, left)
+        v_rh = jax.lax.ppermute(v_s[:, :halo], axis, left)
+        k_ext = jnp.concatenate([k_lh, k_s, k_rh], axis=1)  # [B, shard+2h, H, D]
+        v_ext = jnp.concatenate([v_lh, v_s, v_rh], axis=1)
+
+        q_pos = my * shard_len + jnp.arange(shard_len)  # global positions
+        k_pos = my * shard_len - halo + jnp.arange(shard_len + 2 * halo)
+
+        scale = 1.0 / jnp.sqrt(q_s.shape[-1]).astype(jnp.float32)
+        logits = (
+            jnp.einsum(
+                "bqhd,bkhd->bhqk", q_s, k_ext, preferred_element_type=jnp.float32
+            )
+            * scale
+        )
+        in_band = jnp.abs(q_pos[:, None] - k_pos[None, :]) <= halo
+        in_range = (k_pos[None, :] >= 0) & (k_pos[None, :] < seq_len)
+        valid = in_band[None, :, :] & in_range & (
+            k_pos[None, None, :] < lengths_rep[:, None, None]
+        )
+        logits = jnp.where(valid[:, None, :, :], logits, NEG_INF)
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd",
+            probs,
+            v_ext.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(q_s.dtype)
+
+    shard = P(None, axis, None, None)
+    fn = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(shard, shard, shard, P()),
+        out_specs=shard,
+        check_vma=False,
+    )
+    return fn(q, k, v, lengths)
+
+
 def shard_sequence(x: jax.Array, mesh: Mesh, axis: str = "tp") -> jax.Array:
     """Place [B, S, ...] with the sequence dim sharded over `axis`."""
     spec = [None] * x.ndim
