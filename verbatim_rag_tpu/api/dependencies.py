@@ -14,7 +14,8 @@ from .config import APIConfig
 
 logger = logging.getLogger(__name__)
 
-_lock = threading.Lock()
+# Reentrant: get_rag() composes the other getters while holding the lock.
+_lock = threading.RLock()
 _state: dict = {}
 
 
@@ -46,6 +47,9 @@ def get_index():
 
             path = config.index_path
             if path and os.path.exists(path + ".json"):
+                from verbatim_rag_tpu.engine.embedding_providers import (
+                    HashedSparseProvider,
+                )
                 from verbatim_rag_tpu.engine.store import DeviceVectorStore
 
                 store = DeviceVectorStore.load(path)
@@ -53,6 +57,11 @@ def get_index():
                 index.load_documents(path)
                 if store.dense_dim:
                     index.dense_provider = HashedBowDenseProvider(dim=store.dense_dim)
+                if store.sparse_vocab:
+                    index.sparse_provider = HashedSparseProvider(
+                        vocab_size=store.sparse_vocab
+                    )
+                index.enable_full_text = store.enable_full_text
             else:
                 index = VerbatimIndex(dense_provider=HashedBowDenseProvider())
             _state["index"] = index
