@@ -112,3 +112,14 @@ class TestParamSharding:
         ref = np.asarray(encoder_forward(params, config, ids, mask))
         got = np.asarray(encoder_forward(sharded, config, ids, mask))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestDistributedHelpers:
+    def test_single_process_noop(self):
+        from verbatim_rag_tpu.parallel.distributed import (
+            initialize,
+            process_local_batch_slice,
+        )
+
+        assert initialize() is False  # no coordinator configured
+        assert process_local_batch_slice(32) == slice(0, 32)
