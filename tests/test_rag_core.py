@@ -194,3 +194,14 @@ class TestNeuralExtractorPath:
             probs, offsets, threshold=0.5, min_span_chars=5, merge_gap_chars=5
         )
         assert spans == [(0, 25)]
+
+
+class TestQueryBatch:
+    def test_batched_questions(self, rag):
+        responses = rag.query_batch(
+            ["How do solar panels work?", "what are photovoltaic cells?"]
+        )
+        assert len(responses) == 2
+        assert "Solar panels convert sunlight" in responses[0].answer
+        for r in responses:
+            assert r.structured_answer is not None

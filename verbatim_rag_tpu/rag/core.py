@@ -163,6 +163,46 @@ class VerbatimRAG:
             display_span_count=len(display),
         )
 
+    def query_batch(
+        self,
+        questions: list[str],
+        k: int | None = None,
+        filter: Any = None,
+        hybrid_weights: Mapping[str, float] | None = None,
+        rrf_k: int = 60,
+    ) -> list[QueryResponse]:
+        """Serve many questions with ONE batched retrieval dispatch.
+
+        Retrieval for the whole batch is a single device program
+        (`VerbatimIndex.query_batch`); extraction/templating then run per
+        question. The batched-serving entry the reference lacks (its query
+        path is strictly one-question, `core.py:210-277`).
+        """
+        results_per_q = self.index.query_batch(
+            questions,
+            k=k or self.k,
+            filter=filter,
+            hybrid_weights=hybrid_weights,
+            rrf_k=rrf_k,
+        )
+        responses = []
+        for question, results in zip(questions, results_per_q):
+            results = self._apply_reranker(question, results)
+            relevant_spans = self.extractor.extract_spans(question, results)
+            display, citation = self._rank_and_split_spans(relevant_spans)
+            answer = self.template_manager.process(question, display, citation)
+            answer = self.response_builder.clean_answer(answer)
+            responses.append(
+                self.response_builder.build_response(
+                    question=question,
+                    answer=answer,
+                    search_results=results,
+                    relevant_spans=relevant_spans,
+                    display_span_count=len(display),
+                )
+            )
+        return responses
+
     # -- ingest passthrough ------------------------------------------------------------
 
     def add_document(self, doc) -> str:
