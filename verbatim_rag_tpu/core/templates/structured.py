@@ -196,9 +196,15 @@ class StructuredTemplate(TemplateStrategy):
 
 
 def _texts_of(items: list) -> list[str]:
+    """Accept both bare-string and {text, doc} item shapes."""
     texts = []
     for item in items:
-        text = item.strip() if isinstance(item, str) else str(item.get("text", "")).strip() if isinstance(item, dict) else ""
+        if isinstance(item, str):
+            text = item.strip()
+        elif isinstance(item, dict):
+            text = str(item.get("text", "")).strip()
+        else:
+            continue
         if text:
             texts.append(text)
     return texts

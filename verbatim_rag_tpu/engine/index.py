@@ -299,7 +299,6 @@ class VerbatimIndex:
 
     def save(self, path: str | None = None) -> None:
         import json
-        import os
 
         path = path or self.db_path
         if not path:
@@ -307,7 +306,6 @@ class VerbatimIndex:
         self.store.save(path)
         with open(path + ".docs.json", "w") as f:
             json.dump(self.documents, f)
-        del os
 
     def load_documents(self, path: str | None = None) -> None:
         import json
