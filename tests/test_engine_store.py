@@ -225,3 +225,32 @@ class TestAnalyzerParity:
         ids2, tfs2, dl2 = _analyze(text, vocab)
         np.testing.assert_array_equal(np.sort(ids2), np.sort(ids))
         assert dl2 == dl
+
+
+class TestFullTextHybrid:
+    def test_three_way_weighted_hybrid(self):
+        store = make_store(enable_full_text=True, full_text_vocab=1 << 12)
+        records = []
+        for i in range(8):
+            topic = "solar panels" if i % 2 == 0 else "wind turbines"
+            records.append(
+                {
+                    "id": f"h{i}",
+                    "text": f"Document {i} all about {topic} and energy systems.",
+                    "metadata": {},
+                    "dense": _unit(i),
+                    "sparse": {i % 50: 1.0},
+                }
+            )
+        store.add_vectors(records)
+        store.flush()
+        hits = store.query_batch(
+            dense_queries=np.stack([_unit(0)]),
+            sparse_queries=[{0: 1.0}],
+            text_queries=["solar panels"],
+            hybrid_weights={"dense": 0.2, "sparse": 0.2, "full_text": 0.6},
+            top_k=4,
+        )[0]
+        assert hits
+        # The full-text-dominant weighting should surface a solar doc first.
+        assert "solar" in hits[0].text
