@@ -67,3 +67,57 @@ class TestNeuralEndToEnd:
         for doc in response.documents:
             for h in doc.highlights:
                 assert doc.content[h.start : h.end] == h.text
+
+
+class TestMultiQuestionBatching:
+    def test_extract_spans_multi_matches_per_question(self, index):
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+        from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+
+        config = tiny_test_config(max_position_embeddings=256)
+        extractor = ModelSpanExtractor(
+            config=config,
+            tokenizer=HashTokenizer(vocab_size=config.vocab_size),
+            threshold=0.3,
+            min_span_chars=5,
+            max_length=128,
+            doc_stride=16,
+        )
+        q1_results = index.query("solar electricity", k=2)
+        q2_results = index.query("pasta cooking", k=2)
+
+        multi = extractor.extract_spans_multi(
+            [("solar?", q1_results), ("pasta?", q2_results)]
+        )
+        single_1 = extractor.extract_spans("solar?", q1_results)
+        single_2 = extractor.extract_spans("pasta?", q2_results)
+        assert multi[0] == single_1
+        assert multi[1] == single_2
+
+    def test_rag_query_batch_uses_multi(self, index):
+        from verbatim_rag_tpu.core.templates import TemplateManager
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+        from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+        from verbatim_rag_tpu.rag.core import VerbatimRAG
+
+        config = tiny_test_config(max_position_embeddings=256)
+        rag = VerbatimRAG(
+            index,
+            extractor=ModelSpanExtractor(
+                config=config,
+                tokenizer=HashTokenizer(vocab_size=config.vocab_size),
+                threshold=0.0,
+                min_span_chars=5,
+                max_length=128,
+                doc_stride=16,
+            ),
+            template_manager=TemplateManager(llm_client=None, default_mode="static"),
+        )
+        responses = rag.query_batch(["solar?", "wind power?"], k=2)
+        assert len(responses) == 2
+        for r in responses:
+            for d in r.documents:
+                for h in d.highlights:
+                    assert d.content[h.start : h.end] == h.text

@@ -183,17 +183,49 @@ class ModelSpanExtractor(SpanExtractor):
         """Score a (question, context) pair → char spans in ``context``."""
         return self.process_batch(question, [context])[0]
 
+    def extract_spans_multi(
+        self, pairs: list[tuple[str, list[Any]]]
+    ) -> list[dict[str, list[str]]]:
+        """Many (question, results) jobs in ONE device forward.
+
+        The cross-question batching path used by `VerbatimRAG.query_batch` —
+        every window of every document of every question lands in the same
+        padded batch.
+        """
+        flat_pairs: list[tuple[str, str]] = []
+        shapes: list[list[str]] = []
+        for question, results in pairs:
+            texts = [getattr(r, "text", "") for r in results]
+            shapes.append(texts)
+            flat_pairs.extend((question, t) for t in texts)
+        span_lists = self._process_pairs(flat_pairs)
+        out: list[dict[str, list[str]]] = []
+        cursor = 0
+        for texts in shapes:
+            spans_for_q: dict[str, list[str]] = {}
+            for text in texts:
+                spans = span_lists[cursor]
+                cursor += 1
+                spans_for_q[text] = [text[s:e] for s, e in spans]
+            out.append(spans_for_q)
+        return out
+
     def process_batch(
         self, question: str, contexts: list[str]
     ) -> list[list[tuple[int, int]]]:
         """Batched scoring: one padded forward over every context's windows."""
-        plans = [self._plan(question, c) for c in contexts]
+        return self._process_pairs([(question, c) for c in contexts])
+
+    def _process_pairs(
+        self, pairs: list[tuple[str, str]]
+    ) -> list[list[tuple[int, int]]]:
+        plans = [self._plan(q, c) for q, c in pairs]
         rows: list[list[int]] = []
         for plan in plans:
             if plan is not None:
                 rows.extend(plan["rows"])
         if not rows:
-            return [[] for _ in contexts]
+            return [[] for _ in pairs]
 
         from .tokenizer import bucket_length
 

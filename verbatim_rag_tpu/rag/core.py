@@ -185,10 +185,21 @@ class VerbatimRAG:
             hybrid_weights=hybrid_weights,
             rrf_k=rrf_k,
         )
+        reranked = [
+            self._apply_reranker(q, r) for q, r in zip(questions, results_per_q)
+        ]
+        if hasattr(self.extractor, "extract_spans_multi"):
+            # Neural extractor: all questions' windows in one device forward.
+            spans_per_q = self.extractor.extract_spans_multi(
+                list(zip(questions, reranked))
+            )
+        else:
+            spans_per_q = [
+                self.extractor.extract_spans(q, r) for q, r in zip(questions, reranked)
+            ]
+
         responses = []
-        for question, results in zip(questions, results_per_q):
-            results = self._apply_reranker(question, results)
-            relevant_spans = self.extractor.extract_spans(question, results)
+        for question, results, relevant_spans in zip(questions, reranked, spans_per_q):
             display, citation = self._rank_and_split_spans(relevant_spans)
             answer = self.template_manager.process(question, display, citation)
             answer = self.response_builder.clean_answer(answer)
