@@ -33,7 +33,7 @@ MAX_NNZ = 128
 VOCAB = 30522
 PROJ_DIM = 768
 RESCORE_DEPTH = 96
-QUERY_BATCH = 128
+QUERY_BATCH = 256
 QUERY_NNZ = 32
 TOP_K = 10
 RRF_K = 60

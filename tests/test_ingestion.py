@@ -131,3 +131,35 @@ class TestDocumentSchema:
         again = Document.from_dict(data)
         assert again.content == "hello"
         assert again.doc_type == DocumentType.MARKDOWN
+
+
+class TestChunkerFuzz:
+    def test_losslessness_fuzz(self):
+        """Random markdown-ish documents: concat of raw chunks == input,
+        under every merge/split configuration."""
+        import random
+
+        rng = random.Random(17)
+        pieces = [
+            "# H1 title\n", "## Section {i}\n", "### Deep {i}\n",
+            "plain paragraph {i} with words\n", "\n",
+            "```\ncode {i}\n## fake heading\n```\n",
+            "| a{i} | b |\n|---|---|\n| 1 | 2 |\n",
+            "Table {i}: caption\n", "- bullet {i}\n", "   \n",
+            "trailing text {i}", "#not-a-heading{i}\n", "#### H4 {i}\n",
+        ]
+        for trial in range(25):
+            doc = "".join(
+                rng.choice(pieces).replace("{i}", str(rng.randint(0, 99)))
+                for _ in range(rng.randint(1, 30))
+            )
+            for kwargs in (
+                {},
+                {"split_level": 3},
+                {"min_chunk_size": 20},
+                {"max_chunk_size": 50},
+                {"split_level": 4, "min_chunk_size": 15, "max_chunk_size": 80},
+            ):
+                chunker = MarkdownChunkerProvider(**kwargs)
+                pairs = chunker.chunk(doc)
+                assert "".join(raw for raw, _ in pairs) == doc, (trial, kwargs)
