@@ -254,3 +254,33 @@ class TestFullTextHybrid:
         assert hits
         # The full-text-dominant weighting should surface a solar doc first.
         assert "solar" in hits[0].text
+
+
+class TestHybridFastPathConsistency:
+    def test_fused_fast_path_matches_generic_hybrid(self):
+        """The one-device-call projected fast path must rank like the
+        generic per-method + host-RRF path."""
+        store = fill(make_store(), n=10)
+        dense_q = _unit(2)
+        sparse_q = {3: 1.0, 2: 0.4}
+
+        fast = store.query(dense_query=dense_q, sparse_query=sparse_q, top_k=5)
+
+        # Generic path: run methods separately and fuse on host.
+        import jax.numpy as jnp
+        from verbatim_rag_tpu.ops.fusion import rrf_fuse_np
+
+        mask = store._build_mask(None)
+        d_scores, d_rows = store._run_method("dense", dense_q[None, :], 10, mask)
+        s_scores, s_rows = store._run_method("sparse", [sparse_q], 10, mask)
+        _, rows = rrf_fuse_np(
+            np.stack([
+                np.where(d_scores > -1e29, d_rows, -1),
+                np.where(s_scores > -1e29, s_rows, -1),
+            ]),
+            np.asarray([0.5, 0.5], np.float32),
+            k=5,
+        )
+        expected_ids = [store._ids[r] for r in rows[0] if r >= 0]
+        assert [h.id for h in fast] == expected_ids
+        del jnp
