@@ -152,6 +152,8 @@ class TestHFParityModernBert:
         torch.manual_seed(0)
         model = ModernBertModel(hf_config).eval()
         config = modernbert_base_config(
+            compute_dtype="float32",  # parity vs torch f32
+            use_flash_attention=False,
             vocab_size=120,
             hidden_size=32,
             num_layers=4,

@@ -66,6 +66,7 @@ class EncoderConfig:
 def minilm_config(**overrides) -> EncoderConfig:
     """all-MiniLM-L6-v2-shaped config (384-d dense embedder)."""
     base = dict(
+        compute_dtype="bfloat16",
         vocab_size=30522,
         hidden_size=384,
         num_layers=6,
@@ -80,6 +81,7 @@ def minilm_config(**overrides) -> EncoderConfig:
 def bert_base_config(**overrides) -> EncoderConfig:
     """bert-base-uncased-shaped config (SPLADE backbones)."""
     base = dict(
+        compute_dtype="bfloat16",
         vocab_size=30522,
         hidden_size=768,
         num_layers=12,
@@ -100,6 +102,7 @@ def modernbert_base_config(**overrides) -> EncoderConfig:
     """
     base = dict(
         use_flash_attention=True,
+        compute_dtype="bfloat16",
         vocab_size=50368,
         hidden_size=768,
         num_layers=22,
