@@ -140,6 +140,13 @@ class DeviceVectorStore(VectorStore):
     ):
         if sparse_mode not in ("projected", "exact"):
             raise ValueError(f"sparse_mode must be 'projected' or 'exact', got {sparse_mode!r}")
+        if sparse_mode == "exact":
+            logger.warning(
+                "sparse_mode='exact' scans the forward index with XLA gathers — "
+                "correct everywhere, but orders of magnitude slower than "
+                "'projected' on TPU backends at large N (gathers don't "
+                "vectorize on the MXU/VPU). Intended for validation runs."
+            )
         self.dense_dim = dense_dim
         self.sparse_vocab = sparse_vocab
         self.sparse_max_nnz = sparse_max_nnz
