@@ -1,0 +1,245 @@
+"""Coverage for less-exercised behaviors: contextual/random templates,
+custom extraction prompts, streaming error events, VerbatimDOC variants,
+sentence-mode semantic extractor."""
+
+import asyncio
+from unittest.mock import MagicMock
+
+import pytest
+
+pytest.importorskip("jax")
+
+from verbatim_rag_tpu.core.extractors import LLMSpanExtractor
+from verbatim_rag_tpu.core.templates import (
+    ContextualTemplate,
+    RandomTemplate,
+    TemplateManager,
+)
+
+
+class TestContextualTemplate:
+    def _client(self, template="Custom intro [DISPLAY_SPANS]"):
+        client = MagicMock()
+        client.generate_template.return_value = template
+        return client
+
+    def test_generates_and_caches(self):
+        client = self._client()
+        ct = ContextualTemplate(client)
+        t1 = ct.generate("what is x?", ["span"], 0)
+        t2 = ct.generate("what is x?", ["span"], 0)
+        assert "[DISPLAY_SPANS]" in t1
+        assert t1 == t2
+        client.generate_template.assert_called_once()  # second hit cached
+
+    def test_placeholder_repair(self):
+        ct = ContextualTemplate(self._client(template="no placeholder here"))
+        assert "[DISPLAY_SPANS]" in ct.generate("q", [], 0)
+
+    def test_citation_refs_added_when_citations_exist(self):
+        ct = ContextualTemplate(self._client())
+        t = ct.generate("q", ["a"], citation_count=2)
+        assert "[CITATION_REFS]" in t
+
+    def test_fallback_on_error(self):
+        client = MagicMock()
+        client.generate_template.side_effect = RuntimeError("boom")
+        ct = ContextualTemplate(client)
+        t = ct.generate("q", ["a"], 0)
+        assert "[DISPLAY_SPANS]" in t
+
+    def test_cache_bounded(self):
+        ct = ContextualTemplate(self._client())
+        for i in range(150):
+            ct.generate(f"question {i}", [], 0)
+        assert len(ct._cache) <= 100
+
+    def test_requires_llm(self):
+        with pytest.raises(ValueError):
+            ContextualTemplate(None)
+
+
+class TestRandomTemplate:
+    def test_pool_pick_is_valid(self):
+        rt = RandomTemplate(seed=3)
+        for _ in range(5):
+            assert "[DISPLAY_SPANS]" in rt.generate("q", [])
+
+    def test_generate_pool_from_llm(self):
+        client = MagicMock()
+        client.generate_template_pool.return_value = [
+            "A: [DISPLAY_SPANS]",
+            "bad template without placeholder gets repaired",
+        ]
+        rt = RandomTemplate(llm_client=client, seed=0)
+        rt.generate_pool("energy", count=2)
+        assert len(rt.templates) == 2
+        assert all("[DISPLAY_SPANS]" in t for t in rt.templates)
+
+    def test_pool_failure_keeps_existing(self):
+        client = MagicMock()
+        client.generate_template_pool.side_effect = RuntimeError("down")
+        rt = RandomTemplate(llm_client=client)
+        before = list(rt.templates)
+        rt.generate_pool()
+        assert rt.templates == before
+
+
+class TestCitationFormatPropagation:
+    def test_manager_propagates_format(self):
+        tm = TemplateManager(llm_client=None, default_mode="static")
+        tm.set_citation_format("<<{number}>>")
+        out = tm.process("q", [{"text": "A fact."}], [])
+        assert "<<1>> A fact." in out
+
+    def test_manager_propagates_hidden_mode(self):
+        tm = TemplateManager(llm_client=None, default_mode="static")
+        tm.set_citation_mode("hidden")
+        out = tm.process("q", [{"text": "A fact."}], [])
+        assert "[1]" not in out and "A fact." in out
+
+
+class TestCustomExtractionPrompt:
+    def test_custom_prompt_renders_and_parses(self, make_search_result):
+        client = MagicMock()
+        client.complete.return_value = '{"doc_0": ["the span"]}'
+        extractor = LLMSpanExtractor(
+            llm_client=client,
+            extraction_mode="batch",
+            extraction_prompt="Q: {{ question }}\nDOCS:\n{{ documents }}\nJSON:",
+            system_prompt="be literal",
+        )
+        result = extractor.extract_spans("why?", [make_search_result("has the span here")])
+        assert result["has the span here"] == ["the span"]
+        prompt = client.complete.call_args.args[0]
+        assert "Q: why?" in prompt and "[doc_0]" in prompt
+        assert client.complete.call_args.kwargs["system_prompt"] == "be literal"
+
+
+class TestStreamingErrors:
+    def test_retrieval_failure_emits_error_event(self):
+        from verbatim_rag_tpu.core.templates import TemplateManager
+        from verbatim_rag_tpu.rag.core import VerbatimRAG
+        from verbatim_rag_tpu.rag.streaming import StreamingRAG
+
+        index = MagicMock()
+        index.query.side_effect = RuntimeError("index down")
+        rag = VerbatimRAG(
+            index,
+            extractor=MagicMock(),
+            template_manager=TemplateManager(llm_client=None, default_mode="static"),
+        )
+        events = StreamingRAG(rag).stream_query_sync("q?")
+        assert events[-1]["type"] == "error"
+        assert events[-1]["stage"] == "retrieval"
+
+    def test_extraction_failure_emits_error_after_documents(self, make_search_result):
+        from verbatim_rag_tpu.core.templates import TemplateManager
+        from verbatim_rag_tpu.rag.core import VerbatimRAG
+        from verbatim_rag_tpu.rag.streaming import StreamingRAG
+
+        index = MagicMock()
+        index.query.return_value = [make_search_result("some doc text")]
+        extractor = MagicMock()
+
+        async def boom(q, r):
+            raise RuntimeError("extract fail")
+
+        extractor.extract_spans_async = boom
+        rag = VerbatimRAG(
+            index,
+            extractor=extractor,
+            template_manager=TemplateManager(llm_client=None, default_mode="static"),
+        )
+        events = StreamingRAG(rag).stream_query_sync("q?")
+        types = [e["type"] for e in events]
+        assert types[0] == "documents"
+        assert types[-1] == "error"
+        assert events[-1]["stage"] == "extraction"
+
+
+class TestVerbatimDocVariants:
+    def _rag(self):
+        from verbatim_rag_tpu.core.models import (
+            DocumentWithHighlights,
+            Highlight,
+            QueryResponse,
+            StructuredAnswer,
+        )
+
+        rag = MagicMock()
+        rag.query.return_value = QueryResponse(
+            question="q",
+            answer="a",
+            structured_answer=StructuredAnswer(text="a"),
+            documents=[
+                DocumentWithHighlights(
+                    content="alpha beta gamma",
+                    title="Doc",
+                    highlights=[Highlight(text="alpha beta", start=0, end=10)],
+                )
+            ],
+        )
+        return rag
+
+    def test_interactive_veto(self):
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        doc = "x [!query=first] y [!query=second] z"
+        vd = VerbatimDOC(self._rag())
+        result = vd.process_interactive(doc, approve=lambda r: r.query.text == "first")
+        assert "[!query=second]" in result.document  # vetoed stays in place
+        assert "[!query=first]" not in result.document
+
+    def test_stream_process_events(self):
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        async def collect():
+            events = []
+            async for e in VerbatimDOC(self._rag()).stream_process("a [!query=only] b"):
+                events.append(e)
+            return events
+
+        events = asyncio.run(collect())
+        types = [e["type"] for e in events]
+        assert types == ["start", "progress", "query_complete", "done"]
+        assert "alpha beta" in events[-1]["document"]
+
+    def test_citation_dedup_across_queries(self):
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        doc = "first: [!query=a]\nsecond: [!query=b]"
+        result = VerbatimDOC(self._rag()).process(doc)
+        # Both queries surface the identical span → one global citation.
+        assert len(result.citations) == 1
+        assert result.document.count("[1]") == 2
+
+
+class TestSemanticSentenceMode:
+    def test_sentence_mode_snaps_to_boundaries(self):
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.highlighter import SemanticHighlightExtractor
+        from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+
+        config = tiny_test_config(max_position_embeddings=256)
+        extractor = SemanticHighlightExtractor(
+            config=config,
+            tokenizer=HashTokenizer(vocab_size=config.vocab_size),
+            mode="sentences",
+            threshold=0.0,  # random weights accept everything
+            min_span_chars=5,
+            max_length=128,
+            doc_stride=16,
+        )
+        text = "First sentence here. Second sentence there. Third one."
+        spans = extractor.process("q?", text)
+        assert spans
+        for s, e in spans:
+            # Sentence mode ends at boundaries (or text end).
+            assert e == len(text) or text[e - 1 : e + 1] in (". ", ".") or text[e - 1] in ".!?\n"
+
+    def test_invalid_mode_rejected(self):
+        from verbatim_rag_tpu.models.highlighter import SemanticHighlightExtractor
+
+        with pytest.raises(ValueError):
+            SemanticHighlightExtractor(mode="bogus")
