@@ -137,3 +137,50 @@ class TestRRF:
         rows = np.asarray(rows)[0]
         assert rows[0] == 3
         assert set(rows[1:]) == {-1}
+
+
+class TestHybridOps:
+    def test_hybrid_topk_fused_pipeline(self):
+        n, d, dp, b = 64, 16, 8, 2
+        corpus = RNG.normal(size=(n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        sp_ids = RNG.integers(1, 50, size=(n, 4)).astype(np.int32)
+        sp_w = RNG.random((n, 4)).astype(np.float32)
+        dq = corpus[:b].copy()  # queries identical to first rows
+        q_dense = np.zeros((b, 50), np.float32)
+        for i in range(b):
+            q_dense[i, sp_ids[i]] = sp_w[i]
+
+        from verbatim_rag_tpu.ops.hybrid import hybrid_topk
+
+        scores, rows = hybrid_topk(
+            jnp.asarray(corpus),
+            jnp.asarray(sp_ids),
+            jnp.asarray(sp_w),
+            jnp.asarray(dq),
+            jnp.asarray(q_dense),
+            k=5,
+            mask=jnp.ones(n, bool),
+            block=16,
+        )
+        rows = np.asarray(rows)
+        # Query i matches row i exactly in BOTH methods → fused rank 1.
+        for i in range(b):
+            assert rows[i, 0] == i
+
+    def test_hybrid_candidates_shapes_and_mask(self):
+        from verbatim_rag_tpu.ops.hybrid import hybrid_candidates
+
+        n = 32
+        dense = jnp.asarray(RNG.normal(size=(n, 8)), jnp.float32)
+        sketch = jnp.asarray(RNG.normal(size=(n, 8)), jnp.float32)
+        dq = jnp.asarray(RNG.normal(size=(2, 8)), jnp.float32)
+        qp = jnp.asarray(RNG.normal(size=(2, 8)), jnp.float32)
+        mask = np.ones(n, bool)
+        mask[:16] = False
+        d_rows, s_rows = hybrid_candidates(
+            dense, sketch, dq, qp, fetch_k=4, depth=6, mask=jnp.asarray(mask)
+        )
+        assert d_rows.shape == (2, 4) and s_rows.shape == (2, 6)
+        assert (np.asarray(d_rows) >= 16).all()  # masked rows excluded
+        assert (np.asarray(s_rows) >= 16).all()
