@@ -199,8 +199,23 @@ async def cors_middleware(request: web.Request, handler):
     return response
 
 
-def create_app(static_dir: str | None = None) -> web.Application:
+async def _warmup_on_startup(app: web.Application) -> None:
+    async def run():
+        try:
+            rag = await asyncio.to_thread(deps.get_rag)
+            await asyncio.to_thread(rag.warmup)
+            logger.info("warmup complete")
+        except Exception as exc:
+            logger.warning("startup warmup failed: %s", exc)
+
+    # Fire and forget: the server accepts requests while compiles run.
+    app["warmup_task"] = asyncio.create_task(run())
+
+
+def create_app(static_dir: str | None = None, warmup: bool = True) -> web.Application:
     app = web.Application(middlewares=[cors_middleware])
+    if warmup:
+        app.on_startup.append(_warmup_on_startup)
     app.router.add_get("/api/status", handle_status)
     app.router.add_get("/api/documents", handle_documents)
     app.router.add_get("/api/templates", handle_templates)

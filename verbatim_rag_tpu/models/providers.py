@@ -49,18 +49,22 @@ class JaxDenseProvider(DenseEmbeddingProvider):
         return self.embed_batch([text])[0]
 
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
-        out = []
+        """Pipelined batched encode: host tokenization of chunk i+1 overlaps
+        the (async-dispatched) device forward of chunk i; results are only
+        materialized at the end."""
+        pending = []
         for start in range(0, len(texts), self.batch_size):
             chunk = list(texts[start : start + self.batch_size])
             enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
-            vecs = embed_texts(
-                self.params,
-                self.config,
-                jnp.asarray(enc.input_ids),
-                jnp.asarray(enc.attention_mask),
+            pending.append(
+                embed_texts(
+                    self.params,
+                    self.config,
+                    jnp.asarray(enc.input_ids),
+                    jnp.asarray(enc.attention_mask),
+                )
             )
-            out.append(np.asarray(vecs))
-        return np.concatenate(out, axis=0)
+        return np.concatenate([np.asarray(v) for v in pending], axis=0)
 
     def get_dimension(self) -> int:
         return self.config.hidden_size
@@ -90,17 +94,23 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         return self.embed_batch([text])[0]
 
     def embed_batch(self, texts: Sequence[str]) -> list[dict[int, float]]:
-        out: list[dict[int, float]] = []
+        """Pipelined like the dense provider: dispatch every chunk's forward
+        before materializing any of them."""
+        pending = []
         for start in range(0, len(texts), self.batch_size):
             chunk = list(texts[start : start + self.batch_size])
             enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
-            ids, weights = splade_topk_terms(
-                self.params,
-                self.config,
-                jnp.asarray(enc.input_ids),
-                jnp.asarray(enc.attention_mask),
-                max_nnz=self.max_nnz,
+            pending.append(
+                splade_topk_terms(
+                    self.params,
+                    self.config,
+                    jnp.asarray(enc.input_ids),
+                    jnp.asarray(enc.attention_mask),
+                    max_nnz=self.max_nnz,
+                )
             )
+        out: list[dict[int, float]] = []
+        for ids, weights in pending:
             ids_np, w_np = np.asarray(ids), np.asarray(weights)
             for row_ids, row_w in zip(ids_np, w_np):
                 out.append(

@@ -214,6 +214,21 @@ class VerbatimRAG:
             )
         return responses
 
+    def warmup(self) -> None:
+        """Trigger every jit compile the query path needs (serving startup).
+
+        First-query latency on TPU is dominated by compilation; calling this
+        once (e.g. from the API server's startup hook) moves that cost out of
+        the first user request.
+        """
+        if self.index.inspect()["num_chunks"] == 0:
+            logger.info("warmup skipped: empty index")
+            return
+        try:
+            self.query("warmup query", k=1)
+        except Exception as exc:
+            logger.warning("warmup query failed: %s", exc)
+
     # -- ingest passthrough ------------------------------------------------------------
 
     def add_document(self, doc) -> str:

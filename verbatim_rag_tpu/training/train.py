@@ -30,7 +30,18 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh size")
     parser.add_argument("--tiny", action="store_true", help="tiny config (smoke test)")
     parser.add_argument("--init-from", help="checkpoint dir to warm-start from")
+    parser.add_argument(
+        "--mode",
+        default="sentence",
+        choices=["sentence", "token"],
+        help="sentence = legacy v1 classifier over QAData; "
+        "token = v2 highlighter over {question, context, answers} records",
+    )
+    parser.add_argument("--doc-stride", type=int, default=128, help="token mode windows")
     args = parser.parse_args(argv)
+
+    if args.mode == "token":
+        return _train_token(args)
 
     logging.basicConfig(level=logging.INFO)
 
@@ -87,6 +98,61 @@ def main(argv: list[str] | None = None) -> int:
         with open(os.path.join(args.output_dir, "test_metrics.json"), "w") as f:
             json.dump(test_metrics, f, indent=2)
         print(f"test: {test_metrics}")
+    return 0
+
+
+def _train_token(args) -> int:
+    """Token-classification training: produces params consumable by
+    `ModelSpanExtractor` (the v2 highlighter path)."""
+    import jax
+
+    from verbatim_rag_tpu.models.config import (
+        TrainingConfig,
+        modernbert_base_config,
+        tiny_test_config,
+    )
+    from verbatim_rag_tpu.models.highlighter import init_highlighter_params
+    from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+    from verbatim_rag_tpu.parallel.mesh import make_mesh
+    from verbatim_rag_tpu.training.model import token_loss
+    from verbatim_rag_tpu.training.token_dataset import (
+        TokenDatasetEncoder,
+        load_token_examples,
+    )
+    from verbatim_rag_tpu.training.trainer import Trainer
+
+    config = tiny_test_config() if args.tiny else modernbert_base_config()
+    tc = TrainingConfig(
+        learning_rate=args.learning_rate,
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
+        max_seq_length=args.max_seq_length,
+        seed=args.seed,
+    )
+    examples = load_token_examples(args.data_path)
+    train = [e for e in examples if e.split == "train"]
+    dev = [e for e in examples if e.split == "dev"] or train[: max(1, len(train) // 10)]
+
+    tokenizer = HashTokenizer(vocab_size=config.vocab_size)
+    encoder = TokenDatasetEncoder(
+        tokenizer, max_length=args.max_seq_length, doc_stride=args.doc_stride
+    )
+    params = init_highlighter_params(jax.random.PRNGKey(args.seed), config)
+    mesh = make_mesh(dp=args.dp, tp=args.tp) if (args.dp or args.tp > 1) else None
+    trainer = Trainer(
+        params, config, tc, output_dir=args.output_dir, mesh=mesh, loss_fn=token_loss
+    )
+    if args.init_from:
+        trainer.params = Trainer.load_checkpoint(args.init_from, trainer.params)
+
+    result = trainer.train(
+        [],
+        dev_batches=list(encoder.iter_batches(dev, args.batch_size)),
+        make_train_iter=lambda epoch: encoder.iter_batches(
+            train, args.batch_size, shuffle=True, seed=args.seed + epoch
+        ),
+    )
+    print(f"best dev token-F1: {result['best_f1']:.4f}")
     return 0
 
 
