@@ -205,3 +205,19 @@ class TestQueryBatch:
         assert "Solar panels convert sunlight" in responses[0].answer
         for r in responses:
             assert r.structured_answer is not None
+
+
+class TestGoldenEndToEnd:
+    def test_pinned_answer_text(self, rag):
+        """Golden regression: deterministic providers + extractor must keep
+        producing byte-identical answers across rounds."""
+        answer = rag.query("How do solar panels work?").answer
+        assert answer == (
+            "## Response\n\n"
+            "The following is an unordered list of verbatim excerpts from the "
+            "source documents. No synthesis or ranking is implied:\n\n"
+            "[1] Solar panels convert sunlight into electricity.\n\n"
+            "---\n"
+            "*These excerpts are taken verbatim from the source documents to "
+            "ensure accuracy.*"
+        )

@@ -125,3 +125,14 @@ class TestRagbenchConversion:
         sample = convert_example(example)
         assert sample.documents[0].sentences[0].relevant is True
         assert sample.documents[0].sentences[1].relevant is False
+
+
+class TestOrbaxCheckpoint:
+    def test_orbax_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        params = init_qa_model_params(jax.random.PRNGKey(0), CONFIG)
+        trainer = Trainer(params, CONFIG, TrainingConfig(num_epochs=1), str(tmp_path))
+        trainer.save_checkpoint(str(tmp_path / "ck"), format="orbax")
+        loaded = Trainer.load_checkpoint_orbax(str(tmp_path / "ck"), params)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -213,7 +213,13 @@ class Trainer:
 
     # -- checkpointing -----------------------------------------------------------
 
-    def save_checkpoint(self, path: str) -> None:
+    def save_checkpoint(self, path: str, format: str = "npz") -> None:
+        """Persist params. format="npz" (portable single file) or "orbax"
+        (sharding-aware, the right choice for multi-host training — each
+        process writes only its shards)."""
+        if format == "orbax":
+            self._save_orbax(path)
+            return
         os.makedirs(path, exist_ok=True)
         flat, _treedef = jax.tree_util.tree_flatten_with_path(self.params)
         arrays = {
@@ -223,6 +229,20 @@ class Trainer:
             for key_path, leaf in flat
         }
         np.savez_compressed(os.path.join(path, "params.npz"), **arrays)
+
+    def _save_orbax(self, path: str) -> None:
+        import orbax.checkpoint as ocp
+
+        checkpointer = ocp.StandardCheckpointer()
+        checkpointer.save(os.path.abspath(path) + "/orbax", self.params, force=True)
+        checkpointer.wait_until_finished()
+
+    @staticmethod
+    def load_checkpoint_orbax(path: str, template: Params) -> Params:
+        import orbax.checkpoint as ocp
+
+        checkpointer = ocp.StandardCheckpointer()
+        return checkpointer.restore(os.path.abspath(path) + "/orbax", template)
 
     @staticmethod
     def load_checkpoint(path: str, template: Params) -> Params:
