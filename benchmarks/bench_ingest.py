@@ -1,0 +1,88 @@
+"""Ingest throughput: chunk → neural encode (dense + SPLADE) → device index.
+
+Uses the repository's own source/docs as a real-text corpus (no network).
+Prints one JSON line per phase:
+
+  {"metric": "ingest_chunks_per_s", ...}   full pipeline, neural providers
+  {"metric": "encode_only_chunks_per_s", ...}
+
+Run: python benchmarks/bench_ingest.py [--repeat 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--repeat", type=int, default=8, help="corpus multiplier")
+    parser.add_argument("--max-length", type=int, default=256)
+    args = parser.parse_args()
+
+    from verbatim_rag_tpu.engine.index import VerbatimIndex
+    from verbatim_rag_tpu.ingestion.schema import DocumentSchema
+    from verbatim_rag_tpu.models.providers import JaxDenseProvider, JaxSpladeProvider
+
+    root = Path(__file__).parent.parent
+    docs = []
+    for i in range(args.repeat):
+        for path in sorted(root.rglob("*.md")) + sorted(
+            (root / "verbatim_rag_tpu").rglob("*.py")
+        ):
+            text = path.read_text(encoding="utf-8", errors="ignore")
+            if text.strip():
+                docs.append(
+                    DocumentSchema(
+                        content=text, title=f"{path.name}#{i}", source=str(path)
+                    )
+                )
+
+    dense = JaxDenseProvider(max_length=args.max_length, batch_size=64)
+    sparse = JaxSpladeProvider(max_length=args.max_length, batch_size=32, max_nnz=64)
+    index = VerbatimIndex(dense_provider=dense, sparse_provider=sparse)
+
+    # Warm the compiles with a tiny probe (excluded from timing).
+    index.add_documents([{"content": "warmup text for the encoders", "title": "w"}])
+
+    start = time.perf_counter()
+    index.add_documents_bulk(docs, chunk_batch_size=2000)
+    elapsed = time.perf_counter() - start
+    n_chunks = index.inspect()["num_chunks"]
+    print(
+        json.dumps(
+            {
+                "metric": "ingest_chunks_per_s",
+                "value": round(n_chunks / elapsed, 1),
+                "unit": "chunks/s",
+                "n_chunks": n_chunks,
+                "n_docs": len(docs),
+                "elapsed_s": round(elapsed, 1),
+            }
+        ),
+        flush=True,
+    )
+
+    # Encode-only throughput on the same text (isolates the device share).
+    chunks = [h.enhanced_text for h in index.get_all_chunks(limit=2000)]
+    start = time.perf_counter()
+    dense.embed_batch(chunks)
+    sparse.embed_batch(chunks)
+    elapsed = time.perf_counter() - start
+    print(
+        json.dumps(
+            {
+                "metric": "encode_only_chunks_per_s",
+                "value": round(len(chunks) / elapsed, 1),
+                "unit": "chunks/s",
+                "n_chunks": len(chunks),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
