@@ -51,20 +51,27 @@ class JaxDenseProvider(DenseEmbeddingProvider):
     def embed_batch(self, texts: Sequence[str]) -> np.ndarray:
         """Pipelined batched encode: host tokenization of chunk i+1 overlaps
         the (async-dispatched) device forward of chunk i; results are only
-        materialized at the end."""
+        materialized at the end. Partial final chunks are padded to the full
+        batch size — a fresh batch shape would trigger a recompile."""
         pending = []
         for start in range(0, len(texts), self.batch_size):
             chunk = list(texts[start : start + self.batch_size])
+            real = len(chunk)
+            if real < self.batch_size:
+                chunk += [""] * (self.batch_size - real)
             enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
             pending.append(
-                embed_texts(
-                    self.params,
-                    self.config,
-                    jnp.asarray(enc.input_ids),
-                    jnp.asarray(enc.attention_mask),
+                (
+                    embed_texts(
+                        self.params,
+                        self.config,
+                        jnp.asarray(enc.input_ids),
+                        jnp.asarray(enc.attention_mask),
+                    ),
+                    real,
                 )
             )
-        return np.concatenate([np.asarray(v) for v in pending], axis=0)
+        return np.concatenate([np.asarray(v)[:real] for v, real in pending], axis=0)
 
     def get_dimension(self) -> int:
         return self.config.hidden_size
@@ -99,19 +106,25 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         pending = []
         for start in range(0, len(texts), self.batch_size):
             chunk = list(texts[start : start + self.batch_size])
+            real = len(chunk)
+            if real < self.batch_size:
+                chunk += [""] * (self.batch_size - real)  # fixed batch shape
             enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
             pending.append(
-                splade_topk_terms(
-                    self.params,
-                    self.config,
-                    jnp.asarray(enc.input_ids),
-                    jnp.asarray(enc.attention_mask),
-                    max_nnz=self.max_nnz,
+                (
+                    splade_topk_terms(
+                        self.params,
+                        self.config,
+                        jnp.asarray(enc.input_ids),
+                        jnp.asarray(enc.attention_mask),
+                        max_nnz=self.max_nnz,
+                    ),
+                    real,
                 )
             )
         out: list[dict[int, float]] = []
-        for ids, weights in pending:
-            ids_np, w_np = np.asarray(ids), np.asarray(weights)
+        for (ids, weights), real in pending:
+            ids_np, w_np = np.asarray(ids)[:real], np.asarray(weights)[:real]
             for row_ids, row_w in zip(ids_np, w_np):
                 out.append(
                     {int(t): float(w) for t, w in zip(row_ids, row_w) if w > 0.0}

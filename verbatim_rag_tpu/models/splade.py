@@ -42,6 +42,9 @@ def init_splade_params(key: jax.Array, config: EncoderConfig) -> Params:
     return params
 
 
+_SEQ_CHUNK = 32  # vocab-logit chunk along the sequence axis
+
+
 @partial(jax.jit, static_argnames=("config",))
 def splade_forward(
     params: Params,
@@ -49,24 +52,45 @@ def splade_forward(
     input_ids: jax.Array,  # [B, S]
     attention_mask: jax.Array,  # [B, S]
 ) -> jax.Array:
-    """Return sparse activations [B, vocab] (float32, ≥ 0)."""
+    """Return sparse activations [B, vocab] (float32, ≥ 0).
+
+    The [B, S, V] MLM logit tensor is never materialized: log1p∘relu and max
+    are monotone, so ``max_s log1p(relu(x_s)) = log1p(relu(max_s x_s))`` and
+    the vocab projection runs as a running-max scan over sequence chunks —
+    peak memory drops from O(S·V) to O(chunk·V) per example.
+    """
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     hidden = encoder_forward(params, config, input_ids, attention_mask)
     head = params["mlm_head"]
     x = _dense(head["transform"], hidden, dtype)
     x = jax.nn.gelu(x, approximate=False)
-    x = _layer_norm(head["ln"], x, config.layer_norm_eps)
-    logits = (
-        jnp.dot(
-            x.astype(dtype),
-            params["embeddings"]["word"].T.astype(dtype),
-            preferred_element_type=jnp.float32,
-        )
-        + head["output_bias"]
-    )  # [B, S, V]
-    acts = jnp.log1p(jax.nn.relu(logits))
-    acts = acts * attention_mask.astype(jnp.float32)[..., None]
-    return jnp.max(acts, axis=1)  # [B, V]
+    x = _layer_norm(head["ln"], x, config.layer_norm_eps)  # [B, S, H] f32
+
+    batch, seq, h = x.shape
+    chunk = min(_SEQ_CHUNK, seq)
+    pad = (-seq) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        attention_mask = jnp.pad(attention_mask, ((0, 0), (0, pad)))
+    n_chunks = (seq + pad) // chunk
+
+    w_vocab = params["embeddings"]["word"].T.astype(dtype)  # [H, V]
+    bias = head["output_bias"]
+    x_chunks = x.reshape(batch, n_chunks, chunk, h).transpose(1, 0, 2, 3)
+    m_chunks = attention_mask.reshape(batch, n_chunks, chunk).transpose(1, 0, 2)
+
+    def step(running_max, inputs):
+        x_c, m_c = inputs  # [B, chunk, H], [B, chunk]
+        logits = (
+            jnp.dot(x_c.astype(dtype), w_vocab, preferred_element_type=jnp.float32)
+            + bias
+        )  # [B, chunk, V]
+        logits = jnp.where(m_c[..., None] > 0, logits, -jnp.inf)
+        return jnp.maximum(running_max, jnp.max(logits, axis=1)), None
+
+    init = jnp.full((batch, w_vocab.shape[1]), -jnp.inf, jnp.float32)
+    vmax, _ = jax.lax.scan(step, init, (x_chunks, m_chunks))
+    return jnp.log1p(jax.nn.relu(vmax))
 
 
 @partial(jax.jit, static_argnames=("config", "max_nnz"))
