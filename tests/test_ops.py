@@ -184,3 +184,34 @@ class TestHybridOps:
         assert d_rows.shape == (2, 4) and s_rows.shape == (2, 6)
         assert (np.asarray(d_rows) >= 16).all()  # masked rows excluded
         assert (np.asarray(s_rows) >= 16).all()
+
+
+class TestTwoStageTopK:
+    def test_exactness_vs_full_topk(self):
+        from verbatim_rag_tpu.ops.dense import two_stage_topk
+
+        scores = jnp.asarray(RNG.normal(size=(3, 20000)).astype(np.float32))
+        ref_s, ref_i = jax.lax.top_k(scores, 17)
+        got_s, got_i = two_stage_topk(scores, 17)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-6)
+        # Indices may differ on exact ties; scores must match exactly.
+        gathered = np.take_along_axis(np.asarray(scores), np.asarray(got_i), axis=1)
+        np.testing.assert_allclose(gathered, np.asarray(ref_s), rtol=1e-6)
+
+    def test_ragged_tail_included(self):
+        from verbatim_rag_tpu.ops.dense import TOPK_BLOCK, two_stage_topk
+
+        n = 3 * TOPK_BLOCK + 123
+        scores = np.zeros((1, n), np.float32)
+        scores[0, n - 5] = 7.0  # winner lives in the ragged tail
+        got_s, got_i = two_stage_topk(jnp.asarray(scores), 3)
+        assert np.asarray(got_i)[0, 0] == n - 5
+        assert np.asarray(got_s)[0, 0] == 7.0
+
+    def test_small_n_fallback(self):
+        from verbatim_rag_tpu.ops.dense import two_stage_topk
+
+        scores = jnp.asarray(RNG.normal(size=(2, 100)).astype(np.float32))
+        got_s, _ = two_stage_topk(scores, 5)
+        ref_s, _ = jax.lax.top_k(scores, 5)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s))

@@ -30,6 +30,44 @@ def normalize_rows(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     return x / jnp.maximum(norm, eps)
 
 
+#: Column-block size for the two-stage k-selection.
+TOPK_BLOCK = 4096
+
+
+def two_stage_topk(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+    """Exact top-k over a huge axis via blockwise selection.
+
+    ``lax.top_k`` over N≈1M columns sorts the whole row; selecting the top-k
+    of each 4096-column block first and then re-selecting over the block
+    winners is exact (every global top-k element is a top-k element of its
+    block) and far cheaper — the expensive sort runs on short rows in
+    parallel.
+    """
+    batch, n = scores.shape
+    if n <= 2 * TOPK_BLOCK or k >= TOPK_BLOCK:
+        return jax.lax.top_k(scores, k)
+    n_blocks = n // TOPK_BLOCK
+    main = scores[:, : n_blocks * TOPK_BLOCK].reshape(batch, n_blocks, TOPK_BLOCK)
+    blk_scores, blk_idx = jax.lax.top_k(main, k)  # [B, nb, k]
+    base = (jnp.arange(n_blocks) * TOPK_BLOCK)[None, :, None]
+    cand_scores = blk_scores.reshape(batch, -1)
+    cand_idx = (blk_idx + base).reshape(batch, -1)
+    tail = scores[:, n_blocks * TOPK_BLOCK :]
+    if tail.shape[1]:
+        cand_scores = jnp.concatenate([cand_scores, tail], axis=1)
+        cand_idx = jnp.concatenate(
+            [
+                cand_idx,
+                jnp.broadcast_to(
+                    jnp.arange(n_blocks * TOPK_BLOCK, n)[None, :], tail.shape
+                ),
+            ],
+            axis=1,
+        )
+    top_scores, pos = jax.lax.top_k(cand_scores, k)
+    return top_scores, jnp.take_along_axis(cand_idx, pos, axis=1)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def dense_topk(
     corpus: jax.Array,  # [N, d] row-normalized, bf16 or f32
@@ -39,15 +77,16 @@ def dense_topk(
 ) -> tuple[jax.Array, jax.Array]:
     """Exact cosine top-k: returns (scores [B, k], row indices [B, k]).
 
-    One `[B, d] @ [d, N]` MXU matmul; masked rows score -inf. ``k`` is static
-    so repeated queries hit the same executable.
+    One `[B, d] @ [d, N]` MXU matmul; masked rows score -inf; k-selection is
+    the blockwise two-stage scheme. ``k`` is static so repeated queries hit
+    the same executable.
     """
     scores = jnp.dot(
         queries.astype(corpus.dtype), corpus.T, preferred_element_type=jnp.float32
     )  # [B, N]
     if mask is not None:
         scores = jnp.where(mask[None, :], scores, NEG_INF)
-    return jax.lax.top_k(scores, k)
+    return two_stage_topk(scores, k)
 
 
 @partial(jax.jit, static_argnames=("k",))

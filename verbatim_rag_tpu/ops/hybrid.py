@@ -42,8 +42,10 @@ def hybrid_candidates(
     RRF/rescoring, so per-list selection recall folds into the same knob as
     the sketch depth.
     """
+    from .dense import two_stage_topk
+
     select = (
-        jax.lax.top_k
+        two_stage_topk
         if exact_topk
         else partial(jax.lax.approx_max_k, recall_target=0.99)
     )
