@@ -42,10 +42,8 @@ def hybrid_candidates(
     RRF/rescoring, so per-list selection recall folds into the same knob as
     the sketch depth.
     """
-    from .dense import two_stage_topk
-
     select = (
-        two_stage_topk
+        jax.lax.top_k
         if exact_topk
         else partial(jax.lax.approx_max_k, recall_target=0.99)
     )
