@@ -42,6 +42,10 @@ BASELINE_PER_CHIP_QPS = 10_000 / 8  # BASELINE.md target split across v5e-8
 
 def main() -> None:
     import jax
+
+    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     import jax.numpy as jnp
 
     from verbatim_rag_tpu.ops.fusion import rrf_fuse_np

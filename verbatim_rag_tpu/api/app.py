@@ -232,6 +232,10 @@ def create_app(static_dir: str | None = None, warmup: bool = True) -> web.Applic
 def main() -> None:
     import os
 
+    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     config = deps.get_config()
     logging.basicConfig(level=config.log_level)
     frontend = os.path.join(os.path.dirname(__file__), "..", "..", "frontend")

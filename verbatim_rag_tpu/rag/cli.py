@@ -125,6 +125,9 @@ def _template(args):
 
 
 def main(argv: list[str] | None = None) -> int:
+    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(prog="verbatim-rag-tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

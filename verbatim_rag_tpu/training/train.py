@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
 
     logging.basicConfig(level=logging.INFO)
 
+    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     import jax
 
     from verbatim_rag_tpu.models.config import (

@@ -1,0 +1,33 @@
+"""Persistent XLA compilation cache.
+
+First compiles on TPU cost tens of seconds to minutes; enabling JAX's
+persistent cache makes every entry point (CLI, server, bench, training)
+warm-start across processes. Called by the CLIs/server/bench at startup —
+importing a library module never mutates global config.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/verbatim_rag_tpu/jax")
+
+
+def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
+    """Idempotent; respects an externally-set JAX_COMPILATION_CACHE_DIR."""
+    import jax
+
+    cache_dir = (
+        cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR") or DEFAULT_CACHE_DIR
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        logger.info("JAX persistent compilation cache: %s", cache_dir)
+    except Exception as exc:  # never fail startup over a cache
+        logger.warning("Could not enable compilation cache: %s", exc)
