@@ -215,3 +215,135 @@ class TestTwoStageTopK:
         got_s, _ = two_stage_topk(scores, 5)
         ref_s, _ = jax.lax.top_k(scores, 5)
         np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s))
+
+
+class TestFusedHybridDevice:
+    """The round-2 fully-on-device hybrid pipeline vs the host reference."""
+
+    def _corpus(self, n=512, d=32, d_p=64, m=8, vocab=200):
+        dense = RNG.normal(size=(n, d)).astype(np.float32)
+        dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+        ids = RNG.integers(1, vocab, size=(n, m)).astype(np.int32)
+        w = RNG.random(size=(n, m)).astype(np.float32)
+        pad = RNG.random(size=(n, m)) < 0.3
+        ids[pad] = 0
+        w[pad] = 0.0
+        # Unique term ids per row (SPLADE contract) — collide dupes into pad.
+        for r in range(n):
+            seen = set()
+            for j in range(m):
+                if ids[r, j] in seen:
+                    ids[r, j] = 0
+                    w[r, j] = 0.0
+                elif ids[r, j] != 0:
+                    seen.add(int(ids[r, j]))
+        from verbatim_rag_tpu.ops.sparse_projected import projection_matrix, project_rows
+
+        proj = projection_matrix(vocab, d_p, seed=1)
+        sketches = project_rows(ids, w, proj)
+        return dense, ids, w, sketches, proj, vocab
+
+    def _queries(self, b=3, d=32, vocab=200, qnnz=6):
+        dq = RNG.normal(size=(b, d)).astype(np.float32)
+        dq /= np.linalg.norm(dq, axis=1, keepdims=True)
+        q_ids = np.zeros((b, 16), np.int32)
+        q_w = np.zeros((b, 16), np.float32)
+        for i in range(b):
+            terms = RNG.choice(np.arange(1, vocab), size=qnnz, replace=False)
+            q_ids[i, :qnnz] = terms
+            q_w[i, :qnnz] = RNG.random(qnnz).astype(np.float32)
+        return dq, q_ids, q_w
+
+    def test_exact_rescore_device_matches_host(self):
+        from verbatim_rag_tpu.ops.hybrid import exact_rescore_device
+        from verbatim_rag_tpu.ops.sparse_projected import exact_rescore
+
+        dense, ids, w, _sk, _p, vocab = self._corpus()
+        _dq, q_ids, q_w = self._queries(vocab=vocab)
+        cand = RNG.integers(-1, dense.shape[0], size=(3, 20)).astype(np.int64)
+
+        q_dense = np.zeros((3, vocab), np.float32)
+        for i in range(3):
+            for t, v in zip(q_ids[i], q_w[i]):
+                if t:
+                    q_dense[i, t] += v
+        host = exact_rescore(cand, ids, w, q_dense)
+
+        dev = np.asarray(
+            exact_rescore_device(
+                jnp.asarray(cand, jnp.int32), jnp.asarray(ids), jnp.asarray(w),
+                jnp.asarray(q_ids), jnp.asarray(q_w),
+            )
+        )
+        valid = cand >= 0
+        np.testing.assert_allclose(dev[valid], host[valid], rtol=1e-5, atol=1e-5)
+        assert (dev[~valid] < -1e29).all() and (host[~valid] == -np.inf).all()
+
+    def test_projected_sparse_topk_matches_exact_scan(self):
+        from verbatim_rag_tpu.ops.hybrid import projected_sparse_topk
+        from verbatim_rag_tpu.ops.sparse import sparse_topk as exact_scan
+
+        dense, ids, w, sketches, proj, vocab = self._corpus()
+        _dq, q_ids, q_w = self._queries(vocab=vocab)
+        q_dense = np.zeros((3, vocab), np.float32)
+        for i in range(3):
+            q_dense[i, q_ids[i]] += q_w[i]
+            q_dense[i, 0] = 0.0
+        q_proj = (q_dense @ proj).astype(np.float32)
+        mask = jnp.ones(dense.shape[0], bool)
+
+        # Full-depth rescore == exact scan (approximation only prunes candidates).
+        scores, rows = projected_sparse_topk(
+            jnp.asarray(sketches), jnp.asarray(ids), jnp.asarray(w),
+            jnp.asarray(q_proj), jnp.asarray(q_ids), jnp.asarray(q_w),
+            k=5, depth=dense.shape[0], mask=mask,
+        )
+        ref_scores, _ref_rows = exact_scan(
+            jnp.asarray(ids), jnp.asarray(w), jnp.asarray(q_dense), 5,
+            jnp.ones(dense.shape[0], bool), block=dense.shape[0],
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(ref_scores), rtol=1e-4, atol=1e-4
+        )
+
+    def test_hybrid_fused_matches_host_pipeline(self):
+        from verbatim_rag_tpu.ops.fusion import rrf_fuse_np
+        from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk
+        from verbatim_rag_tpu.ops.sparse_projected import exact_rescore
+
+        dense, ids, w, sketches, proj, vocab = self._corpus()
+        dq, q_ids, q_w = self._queries(vocab=vocab)
+        q_dense = np.zeros((3, vocab), np.float32)
+        for i in range(3):
+            q_dense[i, q_ids[i]] += q_w[i]
+            q_dense[i, 0] = 0.0
+        q_proj = (q_dense @ proj).astype(np.float32)
+        mask = np.ones(dense.shape[0], bool)
+        mask[7] = False
+        k, fetch_k, depth, rrf_k = 6, 12, 48, 60
+
+        f_scores, f_rows = hybrid_fused_topk(
+            jnp.asarray(dense), jnp.asarray(sketches), jnp.asarray(ids),
+            jnp.asarray(w), jnp.asarray(dq), jnp.asarray(q_proj),
+            jnp.asarray(q_ids), jnp.asarray(q_w),
+            k=k, fetch_k=fetch_k, depth=depth, mask=jnp.asarray(mask),
+        )
+
+        # Host reference: same candidates, host rescore + host RRF.
+        d_scores = dq @ dense.T
+        d_scores[:, ~mask] = -np.inf
+        d_rows = np.argsort(-d_scores, axis=1)[:, :fetch_k]
+        s_approx = q_proj @ sketches.T
+        s_approx[:, ~mask] = -np.inf
+        s_cand = np.argsort(-s_approx, axis=1)[:, :depth]
+        exact = exact_rescore(s_cand.astype(np.int64), ids, w, q_dense)
+        order = np.argsort(-exact, axis=1)[:, :fetch_k]
+        s_rows = np.take_along_axis(s_cand, order, axis=1)
+        ref_scores, ref_rows = rrf_fuse_np(
+            np.stack([d_rows, s_rows]), np.asarray([0.5, 0.5], np.float32),
+            k=k, rrf_k=rrf_k,
+        )
+        np.testing.assert_allclose(
+            np.asarray(f_scores), ref_scores, rtol=1e-5, atol=1e-6
+        )
+        assert 7 not in np.asarray(f_rows)

@@ -20,7 +20,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-1e30)
+# Plain float, NOT a jnp scalar: a module-level jnp constant would
+# initialize JAX backends at import time, which breaks
+# `jax.distributed.initialize` (it must run before backend init).
+NEG_INF = -1e30
 
 
 def normalize_rows(x: jax.Array, eps: float = 1e-12) -> jax.Array:

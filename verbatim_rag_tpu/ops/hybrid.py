@@ -63,6 +63,150 @@ def hybrid_candidates(
     return d_rows, s_rows
 
 
+def exact_rescore_device(
+    cand_rows: jax.Array,  # [B, C] candidate row indices (−1 = missing)
+    sp_ids: jax.Array,  # [N, m] forward index term ids (0 = pad)
+    sp_w: jax.Array,  # [N, m] term weights (0 in pad slots)
+    q_ids: jax.Array,  # [B, qm] query term ids (0 = pad)
+    q_w: jax.Array,  # [B, qm] query term weights (0 in pad slots)
+) -> jax.Array:
+    """Exact sparse scores for each (query, candidate) — on device, [B, C] f32.
+
+    TPU-native formulation: instead of gathering from a [B, V] dense query
+    table (random vocab-gathers don't vectorize on TPU), match candidate term
+    ids against the query's own (tiny) term list with broadcast compares —
+    a `lax.scan` over query terms of [B, C, m] VPU elementwise work. Doc rows
+    have unique term ids, so each match hits at most one slot; pad slots
+    carry weight 0 on both sides and contribute nothing.
+
+    Row gather `sp_ids[cand]` is a contiguous-row gather (512 B rows), which
+    the TPU memory system handles at near-streaming rate.
+    """
+    safe = jnp.maximum(cand_rows, 0)
+    flat = safe.reshape(-1)
+    m = sp_ids.shape[1]
+    cand_ids = jnp.take(sp_ids, flat, axis=0).reshape(*cand_rows.shape, m)
+    cand_w = jnp.take(sp_w, flat, axis=0).reshape(*cand_rows.shape, m).astype(jnp.float32)
+
+    def per_term(acc, term):
+        t_id, t_w = term  # each [B]
+        match = cand_ids == t_id[:, None, None]  # [B, C, m]
+        hit = jnp.sum(jnp.where(match, cand_w, 0.0), axis=-1)  # [B, C]
+        return acc + t_w[:, None] * hit, None
+
+    init = jnp.zeros(cand_rows.shape, jnp.float32)
+    scores, _ = jax.lax.scan(
+        per_term, init, (q_ids.T.astype(jnp.int32), q_w.T.astype(jnp.float32))
+    )
+    return jnp.where(cand_rows >= 0, scores, NEG_INF)
+
+
+def _candidate_select(exact_topk: bool):
+    """k-selection for candidate lists: XLA `top_k` (exact) or the TPU-native
+    `approx_max_k` (the hardware MIPS top-k; measured 3–10× faster at
+    [256, 1M] on v5e — 86 ms → 8 ms for k=96). Candidates feed exact rescore
+    + RRF, so per-list selection recall (target 0.99) folds into the same
+    quality knob as the sketch depth; reported scores stay exact either way.
+    """
+    if exact_topk:
+        return jax.lax.top_k
+    return partial(jax.lax.approx_max_k, recall_target=0.99)
+
+
+@partial(jax.jit, static_argnames=("k", "depth", "exact_topk"))
+def projected_sparse_topk(
+    sketch_corpus: jax.Array,  # [N, d_p] sparse sketches
+    sp_ids: jax.Array,  # [N, m] forward index
+    sp_w: jax.Array,  # [N, m]
+    sketch_q: jax.Array,  # [B, d_p] query sketches
+    q_ids: jax.Array,  # [B, qm] padded query terms
+    q_w: jax.Array,  # [B, qm]
+    k: int,
+    depth: int,
+    mask: jax.Array | None = None,
+    exact_topk: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Projected sparse search entirely on device: sketch-matmul candidates,
+    exact forward-index rescore, final top-k. One program, one sync.
+
+    Returns (exact scores [B, k], rows [B, k]; −1/−inf where missing).
+    """
+    s_scores = jnp.dot(
+        sketch_q.astype(sketch_corpus.dtype),
+        sketch_corpus.T,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
+    c_top, cand = _candidate_select(exact_topk)(s_scores, k=depth)
+    cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
+
+    exact = exact_rescore_device(cand, sp_ids, sp_w, q_ids, q_w)
+    top_scores, pos = jax.lax.top_k(exact, k)
+    rows = jnp.take_along_axis(cand, pos, axis=1)
+    rows = jnp.where(top_scores > NEG_INF / 2, rows, -1)
+    return top_scores, rows
+
+
+@partial(jax.jit, static_argnames=("k", "fetch_k", "depth", "rrf_k", "exact_topk"))
+def hybrid_fused_topk(
+    dense_corpus: jax.Array,  # [N, d] row-normalized
+    sketch_corpus: jax.Array,  # [N, d_p] sparse sketches
+    sp_ids: jax.Array,  # [N, m] forward index
+    sp_w: jax.Array,  # [N, m]
+    dense_q: jax.Array,  # [B, d] row-normalized
+    sketch_q: jax.Array,  # [B, d_p]
+    q_ids: jax.Array,  # [B, qm] padded query terms
+    q_w: jax.Array,  # [B, qm]
+    k: int,
+    fetch_k: int,
+    depth: int,
+    mask: jax.Array | None = None,
+    dense_weight: jax.Array | float = 0.5,
+    sparse_weight: jax.Array | float = 0.5,
+    rrf_k: int = 60,
+    exact_topk: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """The full hybrid query as ONE device program: both candidate matmuls,
+    exact sparse rescore of the top-`depth` sketch candidates, and weighted
+    RRF fusion — no host phase at all (replaces the round-1 design where
+    rescore + RRF synced to the host per batch, `milvus_base.py:261-294`
+    being the behavioral contract).
+
+    Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
+    """
+    select = _candidate_select(exact_topk)
+    d_scores = jnp.dot(
+        dense_q.astype(dense_corpus.dtype),
+        dense_corpus.T,
+        preferred_element_type=jnp.float32,
+    )
+    s_scores = jnp.dot(
+        sketch_q.astype(sketch_corpus.dtype),
+        sketch_corpus.T,
+        preferred_element_type=jnp.float32,
+    )
+    if mask is not None:
+        d_scores = jnp.where(mask[None, :], d_scores, NEG_INF)
+        s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
+    d_top, d_rows = select(d_scores, k=fetch_k)
+    d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
+
+    c_top, cand = select(s_scores, k=depth)
+    cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
+    exact = exact_rescore_device(cand, sp_ids, sp_w, q_ids, q_w)
+    r_top, r_pos = jax.lax.top_k(exact, fetch_k)
+    s_rows = jnp.take_along_axis(cand, r_pos, axis=1)
+    s_rows = jnp.where(r_top > NEG_INF / 2, s_rows, -1)
+
+    total = dense_weight + sparse_weight
+    weights = jnp.stack(
+        [jnp.asarray(dense_weight, jnp.float32), jnp.asarray(sparse_weight, jnp.float32)]
+    ) / jnp.asarray(total, jnp.float32)
+    stacked = jnp.stack([d_rows, s_rows])  # [2, B, fetch_k]
+    return rrf_fuse_device(stacked, weights, k=min(k, fetch_k), rrf_k=rrf_k)
+
+
 @partial(jax.jit, static_argnames=("k", "rrf_k", "block"))
 def hybrid_topk(
     dense_corpus: jax.Array,  # [N, d] row-normalized
