@@ -113,3 +113,120 @@ class TestBulkIngest:
         assert idx.inspect()["num_documents"] == 2
         hits = idx.query("solar panels sunlight", k=3)
         assert all(h.metadata["document_id"] != ids[0] for h in hits)
+
+
+class TestProviderIdentity:
+    """ADVICE round 1 (high): an index must reload into the SAME vector
+    space — provider identity is persisted and reconstructed."""
+
+    def test_save_load_roundtrip_reconstructs_providers(self, tmp_path):
+        from verbatim_rag_tpu.engine.embedding_providers import (
+            HashedBowDenseProvider,
+            HashedSparseProvider,
+        )
+        from verbatim_rag_tpu.engine.index import VerbatimIndex
+
+        idx = VerbatimIndex(
+            dense_provider=HashedBowDenseProvider(dim=48),
+            sparse_provider=HashedSparseProvider(vocab_size=96),
+        )
+        idx.add_documents([{"content": "solar panels convert sunlight", "title": "t"}])
+        path = str(tmp_path / "idx")
+        idx.save(path)
+
+        loaded = VerbatimIndex.load(path)
+        assert type(loaded.dense_provider).__name__ == "HashedBowDenseProvider"
+        assert loaded.dense_provider.dim == 48
+        assert type(loaded.sparse_provider).__name__ == "HashedSparseProvider"
+        assert loaded.sparse_provider.vocab_size == 96
+        # Same vector space → the query reproduces the original results.
+        a = idx.query("solar panels", k=1)
+        b = loaded.query("solar panels", k=1)
+        assert a and b and a[0].id == b[0].id and abs(a[0].score - b[0].score) < 1e-5
+
+    def test_jax_provider_identity_roundtrip(self, tmp_path):
+        pytest.importorskip("jax")
+        from verbatim_rag_tpu.engine.embedding_providers import provider_from_config
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.providers import JaxDenseProvider
+
+        provider = JaxDenseProvider(config=tiny_test_config(), seed=3)
+        rebuilt = provider_from_config(provider.describe())
+        import numpy as np
+
+        np.testing.assert_allclose(
+            provider.embed_batch(["hello world"]),
+            rebuilt.embed_batch(["hello world"]),
+            rtol=1e-5,
+        )
+
+    def test_adhoc_params_refuse_reconstruction(self):
+        pytest.importorskip("jax")
+        from verbatim_rag_tpu.engine.embedding_providers import provider_from_config
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.providers import JaxDenseProvider
+        import jax
+
+        from verbatim_rag_tpu.models.encoder import init_encoder_params
+
+        cfg = tiny_test_config()
+        provider = JaxDenseProvider(
+            params=init_encoder_params(jax.random.PRNGKey(9), cfg), config=cfg
+        )
+        ident = provider.describe()
+        assert ident["reconstructible"] is False
+        with pytest.raises(ValueError, match="cannot be reconstructed"):
+            provider_from_config(ident)
+
+    def test_legacy_index_without_identity_warns_and_falls_back(self, tmp_path, caplog):
+        import logging
+        import os
+
+        from verbatim_rag_tpu.engine.embedding_providers import HashedBowDenseProvider
+        from verbatim_rag_tpu.engine.index import VerbatimIndex
+
+        idx = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=32))
+        idx.add_documents([{"content": "wind turbines", "title": "t"}])
+        path = str(tmp_path / "legacy")
+        idx.save(path)
+        os.remove(path + ".providers.json")  # simulate a round-1 save
+
+        with caplog.at_level(logging.WARNING):
+            loaded = VerbatimIndex.load(path)
+        assert "no provider identity" in caplog.text
+        assert loaded.dense_provider.dim == 32
+
+
+class TestSearchParams:
+    def test_rescore_depth_and_approx_forwarded(self):
+        from verbatim_rag_tpu.engine.embedding_providers import (
+            HashedBowDenseProvider,
+            HashedSparseProvider,
+        )
+        from verbatim_rag_tpu.engine.index import VerbatimIndex
+
+        idx = VerbatimIndex(
+            dense_provider=HashedBowDenseProvider(dim=32),
+            sparse_provider=HashedSparseProvider(vocab_size=64),
+        )
+        idx.add_documents(
+            [{"content": f"doc about {w}", "title": w} for w in ("sun", "wind", "sea")]
+        )
+        base = idx.query("sun", k=2)
+        tuned = idx.query(
+            "sun", k=2, search_params={"rescore_depth": 4, "approx_topk": False}
+        )
+        assert [h.id for h in base] == [h.id for h in tuned]
+
+    def test_unknown_search_params_warn_not_crash(self, caplog):
+        import logging
+
+        from verbatim_rag_tpu.engine.embedding_providers import HashedBowDenseProvider
+        from verbatim_rag_tpu.engine.index import VerbatimIndex
+
+        idx = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=32))
+        idx.add_documents([{"content": "solar", "title": "t"}])
+        with caplog.at_level(logging.WARNING):
+            hits = idx.query("solar", k=1, search_params={"nprobe": 7})
+        assert hits
+        assert "nprobe" in caplog.text

@@ -284,3 +284,16 @@ class TestHybridFastPathConsistency:
         expected_ids = [store._ids[r] for r in rows[0] if r >= 0]
         assert [h.id for h in fast] == expected_ids
         del jnp
+
+
+class TestPendingDuplicates:
+    def test_duplicate_id_in_pending_buffer_rejected(self):
+        from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+        store = DeviceVectorStore(dense_dim=4, sparse_vocab=None, block=8)
+        store.add_vectors([{"id": "a", "text": "x", "dense": [1, 0, 0, 0]}])
+        # Not flushed yet — the dup must still be caught.
+        with pytest.raises(ValueError, match="Duplicate id"):
+            store.add_vectors([{"id": "a", "text": "y", "dense": [0, 1, 0, 0]}])
+        store.flush()
+        assert store.count() == 1

@@ -123,3 +123,149 @@ class TestDistributedHelpers:
 
         assert initialize() is False  # no coordinator configured
         assert process_local_batch_slice(32) == slice(0, 32)
+
+
+class TestMeshStore:
+    """`DeviceVectorStore(mesh=...)`: the serving store sharded over the mesh
+    must return the same results as the single-device store (VERDICT.md #1)."""
+
+    def _records(self, n=300, d=16, vocab=64, nnz=6):
+        rng = np.random.default_rng(11)
+        records = []
+        for i in range(n):
+            vec = rng.normal(size=d).astype(np.float32)
+            terms = rng.choice(np.arange(1, vocab), size=nnz, replace=False)
+            sparse = {int(t): float(rng.random() + 0.05) for t in terms}
+            records.append(
+                {
+                    "id": f"r{i}",
+                    "text": f"document number {i} about topic {i % 7}",
+                    "enhanced_text": f"enhanced {i}",
+                    "metadata": {"document_id": f"doc{i % 10}", "topic": i % 7},
+                    "dense": vec,
+                    "sparse": sparse,
+                }
+            )
+        return records
+
+    def _stores(self, mesh, **kwargs):
+        from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+        common = dict(
+            dense_dim=16, sparse_vocab=64, sparse_max_nnz=8, block=64,
+            projection_dim=32, rescore_depth=512, **kwargs,
+        )
+        plain = DeviceVectorStore(**common)
+        sharded = DeviceVectorStore(mesh=mesh, **common)
+        records = self._records()
+        plain.add_vectors(records)
+        sharded.add_vectors([dict(r) for r in records])
+        plain.flush()
+        sharded.flush()
+        return plain, sharded
+
+    @staticmethod
+    def _assert_same(res_a, res_b):
+        for hits_a, hits_b in zip(res_a, res_b):
+            assert [h.id for h in hits_a] == [h.id for h in hits_b]
+            np.testing.assert_allclose(
+                [h.score for h in hits_a], [h.score for h in hits_b],
+                rtol=1e-4, atol=1e-5,
+            )
+
+    def test_dense_parity(self, mesh):
+        plain, sharded = self._stores(mesh)
+        rng = np.random.default_rng(3)
+        q = rng.normal(size=(4, 16)).astype(np.float32)
+        self._assert_same(
+            plain.query_batch(dense_queries=q, top_k=10),
+            sharded.query_batch(dense_queries=q, top_k=10),
+        )
+
+    def test_sparse_projected_parity(self, mesh):
+        # rescore_depth covers the corpus → exact → identical to plain.
+        plain, sharded = self._stores(mesh)
+        qs = [{3: 1.0, 9: 0.5, 17: 0.25}, {40: 2.0, 5: 0.1}]
+        self._assert_same(
+            plain.query_batch(sparse_queries=qs, top_k=8),
+            sharded.query_batch(sparse_queries=qs, top_k=8),
+        )
+
+    def test_sparse_exact_mode_parity(self, mesh):
+        plain, sharded = self._stores(mesh, sparse_mode="exact")
+        qs = [{3: 1.0, 9: 0.5, 17: 0.25}]
+        self._assert_same(
+            plain.query_batch(sparse_queries=qs, top_k=8),
+            sharded.query_batch(sparse_queries=qs, top_k=8),
+        )
+
+    def test_hybrid_parity(self, mesh):
+        plain, sharded = self._stores(mesh)
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        qs = [{3: 1.0, 9: 0.5}, {40: 2.0, 5: 0.1}, {1: 1.0, 2: 1.0, 4: 1.0}]
+        self._assert_same(
+            plain.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+            sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+        )
+
+    def test_filter_and_delete_parity(self, mesh):
+        plain, sharded = self._stores(mesh)
+        for store in (plain, sharded):
+            store.delete([f"r{i}" for i in range(0, 50)])
+        rng = np.random.default_rng(9)
+        q = rng.normal(size=(2, 16)).astype(np.float32)
+        filt = {"topic": 3}
+        res_p = plain.query_batch(dense_queries=q, top_k=10, filter=filt)
+        res_s = sharded.query_batch(dense_queries=q, top_k=10, filter=filt)
+        self._assert_same(res_p, res_s)
+        for hits in res_s:
+            assert hits and all(h.metadata["topic"] == 3 for h in hits)
+            assert all(int(h.id[1:]) >= 50 for h in hits)
+
+    def test_index_query_parity(self, mesh):
+        """VerbatimIndex.query end to end: sharded 8-device store ==
+        single-device store (the VERDICT.md round-1 'done' criterion)."""
+        from verbatim_rag_tpu.engine.embedding_providers import (
+            HashedBowDenseProvider,
+            HashedSparseProvider,
+        )
+        from verbatim_rag_tpu.engine.index import VerbatimIndex
+
+        # Tied raw scores make top-k order ambiguous (rank ties resolve
+        # differently across merge strategies, exactly as across Milvus
+        # segment counts), so parity is asserted on tie-free data: every doc
+        # carries the query terms with a unique multiplicity, making all
+        # dense/sparse scores strictly distinct.
+        words = [f"w{j}" for j in range(400)]
+        doc_rng = np.random.default_rng(21)
+        docs = [
+            {
+                "content": f"Paragraph {i}: "
+                           + "solar " * (i + 1)
+                           + "wind " * ((i * 7) % 40 + 1)
+                           + " ".join(doc_rng.choice(words, size=12, replace=False)),
+                "title": f"d{i}",
+            }
+            for i in range(40)
+        ]
+        def build(mesh_arg):
+            idx = VerbatimIndex(
+                dense_provider=HashedBowDenseProvider(dim=64),
+                sparse_provider=HashedSparseProvider(vocab_size=128),
+                mesh=mesh_arg,
+            )
+            idx.store.block = 64
+            idx.add_documents(list(docs))
+            return idx
+
+        plain, sharded = build(None), build(mesh)
+        for question in ("solar panel efficiency", "wind turbine storage"):
+            hits_p = plain.query(question, k=5)
+            hits_s = sharded.query(question, k=5)
+            # Chunk ids are fresh uuids per build — compare content + scores.
+            assert [h.text for h in hits_p] == [h.text for h in hits_s]
+            np.testing.assert_allclose(
+                [h.score for h in hits_p], [h.score for h in hits_s],
+                rtol=1e-4, atol=1e-5,
+            )

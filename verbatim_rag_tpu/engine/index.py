@@ -23,7 +23,12 @@ from verbatim_rag_tpu.ingestion.chunkers import ChunkerProvider, MarkdownChunker
 from verbatim_rag_tpu.ingestion.document import Chunk, Document
 from verbatim_rag_tpu.ingestion.schema import DocumentSchema
 
-from .embedding_providers import DenseEmbeddingProvider, SparseEmbeddingProvider
+from .embedding_providers import (
+    DenseEmbeddingProvider,
+    HashedBowDenseProvider,
+    HashedSparseProvider,
+    SparseEmbeddingProvider,
+)
 from .filters import FilterSpec
 from .search_result import SearchResult
 from .store import DeviceVectorStore, VectorStore
@@ -42,6 +47,7 @@ class VerbatimIndex:
         store: VectorStore | None = None,
         enable_full_text: bool = False,
         db_path: str | None = None,
+        mesh=None,
     ):
         self.dense_provider = dense_provider
         self.sparse_provider = sparse_provider
@@ -55,6 +61,7 @@ class VerbatimIndex:
                 dense_dim=dense_provider.get_dimension() if dense_provider else None,
                 sparse_vocab=sparse_provider.get_dimension() if sparse_provider else None,
                 enable_full_text=enable_full_text,
+                mesh=mesh,
             )
         #: document_id → {title, source, metadata, num_chunks}
         self.documents: dict[str, dict[str, Any]] = {}
@@ -213,8 +220,12 @@ class VerbatimIndex:
         - explicit ``search_type`` in {dense, sparse, hybrid, full_text};
         - otherwise auto: hybrid when both providers exist, else whichever
           single provider is configured.
+
+        ``search_params`` forwards per-search knobs to the store (parity with
+        the reference forwarding Milvus search_params): ``rescore_depth``
+        trades sparse recall vs speed per query; ``approx_topk`` picks the
+        candidate k-selection strategy.
         """
-        del search_params  # reserved (reference forwards Milvus knobs here)
         if texts is None:
             return self.store.query_batch(top_k=k, filter=filter)
 
@@ -244,6 +255,7 @@ class VerbatimIndex:
             search_type=None if len(methods) > 1 else next(iter(methods)),
             hybrid_weights=hybrid_weights,
             rrf_k=rrf_k,
+            search_params=search_params,
         )
 
     def _resolve_search_type(
@@ -306,6 +318,15 @@ class VerbatimIndex:
         self.store.save(path)
         with open(path + ".docs.json", "w") as f:
             json.dump(self.documents, f)
+        # Provider identity: an index is only meaningful in the vector space
+        # of the providers that built it (ADVICE round 1) — persist who they
+        # were so `load` reconstructs the same space or fails loudly.
+        providers = {
+            "dense": self.dense_provider.describe() if self.dense_provider else None,
+            "sparse": self.sparse_provider.describe() if self.sparse_provider else None,
+        }
+        with open(path + ".providers.json", "w") as f:
+            json.dump(providers, f)
 
     def load_documents(self, path: str | None = None) -> None:
         import json
@@ -313,3 +334,65 @@ class VerbatimIndex:
         path = path or self.db_path
         with open(path + ".docs.json") as f:
             self.documents = json.load(f)
+
+    @classmethod
+    def load(
+        cls,
+        path: str,
+        mesh=None,
+        dense_provider: DenseEmbeddingProvider | None = None,
+        sparse_provider: SparseEmbeddingProvider | None = None,
+    ) -> "VerbatimIndex":
+        """Load a saved index, reconstructing the providers that built it.
+
+        Explicit provider args override the persisted identities. For legacy
+        indexes saved without identities, falls back to hashed providers with
+        a loud warning (those indexes were hashed-built in practice, but the
+        space cannot be verified).
+        """
+        import json
+        import logging
+        import os
+
+        from .embedding_providers import provider_from_config
+
+        store = DeviceVectorStore.load(path, mesh=mesh)
+        providers_path = path + ".providers.json"
+        if os.path.exists(providers_path):
+            with open(providers_path) as f:
+                identities = json.load(f)
+            if dense_provider is None:
+                dense_provider = provider_from_config(identities.get("dense"))
+            if sparse_provider is None:
+                sparse_provider = provider_from_config(identities.get("sparse"))
+        else:
+            log = logging.getLogger(__name__)
+            if dense_provider is None and store.dense_dim:
+                log.warning(
+                    "Index at %s has no provider identity (pre-round-2 save); "
+                    "assuming HashedBowDenseProvider(dim=%d). If it was built "
+                    "with a neural provider, retrieval will be meaningless — "
+                    "pass the original provider explicitly.",
+                    path,
+                    store.dense_dim,
+                )
+                dense_provider = HashedBowDenseProvider(dim=store.dense_dim)
+            if sparse_provider is None and store.sparse_vocab:
+                log.warning(
+                    "Index at %s has no sparse provider identity; assuming "
+                    "HashedSparseProvider(vocab_size=%d).",
+                    path,
+                    store.sparse_vocab,
+                )
+                sparse_provider = HashedSparseProvider(vocab_size=store.sparse_vocab)
+
+        index = cls(
+            dense_provider=dense_provider,
+            sparse_provider=sparse_provider,
+            store=store,
+            enable_full_text=store.enable_full_text,
+            db_path=path,
+        )
+        if os.path.exists(path + ".docs.json"):
+            index.load_documents(path)
+        return index
