@@ -47,21 +47,9 @@ def get_index():
 
             path = config.index_path
             if path and os.path.exists(path + ".json"):
-                from verbatim_rag_tpu.engine.embedding_providers import (
-                    HashedSparseProvider,
-                )
-                from verbatim_rag_tpu.engine.store import DeviceVectorStore
-
-                store = DeviceVectorStore.load(path)
-                index = VerbatimIndex(store=store, db_path=path)
-                index.load_documents(path)
-                if store.dense_dim:
-                    index.dense_provider = HashedBowDenseProvider(dim=store.dense_dim)
-                if store.sparse_vocab:
-                    index.sparse_provider = HashedSparseProvider(
-                        vocab_size=store.sparse_vocab
-                    )
-                index.enable_full_text = store.enable_full_text
+                # Reconstruct the providers that built the index from the
+                # persisted identity — never guess the vector space.
+                index = VerbatimIndex.load(path)
             else:
                 index = VerbatimIndex(dense_provider=HashedBowDenseProvider())
             _state["index"] = index

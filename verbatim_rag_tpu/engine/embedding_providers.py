@@ -34,6 +34,12 @@ class DenseEmbeddingProvider(ABC):
     @abstractmethod
     def get_dimension(self) -> int: ...
 
+    def describe(self) -> dict:
+        """JSON-safe identity persisted with an index so the SAME vector
+        space is reconstructed at load time (an index queried with a
+        different provider returns meaningless rankings)."""
+        return {"class": type(self).__name__}
+
 
 class SparseEmbeddingProvider(ABC):
     @abstractmethod
@@ -45,6 +51,39 @@ class SparseEmbeddingProvider(ABC):
 
     @abstractmethod
     def get_dimension(self) -> int: ...
+
+    def describe(self) -> dict:
+        """JSON-safe identity persisted with an index (see dense variant)."""
+        return {"class": type(self).__name__}
+
+
+def provider_from_config(config: dict | None):
+    """Rebuild a provider from its persisted `describe()` identity.
+
+    :raises ValueError: when the identity names an unknown class or a
+        checkpoint-backed provider whose weights can't be located — callers
+        must not silently fall back to a mismatched vector space
+        (ADVICE round 1: a --neural index silently reloaded with hashed
+        providers returns meaningless rankings).
+    """
+    if not config:
+        return None
+    name = config.get("class")
+    if name == "HashedBowDenseProvider":
+        return HashedBowDenseProvider(dim=int(config.get("dim", 384)))
+    if name == "HashedSparseProvider":
+        return HashedSparseProvider(vocab_size=int(config.get("vocab_size", 30522)))
+    if name == "OpenAIEmbeddingProvider":
+        return OpenAIEmbeddingProvider(
+            model=config.get("model", "text-embedding-ada-002"),
+            api_base=config.get("api_base", "https://api.openai.com/v1"),
+            dimension=config.get("dimension"),
+        )
+    if name in ("JaxDenseProvider", "JaxSpladeProvider"):
+        from verbatim_rag_tpu.models import providers as jax_providers
+
+        return jax_providers.provider_from_config(config)
+    raise ValueError(f"Cannot reconstruct embedding provider from identity {config!r}")
 
 
 class HashedBowDenseProvider(DenseEmbeddingProvider):
@@ -68,6 +107,9 @@ class HashedBowDenseProvider(DenseEmbeddingProvider):
     def get_dimension(self) -> int:
         return self.dim
 
+    def describe(self) -> dict:
+        return {"class": "HashedBowDenseProvider", "dim": self.dim}
+
 
 class HashedSparseProvider(SparseEmbeddingProvider):
     """Deterministic sparse embeddings: log-scaled hashed term frequencies."""
@@ -84,6 +126,9 @@ class HashedSparseProvider(SparseEmbeddingProvider):
 
     def get_dimension(self) -> int:
         return self.vocab_size
+
+    def describe(self) -> dict:
+        return {"class": "HashedSparseProvider", "vocab_size": self.vocab_size}
 
 
 class OpenAIEmbeddingProvider(DenseEmbeddingProvider):
@@ -138,6 +183,15 @@ class OpenAIEmbeddingProvider(DenseEmbeddingProvider):
 
     def get_dimension(self) -> int:
         return self.dimension
+
+    def describe(self) -> dict:
+        # Never persist the api key.
+        return {
+            "class": "OpenAIEmbeddingProvider",
+            "model": self.model,
+            "api_base": self.api_base,
+            "dimension": self.dimension,
+        }
 
 
 def __getattr__(name: str):

@@ -38,12 +38,22 @@ class JaxDenseProvider(DenseEmbeddingProvider):
         max_length: int = 512,
         batch_size: int = 64,
         seed: int = 0,
+        checkpoint: str | None = None,
     ):
         self.config = config or minilm_config()
-        self.params = params or init_encoder_params(jax.random.PRNGKey(seed), self.config)
+        if params is None and checkpoint:
+            params = _load_params_npz(
+                checkpoint, init_encoder_params(jax.random.PRNGKey(seed), self.config)
+            )
+        self._custom_params = params is not None and checkpoint is None
+        self.params = params if params is not None else init_encoder_params(
+            jax.random.PRNGKey(seed), self.config
+        )
         self.tokenizer = tokenizer or HashTokenizer(vocab_size=self.config.vocab_size)
         self.max_length = max_length
         self.batch_size = batch_size
+        self.seed = seed
+        self.checkpoint = checkpoint
 
     def embed_text(self, text: str) -> np.ndarray:
         return self.embed_batch([text])[0]
@@ -76,6 +86,9 @@ class JaxDenseProvider(DenseEmbeddingProvider):
     def get_dimension(self) -> int:
         return self.config.hidden_size
 
+    def describe(self) -> dict:
+        return _describe_jax_provider(self, "JaxDenseProvider")
+
 
 class JaxSpladeProvider(SparseEmbeddingProvider):
     """SPLADE sparse embeddings with on-device top-k term selection."""
@@ -89,13 +102,23 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         batch_size: int = 32,
         max_nnz: int = 128,
         seed: int = 0,
+        checkpoint: str | None = None,
     ):
         self.config = config or minilm_config()
-        self.params = params or init_splade_params(jax.random.PRNGKey(seed), self.config)
+        if params is None and checkpoint:
+            params = _load_params_npz(
+                checkpoint, init_splade_params(jax.random.PRNGKey(seed), self.config)
+            )
+        self._custom_params = params is not None and checkpoint is None
+        self.params = params if params is not None else init_splade_params(
+            jax.random.PRNGKey(seed), self.config
+        )
         self.tokenizer = tokenizer or HashTokenizer(vocab_size=self.config.vocab_size)
         self.max_length = max_length
         self.batch_size = batch_size
         self.max_nnz = max_nnz
+        self.seed = seed
+        self.checkpoint = checkpoint
 
     def embed_text(self, text: str) -> dict[int, float]:
         return self.embed_batch([text])[0]
@@ -133,3 +156,78 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
 
     def get_dimension(self) -> int:
         return self.config.vocab_size
+
+    def describe(self) -> dict:
+        ident = _describe_jax_provider(self, "JaxSpladeProvider")
+        ident["max_nnz"] = self.max_nnz
+        return ident
+
+
+def _describe_jax_provider(provider, class_name: str) -> dict:
+    """Persisted identity for a JAX provider (ADVICE round 1: an index must
+    be reloadable into the SAME vector space, or fail loudly)."""
+    import dataclasses
+
+    return {
+        "class": class_name,
+        "config": dataclasses.asdict(provider.config),
+        "seed": provider.seed,
+        "checkpoint": provider.checkpoint,
+        "max_length": provider.max_length,
+        "batch_size": provider.batch_size,
+        # With ad-hoc params and no checkpoint path the exact weights are
+        # unrecoverable — reconstruction must refuse rather than guess.
+        "reconstructible": not provider._custom_params,
+        "tokenizer": provider.tokenizer.describe()
+        if hasattr(provider.tokenizer, "describe")
+        else {"class": type(provider.tokenizer).__name__},
+    }
+
+
+def _load_params_npz(checkpoint: str, template: Params) -> Params:
+    """Load a trainer-format ``<dir>/params.npz`` checkpoint into the
+    provider's parameter pytree (`training/trainer.py` save layout)."""
+    from verbatim_rag_tpu.training.trainer import Trainer
+
+    return Trainer.load_checkpoint(checkpoint, template)
+
+
+def provider_from_config(config: dict):
+    """Reconstruct a JAX provider from its `describe()` identity."""
+    from verbatim_rag_tpu.models.config import EncoderConfig
+
+    if not config.get("reconstructible", True):
+        raise ValueError(
+            f"{config.get('class')} was built with ad-hoc parameters and no "
+            "checkpoint path; its weights cannot be reconstructed. Re-save "
+            "the index with a checkpoint-backed provider."
+        )
+    enc = EncoderConfig(**config["config"]) if config.get("config") else None
+    tok_cfg = config.get("tokenizer") or {}
+    tokenizer = None
+    if tok_cfg.get("class") == "HashTokenizer":
+        tokenizer = HashTokenizer(vocab_size=int(tok_cfg.get("vocab_size", 30522)))
+    elif tok_cfg.get("class") == "HFTokenizer":
+        from verbatim_rag_tpu.models.tokenizer import HFTokenizer
+
+        path = tok_cfg.get("path")
+        if not path:
+            raise ValueError("HFTokenizer identity has no path; cannot reconstruct")
+        tokenizer = HFTokenizer(path)
+    common = dict(
+        config=enc,
+        tokenizer=tokenizer,
+        max_length=int(config.get("max_length", 512)),
+        seed=int(config.get("seed", 0)),
+        checkpoint=config.get("checkpoint"),
+    )
+    name = config.get("class")
+    if name == "JaxDenseProvider":
+        return JaxDenseProvider(batch_size=int(config.get("batch_size", 64)), **common)
+    if name == "JaxSpladeProvider":
+        return JaxSpladeProvider(
+            batch_size=int(config.get("batch_size", 32)),
+            max_nnz=int(config.get("max_nnz", 128)),
+            **common,
+        )
+    raise ValueError(f"Unknown JAX provider class {name!r}")

@@ -73,6 +73,9 @@ class HashTokenizer(Tokenizer):
         span = self.vocab_size - self._reserved
         return self._reserved + int(self._hash(word.lower())) % span
 
+    def describe(self) -> dict:
+        return {"class": "HashTokenizer", "vocab_size": self.vocab_size}
+
     def tokenize_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
         ids, offsets = [], []
         for m in _WORD_RE.finditer(text.lower()):
@@ -124,12 +127,16 @@ class HFTokenizer(Tokenizer):
             if path.endswith(".json")
             else RustTokenizer.from_pretrained(path)
         )
+        self.path = path
         self.buckets = buckets
         self.pad_id = self._tok.token_to_id("[PAD]") or 0
         self.cls_id = self._tok.token_to_id("[CLS]") or 101
         self.sep_id = self._tok.token_to_id("[SEP]") or 102
         self._tok.no_padding()
         self._tok.no_truncation()
+
+    def describe(self) -> dict:
+        return {"class": "HFTokenizer", "path": self.path}
 
     def encode_batch(
         self,

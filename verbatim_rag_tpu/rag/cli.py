@@ -52,28 +52,16 @@ def _build_index(args):
 
 
 def _load_index(db_path: str):
+    # Reconstructs the providers that built the index from the persisted
+    # identity (`<db>.providers.json`) — query vectors must live in the same
+    # space as the indexed ones.
     from verbatim_rag_tpu.engine.index import VerbatimIndex
-    from verbatim_rag_tpu.engine.store import DeviceVectorStore
 
-    store = DeviceVectorStore.load(db_path)
-    index = VerbatimIndex(store=store, db_path=db_path)
-    index.load_documents(db_path)
-    return index
+    return VerbatimIndex.load(db_path)
 
 
 def _query(args):
     index = _load_index(args.db)
-
-    # Query-side providers must match what was indexed.
-    from verbatim_rag_tpu.engine.embedding_providers import (
-        HashedBowDenseProvider,
-        HashedSparseProvider,
-    )
-
-    if index.store.dense_dim:
-        index.dense_provider = HashedBowDenseProvider(dim=index.store.dense_dim)
-    if index.store.sparse_vocab:
-        index.sparse_provider = HashedSparseProvider(vocab_size=index.store.sparse_vocab)
 
     from verbatim_rag_tpu.core.templates import TemplateManager
     from verbatim_rag_tpu.rag.core import VerbatimRAG
