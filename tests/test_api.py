@@ -166,3 +166,31 @@ class TestAPIService:
         health = APIService(deps.get_rag()).health_check()
         assert health["status"] == "ok"
         assert health["num_chunks"] >= 1
+
+
+class TestCorsDetails:
+    async def test_error_responses_carry_cors(self, client_factory):
+        # 404 (unknown route) must still carry CORS headers or browsers
+        # mask the real status from JS clients.
+        status, _, headers = await _request(client_factory(), "GET", "/api/nope")
+        assert status == 404
+        assert "Access-Control-Allow-Origin" in headers
+
+    async def test_origin_echoed_when_allowlisted(self, client_factory):
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from verbatim_rag_tpu.api import dependencies as deps
+
+        config = deps.get_config()
+        old = config.cors_origins
+        config.cors_origins = ["http://a.example", "http://b.example"]
+        try:
+            async with TestClient(TestServer(client_factory())) as client:
+                resp = await client.request(
+                    "GET", "/api/status", headers={"Origin": "http://b.example"}
+                )
+                assert (
+                    resp.headers["Access-Control-Allow-Origin"] == "http://b.example"
+                )
+        finally:
+            config.cors_origins = old

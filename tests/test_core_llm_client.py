@@ -136,3 +136,44 @@ class TestPromptBank:
         without = load_prompt("template/fallback", has_citations=False)
         assert "[CITATION_REFS]" in with_refs
         assert "[CITATION_REFS]" not in without
+
+
+class TestRetryPolicy:
+    def test_4xx_fails_immediately(self):
+        calls = {"n": 0}
+
+        def responder(request: httpx.Request) -> httpx.Response:
+            calls["n"] += 1
+            return httpx.Response(401, json={"error": "bad key"})
+
+        client = make_client(responder)
+        with pytest.raises(httpx.HTTPStatusError):
+            client.complete("hi")
+        assert calls["n"] == 1  # non-retryable: one doomed request, not N
+
+    def test_5xx_and_429_retry(self):
+        calls = {"n": 0}
+
+        def responder(request: httpx.Request) -> httpx.Response:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return httpx.Response(503, json={})
+            if calls["n"] == 2:
+                return httpx.Response(429, json={})
+            return httpx.Response(200, json=_chat_response("recovered"))
+
+        client = make_client(responder)
+        assert client.complete("hi") == "recovered"
+        assert calls["n"] == 3
+
+    async def test_async_4xx_fails_immediately(self):
+        calls = {"n": 0}
+
+        def responder(request: httpx.Request) -> httpx.Response:
+            calls["n"] += 1
+            return httpx.Response(422, json={})
+
+        client = make_client(responder)
+        with pytest.raises(httpx.HTTPStatusError):
+            await client.complete_async("hi")
+        assert calls["n"] == 1

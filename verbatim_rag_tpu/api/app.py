@@ -186,16 +186,37 @@ async def handle_query_stream(request: web.Request) -> web.StreamResponse:
 # -- app factory ------------------------------------------------------------------------
 
 
+def _cors_headers(request: web.Request) -> dict[str, str]:
+    """Echo the request Origin when allowlisted (multi-origin configs would
+    otherwise only ever emit the first origin, blocking the rest)."""
+    origins = deps.get_config().cors_origins
+    request_origin = request.headers.get("Origin")
+    if not origins or "*" in origins:
+        allow = "*"
+    elif request_origin and request_origin in origins:
+        allow = request_origin
+    else:
+        allow = origins[0]
+    return {
+        "Access-Control-Allow-Origin": allow,
+        "Access-Control-Allow-Methods": "GET, POST, OPTIONS",
+        "Access-Control-Allow-Headers": "Content-Type, Authorization",
+    }
+
+
 @web.middleware
 async def cors_middleware(request: web.Request, handler):
     if request.method == "OPTIONS":
         response = web.Response()
     else:
-        response = await handler(request)
-    origins = deps.get_config().cors_origins
-    response.headers["Access-Control-Allow-Origin"] = origins[0] if origins else "*"
-    response.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
-    response.headers["Access-Control-Allow-Headers"] = "Content-Type, Authorization"
+        try:
+            response = await handler(request)
+        except web.HTTPException as exc:
+            # Error responses (404/405, handler-raised) must carry CORS
+            # headers too, or browsers mask the real status from clients.
+            exc.headers.update(_cors_headers(request))
+            raise
+    response.headers.update(_cors_headers(request))
     return response
 
 

@@ -25,6 +25,15 @@ logger = logging.getLogger(__name__)
 _DEFAULT_TIMEOUT = httpx.Timeout(60.0, connect=10.0)
 
 
+def _retryable(exc: Exception) -> bool:
+    """Retry transport errors and 408/429/5xx; 4xx client errors are doomed —
+    re-sending the identical request only delays the failure."""
+    if isinstance(exc, httpx.HTTPStatusError):
+        status = exc.response.status_code
+        return status in (408, 429) or status >= 500
+    return isinstance(exc, httpx.TransportError)
+
+
 class LLMClient:
     """All LLM traffic in the framework flows through this object."""
 
@@ -110,6 +119,8 @@ class LLMClient:
                 resp.raise_for_status()
                 return self._extract_content(resp.json())
             except (httpx.TransportError, httpx.HTTPStatusError) as exc:
+                if not _retryable(exc):
+                    raise
                 last_error = exc
                 logger.warning("LLM request failed (attempt %d): %s", attempt + 1, exc)
         raise last_error  # type: ignore[misc]
@@ -132,6 +143,8 @@ class LLMClient:
                 resp.raise_for_status()
                 return self._extract_content(resp.json())
             except (httpx.TransportError, httpx.HTTPStatusError) as exc:
+                if not _retryable(exc):
+                    raise
                 last_error = exc
                 logger.warning("Async LLM request failed (attempt %d): %s", attempt + 1, exc)
         raise last_error  # type: ignore[misc]
