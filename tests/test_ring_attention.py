@@ -58,3 +58,63 @@ class TestRingAttention:
         )
         assert out.shape == shape
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestRingFlash:
+    """Ring steps computed with the Pallas flash-partial kernel (interpret
+    mode on CPU) must match the jnp block path and the reference."""
+
+    def test_flash_ring_matches_reference(self, mesh):
+        shape = (2, 64, 2, 16)
+        q = jnp.asarray(RNG.normal(size=shape), jnp.float32)
+        k = jnp.asarray(RNG.normal(size=shape), jnp.float32)
+        v = jnp.asarray(RNG.normal(size=shape), jnp.float32)
+        lengths = jnp.asarray([64, 47], jnp.int32)
+
+        ref = np.asarray(attention_reference(q, k, v, lengths))
+        out_flash = np.asarray(
+            ring_attention(
+                shard_sequence(q, mesh),
+                shard_sequence(k, mesh),
+                shard_sequence(v, mesh),
+                lengths,
+                mesh,
+                use_flash=True,
+            )
+        )
+        out_jnp = np.asarray(
+            ring_attention(
+                shard_sequence(q, mesh),
+                shard_sequence(k, mesh),
+                shard_sequence(v, mesh),
+                lengths,
+                mesh,
+                use_flash=False,
+            )
+        )
+        valid = np.zeros(shape, bool)
+        valid[0, :64] = True
+        valid[1, :47] = True
+        np.testing.assert_allclose(out_flash[valid], ref[valid], rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(out_flash[valid], out_jnp[valid], rtol=2e-4, atol=2e-5)
+
+    def test_flash_partial_matches_block_attend(self):
+        from verbatim_rag_tpu.ops.flash_attention import flash_attention_partial
+        from verbatim_rag_tpu.ops.ring_attention import _block_attend
+
+        b, sq, sk, h, d = 2, 32, 48, 2, 16
+        q = jnp.asarray(RNG.normal(size=(b, sq, h, d)), jnp.float32)
+        k = jnp.asarray(RNG.normal(size=(b, sk, h, d)), jnp.float32)
+        v = jnp.asarray(RNG.normal(size=(b, sk, h, d)), jnp.float32)
+        lengths = jnp.asarray([70, 55], jnp.int32)
+        k_offset = 24
+
+        numer_f, m_f, l_f = flash_attention_partial(
+            q, k, v, lengths, jnp.int32(k_offset), interpret=True
+        )
+        numer_r, m_r, l_r = _block_attend(q, k, v, k_offset, lengths, seq_len=128)
+        np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_r), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_r), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(numer_f), np.asarray(numer_r), rtol=1e-4, atol=1e-5
+        )

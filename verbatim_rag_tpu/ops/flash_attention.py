@@ -190,3 +190,138 @@ def flash_attention(
     if platform in ("tpu", "axon") and q.shape[1] % 128 == 0:
         return flash_attention_tpu(q, k, v, lengths, window=window)
     return attention_reference(q, k, v, lengths, window)
+
+
+# -- partial (unnormalized) kernel for ring attention --------------------------------
+
+
+def _flash_partial_kernel(
+    lengths_ref,  # scalar prefetch: [B*H] int32
+    koff_ref,  # scalar prefetch: [1] int32 — global position of KV block start
+    q_ref,  # [1, q_block, D]
+    k_ref,  # [1, Sk, D]
+    v_ref,  # [1, Sk, D]
+    o_ref,  # [1, q_block, D] f32 — UNnormalized numerator
+    m_ref,  # [1, q_block] f32 — running max
+    l_ref,  # [1, q_block] f32 — denominator
+    *,
+    kv_len: int,
+    kv_valid: int,
+    q_block: int,
+    k_block: int,
+    scale: float,
+):
+    bh = pl.program_id(0)
+    length = lengths_ref[bh]
+    k_offset = koff_ref[0]
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    n_k_blocks = pl.cdiv(kv_len, k_block)
+
+    def body(ki, carry):
+        acc, m_prev, l_prev = carry
+        k_start = ki * k_block
+        k_blk = k_ref[0, pl.ds(k_start, k_block), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(k_start, k_block), :].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        local_idx = k_start + jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 1)
+        mask = (local_idx < kv_valid) & (k_offset + local_idx < length)
+        scores = jnp.where(mask, scores, NEG_INF)
+
+        m_cur = jnp.maximum(m_prev, jnp.max(scores, axis=1))
+        correction = jnp.exp(m_prev - m_cur)
+        p = jnp.where(mask, jnp.exp(scores - m_cur[:, None]), 0.0)
+        l_cur = l_prev * correction + jnp.sum(p, axis=1)
+        acc = acc * correction[:, None] + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return acc, m_cur, l_cur
+
+    init = (
+        jnp.zeros((q_block, q_ref.shape[-1]), jnp.float32),
+        jnp.full((q_block,), NEG_INF, jnp.float32),
+        jnp.zeros((q_block,), jnp.float32),
+    )
+    acc, m, l = jax.lax.fori_loop(0, n_k_blocks, body, init)
+    o_ref[0] = acc
+    m_ref[0] = m
+    l_ref[0] = l
+
+
+@partial(jax.jit, static_argnames=("q_block", "k_block", "interpret"))
+def flash_attention_partial(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, Sk, H, D] — ONE KV block of a longer sequence
+    v: jax.Array,
+    lengths: jax.Array,  # [B] int32 — GLOBAL valid lengths
+    k_offset: jax.Array,  # scalar int32 — global position of k[:, 0]
+    q_block: int = DEFAULT_Q_BLOCK,
+    k_block: int = DEFAULT_K_BLOCK,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One KV block's flash contribution WITHOUT final normalization.
+
+    Returns (numerator [B, Sq, H, D] f32, max [B, H, Sq] f32, denom
+    [B, H, Sq] f32) — the online-softmax partial state `ring_attention`
+    merges across ring steps, so the [Sq, Sk] score matrix of each step
+    stays in VMEM (VERDICT.md round-1 #6: the ring path previously
+    materialized [B, H, Sq, Sk] logits per block in HBM).
+    """
+    batch, sq, heads, head_dim = q.shape
+    sk = k.shape[1]
+    scale = 1.0 / (head_dim**0.5)
+    q_block = min(q_block, sq)
+    k_block = min(k_block, sk)
+
+    sq_pad = ((sq + q_block - 1) // q_block) * q_block
+    sk_pad = ((sk + k_block - 1) // k_block) * k_block
+    if sq_pad != sq:
+        q = jnp.pad(q, ((0, 0), (0, sq_pad - sq), (0, 0), (0, 0)))
+    if sk_pad != sk:
+        k = jnp.pad(k, ((0, 0), (0, sk_pad - sk), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, sk_pad - sk), (0, 0), (0, 0)))
+
+    qbh = jnp.moveaxis(q, 2, 1).reshape(batch * heads, sq_pad, head_dim)
+    kbh = jnp.moveaxis(k, 2, 1).reshape(batch * heads, sk_pad, head_dim)
+    vbh = jnp.moveaxis(v, 2, 1).reshape(batch * heads, sk_pad, head_dim)
+    lengths_bh = jnp.repeat(lengths.astype(jnp.int32), heads)
+    koff = jnp.asarray(k_offset, jnp.int32).reshape(1)
+
+    kernel = partial(
+        _flash_partial_kernel,
+        kv_len=sk_pad,
+        kv_valid=sk,
+        q_block=q_block,
+        k_block=k_block,
+        scale=scale,
+    )
+    numer, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(batch * heads, pl.cdiv(sq_pad, q_block)),
+            in_specs=[
+                pl.BlockSpec((1, q_block, head_dim), lambda bh, qi, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, sk_pad, head_dim), lambda bh, qi, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, sk_pad, head_dim), lambda bh, qi, *_: (bh, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, q_block, head_dim), lambda bh, qi, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, q_block), lambda bh, qi, *_: (bh, qi)),
+                pl.BlockSpec((1, q_block), lambda bh, qi, *_: (bh, qi)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((batch * heads, sq_pad, head_dim), jnp.float32),
+            jax.ShapeDtypeStruct((batch * heads, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((batch * heads, sq_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(lengths_bh, koff, qbh, kbh, vbh)
+
+    numer = jnp.moveaxis(numer.reshape(batch, heads, sq_pad, head_dim), 1, 2)[:, :sq]
+    m = m.reshape(batch, heads, sq_pad)[:, :, :sq]
+    l = l.reshape(batch, heads, sq_pad)[:, :, :sq]
+    return numer, m, l

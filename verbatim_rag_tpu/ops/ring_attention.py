@@ -44,7 +44,7 @@ def _block_attend(q, k, v, k_offset, lengths, seq_len):
     return numer, block_max, denom
 
 
-@partial(jax.jit, static_argnames=("mesh", "axis"))
+@partial(jax.jit, static_argnames=("mesh", "axis", "use_flash"))
 def ring_attention(
     q: jax.Array,  # [B, S, H, D] — S sharded over `axis`
     k: jax.Array,
@@ -52,8 +52,20 @@ def ring_attention(
     lengths: jax.Array,  # [B] valid lengths (global positions)
     mesh: Mesh,
     axis: str = "tp",
+    use_flash: bool | None = None,
 ) -> jax.Array:
-    """Exact sequence-sharded attention; returns [B, S, H, D] sharded like q."""
+    """Exact sequence-sharded attention; returns [B, S, H, D] sharded like q.
+
+    ``use_flash`` computes each ring step's block contribution with the
+    Pallas flash kernel (`flash_attention_partial`) — the [Sq, Sk] score
+    matrix stays in VMEM instead of materializing per step. Defaults to on
+    for TPU backends, off elsewhere (CPU tests can force it; the kernel runs
+    in interpret mode there).
+    """
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    if use_flash is None:
+        use_flash = on_tpu
     seq_len = q.shape[1]
 
     def local_fn(q_shard, k_shard, v_shard, lengths_rep):
@@ -66,9 +78,17 @@ def ring_attention(
             # Blocks rotate j→j+1, so after i steps we hold (my_idx − i)'s block.
             block_owner = jnp.mod(my_idx - i, n_dev)
             k_offset = block_owner * shard_len
-            numer, block_max, denom = _block_attend(
-                q_shard, k_cur, v_cur, k_offset, lengths_rep, seq_len
-            )
+            if use_flash:
+                from .flash_attention import flash_attention_partial
+
+                numer, block_max, denom = flash_attention_partial(
+                    q_shard, k_cur, v_cur, lengths_rep, k_offset,
+                    interpret=not on_tpu,
+                )
+            else:
+                numer, block_max, denom = _block_attend(
+                    q_shard, k_cur, v_cur, k_offset, lengths_rep, seq_len
+                )
             m_new = jnp.maximum(m_run, block_max)
             scale_old = jnp.exp(m_run - m_new)
             scale_blk = jnp.exp(block_max - m_new)
