@@ -5,35 +5,35 @@ from unittest.mock import MagicMock
 import pytest
 
 from verbatim_rag_tpu.core.templates import TemplateManager
-from verbatim_rag_tpu.core.transform import VerbatimTransform, _coerce_context_to_results
+from verbatim_rag_tpu.core.transform import VerbatimTransform, normalize_context
 from verbatim_rag_tpu.core.universal_document import UniversalDocument
 
 
 class TestCoerceContextToResults:
     def test_dict_with_content_key(self):
-        results = _coerce_context_to_results([{"content": "Hello world", "title": "Doc 1"}])
+        results = normalize_context([{"content": "Hello world", "title": "Doc 1"}])
         assert results[0].text == "Hello world"
         assert results[0].metadata["title"] == "Doc 1"
 
     def test_dict_with_text_key(self):
-        assert _coerce_context_to_results([{"text": "Hello world"}])[0].text == "Hello world"
+        assert normalize_context([{"text": "Hello world"}])[0].text == "Hello world"
 
     def test_object_with_text_attribute(self):
         obj = MagicMock()
         obj.text = "Hello from object"
         obj.metadata = {"key": "val"}
-        assert _coerce_context_to_results([obj])[0].text == "Hello from object"
+        assert normalize_context([obj])[0].text == "Hello from object"
 
     def test_bad_input_raises(self):
         with pytest.raises(TypeError):
-            _coerce_context_to_results([42])
+            normalize_context([42])
 
     def test_missing_content_raises(self):
         with pytest.raises(ValueError):
-            _coerce_context_to_results([{"title": "no content"}])
+            normalize_context([{"title": "no content"}])
 
     def test_multiple_items_get_sequential_ids(self):
-        results = _coerce_context_to_results([{"content": "First"}, {"content": "Second"}])
+        results = normalize_context([{"content": "First"}, {"content": "Second"}])
         assert [r.id for r in results] == ["ctx_0", "ctx_1"]
 
 
@@ -115,3 +115,13 @@ class TestEnhanceDecorator:
 
         response = my_rag("Q?")
         assert "ctx text" in response.answer
+
+
+class TestStringContext:
+    def test_bare_strings_accepted(self):
+        from verbatim_rag_tpu.core.transform import normalize_context
+
+        items = normalize_context(["just some text", {"content": "more"}])
+        assert items[0].text == "just some text"
+        assert items[0].id == "ctx_0"
+        assert items[1].text == "more"

@@ -1,14 +1,16 @@
 """RAG-agnostic verbatim transform: context in, cited answer out.
 
-Parity: reference `verbatim_core/transform.py` — coerce arbitrary context
-items (dicts with content/text, or objects with a ``.text`` attribute) into
-result views, extract + verify spans, split display vs citation, template,
-and build the response.
+Behavioral parity target: reference `verbatim_core/transform.py` — any
+retrieval stack's context (dicts, objects with ``.text``, or plain strings)
+can be re-answered verbatim without importing vector-store or index types.
+The implementation here is structured around a normalization table and a
+single shared pipeline body for the sync/async variants.
 """
 
 from __future__ import annotations
 
-from typing import Any, Iterable
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Mapping
 
 from .extractors import LLMSpanExtractor, SpanExtractor
 from .llm_client import LLMClient
@@ -18,62 +20,58 @@ from .response_builder import ResponseBuilder
 from .templates import TemplateManager
 
 
-class _ResultView:
-    """Duck-typed search result: just enough surface for the extractors."""
+@dataclass
+class ContextItem:
+    """Normalized context entry — the duck-typed surface extractors need."""
 
-    def __init__(
-        self,
-        text: str,
-        metadata: dict[str, Any] | None = None,
-        rid: str = "ctx",
-        score: float = 1.0,
-    ):
-        self.id = rid
-        self.text = text
-        self.metadata = metadata or {}
-        self.score = score
+    text: str
+    metadata: dict[str, Any] = field(default_factory=dict)
+    id: str = "ctx"
+    score: float = 1.0
 
 
-def _coerce_context_to_results(context: Iterable[Any]) -> list[_ResultView]:
-    results: list[_ResultView] = []
-    for i, item in enumerate(context):
-        if hasattr(item, "text") and isinstance(getattr(item, "text"), str):
-            results.append(
-                _ResultView(
-                    text=item.text,
-                    metadata=getattr(item, "metadata", {}) or {},
-                    rid=f"ctx_{i}",
-                )
-            )
-            continue
-        if not isinstance(item, dict):
-            raise TypeError("Each context item must be a dict with 'content' (or 'text').")
-        text = item.get("content") or item.get("text")
-        if not text or not isinstance(text, str):
+def normalize_context(context: Iterable[Any]) -> list[ContextItem]:
+    """Coerce heterogeneous context items into :class:`ContextItem` views.
+
+    Accepted shapes, in match order:
+    - anything with a string ``.text`` attribute (SearchResult-likes);
+    - mappings carrying ``content`` or ``text`` (title/source fold into
+      metadata alongside any explicit ``metadata``);
+    - bare strings.
+    """
+    normalized: list[ContextItem] = []
+    for position, item in enumerate(context):
+        normalized.append(_normalize_one(item, f"ctx_{position}"))
+    return normalized
+
+
+def _normalize_one(item: Any, rid: str) -> ContextItem:
+    text_attr = getattr(item, "text", None)
+    if isinstance(text_attr, str):
+        return ContextItem(
+            text=text_attr, metadata=dict(getattr(item, "metadata", None) or {}), id=rid
+        )
+    if isinstance(item, str):
+        return ContextItem(text=item, id=rid)
+    if isinstance(item, Mapping):
+        body = item.get("content") or item.get("text")
+        if not isinstance(body, str) or not body:
             raise ValueError("Context item missing 'content' (or 'text') string field.")
-        metadata = {
+        meta: dict[str, Any] = {
             "title": item.get("title", ""),
             "source": item.get("source", ""),
-            **(item.get("metadata") or {}),
         }
-        results.append(_ResultView(text=text, metadata=metadata, rid=f"ctx_{i}"))
-    return results
-
-
-def _split_spans(
-    relevant_spans: dict[str, list[str]], max_display: int
-) -> tuple[list[dict], list[dict]]:
-    """Flatten (preserving extractor order) and split display vs citation."""
-    flattened = [
-        {"text": span, "doc_text": doc_text}
-        for doc_text, spans in relevant_spans.items()
-        for span in spans
-    ]
-    return flattened[:max_display], flattened[max_display:]
+        meta.update(item.get("metadata") or {})
+        return ContextItem(text=body, metadata=meta, id=rid)
+    raise TypeError("Each context item must be a dict with 'content' (or 'text').")
 
 
 class VerbatimTransform:
-    """Apply verbatim extraction + templating to any retrieval context."""
+    """Apply verbatim extraction + templating to any retrieval context.
+
+    All pipeline stages are injectable; defaults build the prompted-LLM
+    extractor and a contextual template manager around one shared client.
+    """
 
     def __init__(
         self,
@@ -88,9 +86,10 @@ class VerbatimTransform:
         extraction_prompt: str | None = None,
         system_prompt: str | None = None,
     ):
-        self.llm_client = llm_client or LLMClient()
+        client = llm_client or LLMClient()
+        self.llm_client = client
         self.extractor = extractor or LLMSpanExtractor(
-            llm_client=self.llm_client,
+            llm_client=client,
             extraction_mode=extraction_mode,
             max_display_spans=max_display_spans,
             span_match_mode=span_match_mode,
@@ -99,29 +98,25 @@ class VerbatimTransform:
             system_prompt=system_prompt,
         )
         self.template_manager = template_manager or TemplateManager(
-            llm_client=self.llm_client, default_mode=template_mode
+            llm_client=client, default_mode=template_mode
         )
         self.response_builder = ResponseBuilder()
         self.max_display_spans = max_display_spans
+
+    # Both public variants share one pipeline body; only the two awaited
+    # stages differ, so the async path passes pre-computed stage results in.
 
     def transform(
         self,
         question: str,
         context: Iterable[Any],
-        answer: str | None = None,  # reserved; verbatim answer is derived from context
+        answer: str | None = None,  # reserved; the verbatim answer is derived
     ) -> QueryResponse:
-        search_results = _coerce_context_to_results(list(context))
-        relevant_spans = self.extractor.extract_spans(question, search_results)
-        display, citation = _split_spans(relevant_spans, self.max_display_spans)
-        answer_text = self.template_manager.process(question, display, citation)
-        answer_text = self.response_builder.clean_answer(answer_text)
-        return self.response_builder.build_response(
-            question=question,
-            answer=answer_text,
-            search_results=search_results,
-            relevant_spans=relevant_spans,
-            display_span_count=len(display),
-        )
+        items = normalize_context(context)
+        spans_by_doc = self.extractor.extract_spans(question, items)
+        display, citation = self._partition_spans(spans_by_doc)
+        rendered = self.template_manager.process(question, display, citation)
+        return self._finish(question, rendered, items, spans_by_doc, len(display))
 
     async def transform_async(
         self,
@@ -129,17 +124,39 @@ class VerbatimTransform:
         context: Iterable[Any],
         answer: str | None = None,
     ) -> QueryResponse:
-        search_results = _coerce_context_to_results(list(context))
-        relevant_spans = await self.extractor.extract_spans_async(question, search_results)
-        display, citation = _split_spans(relevant_spans, self.max_display_spans)
-        answer_text = await self.template_manager.process_async(question, display, citation)
-        answer_text = self.response_builder.clean_answer(answer_text)
+        items = normalize_context(context)
+        spans_by_doc = await self.extractor.extract_spans_async(question, items)
+        display, citation = self._partition_spans(spans_by_doc)
+        rendered = await self.template_manager.process_async(question, display, citation)
+        return self._finish(question, rendered, items, spans_by_doc, len(display))
+
+    def _partition_spans(
+        self, spans_by_doc: Mapping[str, list[str]]
+    ) -> tuple[list[dict], list[dict]]:
+        """Flatten in extractor order; the first ``max_display_spans`` render
+        in the answer body, the rest become reference-only citations."""
+        ordered = [
+            {"text": span, "doc_text": doc_text}
+            for doc_text, spans in spans_by_doc.items()
+            for span in spans
+        ]
+        cut = self.max_display_spans
+        return ordered[:cut], ordered[cut:]
+
+    def _finish(
+        self,
+        question: str,
+        rendered: str,
+        items: list[ContextItem],
+        spans_by_doc: Mapping[str, list[str]],
+        display_count: int,
+    ) -> QueryResponse:
         return self.response_builder.build_response(
             question=question,
-            answer=answer_text,
-            search_results=search_results,
-            relevant_spans=relevant_spans,
-            display_span_count=len(display),
+            answer=self.response_builder.clean_answer(rendered),
+            search_results=items,
+            relevant_spans=dict(spans_by_doc),
+            display_span_count=display_count,
         )
 
 
@@ -150,6 +167,7 @@ def verbatim_query(
     filter: str | None = None,
     answer: str | None = None,
 ) -> QueryResponse:
+    """One-shot: retrieve through ``provider`` and answer verbatim."""
     context = provider.retrieve(question, k=k, filter=filter)
     return VerbatimTransform().transform(question=question, context=context, answer=answer)
 
