@@ -194,3 +194,18 @@ class TestCorsDetails:
                 )
         finally:
             config.cors_origins = old
+
+
+class TestStreamTimings:
+    async def test_answer_event_carries_stage_breakdown(self, client_factory):
+        import json as _json
+
+        status, body, _ = await _request(
+            client_factory(), "POST", "/api/query/stream", {"question": "solar?"}
+        )
+        assert status == 200
+        events = [_json.loads(line) for line in body.strip().splitlines()]
+        final = events[-1]
+        assert final["type"] == "answer" and final["done"]
+        stages = [t["stage"] for t in final.get("timings", [])]
+        assert "retrieve" in stages and "extract" in stages and "template" in stages

@@ -37,6 +37,9 @@ class StreamingRAG:
         rrf_k: int = 60,
     ) -> AsyncIterator[dict[str, Any]]:
         rag = self.rag
+        from verbatim_rag_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
 
         # Stage 0: intent.
         if rag.intent_detector is not None:
@@ -52,12 +55,14 @@ class StreamingRAG:
 
         # Stage 1: retrieval (+rerank) → documents without highlights.
         try:
-            results = await asyncio.to_thread(
-                rag.index.query, question, k or rag.k, filter, None, hybrid_weights, rrf_k
-            )
+            with timer.stage("retrieve"):
+                results = await asyncio.to_thread(
+                    rag.index.query, question, k or rag.k, filter, None, hybrid_weights, rrf_k
+                )
             if rag.reranker is not None:
                 try:
-                    results = await rag.reranker.rerank_async(question, results)
+                    with timer.stage("rerank"):
+                        results = await rag.reranker.rerank_async(question, results)
                 except Exception as exc:
                     logger.warning("Reranker failed; keeping order: %s", exc)
         except Exception as exc:
@@ -80,7 +85,8 @@ class StreamingRAG:
         # Stage 2: extraction (threaded) → highlights.
         try:
             started = time.time()
-            relevant_spans = await rag.extractor.extract_spans_async(question, results)
+            with timer.stage("extract"):
+                relevant_spans = await rag.extractor.extract_spans_async(question, results)
             elapsed_ms = int((time.time() - started) * 1000)
             yield {
                 "type": "progress",
@@ -93,6 +99,8 @@ class StreamingRAG:
             return
 
         docs_with_highlights = []
+        timer_highlight = timer.stage("highlight")
+        timer_highlight.__enter__()
         for result in results:
             content = getattr(result, "text", "")
             spans = relevant_spans.get(content, [])
@@ -109,6 +117,7 @@ class StreamingRAG:
                     metadata=metadata,
                 )
             )
+        timer_highlight.__exit__(None, None, None)
         yield {
             "type": "highlights",
             "data": {"documents": [d.model_dump() for d in docs_with_highlights]},
@@ -116,21 +125,29 @@ class StreamingRAG:
 
         # Stage 3: template → final answer.
         try:
-            display, citation = rag._rank_and_split_spans(relevant_spans)
-            answer = await rag.template_manager.process_async(question, display, citation)
-            answer = rag.response_builder.clean_answer(answer)
-            response = rag.response_builder.build_response(
-                question=question,
-                answer=answer,
-                search_results=results,
-                relevant_spans=relevant_spans,
-                display_span_count=len(display),
-            )
+            with timer.stage("template"):
+                display, citation = rag._rank_and_split_spans(relevant_spans)
+                answer = await rag.template_manager.process_async(question, display, citation)
+                answer = rag.response_builder.clean_answer(answer)
+                response = rag.response_builder.build_response(
+                    question=question,
+                    answer=answer,
+                    search_results=results,
+                    relevant_spans=relevant_spans,
+                    display_span_count=len(display),
+                )
         except Exception as exc:
             logger.error("Templating failed: %s", exc)
             yield {"type": "error", "stage": "template", "message": str(exc)}
             return
-        yield {"type": "answer", "data": response.model_dump(), "done": True}
+        # Per-stage breakdown (SURVEY.md §5 tracing plan): riding the final
+        # event keeps the NDJSON protocol shape unchanged for old clients.
+        yield {
+            "type": "answer",
+            "data": response.model_dump(),
+            "done": True,
+            "timings": timer.stages,
+        }
 
     def stream_query_sync(self, question: str, **kwargs) -> list[dict[str, Any]]:
         """Collect all streaming events synchronously (test/CLI helper)."""
