@@ -221,3 +221,38 @@ class TestGoldenEndToEnd:
             "*These excerpts are taken verbatim from the source documents to "
             "ensure accuracy.*"
         )
+
+
+class TestRoutingEmbeddings:
+    def test_question_specific_routes_with_index_provider(self, mock_llm_client):
+        from verbatim_rag_tpu.engine.embedding_providers import HashedBowDenseProvider
+        from verbatim_rag_tpu.engine.index import VerbatimIndex
+        from verbatim_rag_tpu.rag.core import VerbatimRAG
+
+        index = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=32))
+        rag = VerbatimRAG(index, llm_client=mock_llm_client)
+        strategy = rag.template_manager.strategies["question_specific"]
+        # The hashed-BoW template default was replaced by the index's provider.
+        assert not strategy.uses_default_embed
+        strategy.add_template("About solar: [DISPLAY_SPANS]", ["how do solar panels work?"])
+        strategy.add_template("About wind: [DISPLAY_SPANS]", ["tell me about wind turbines"])
+        assert "solar" in strategy.generate("solar panel efficiency?", [])
+        assert "wind" in strategy.generate("offshore wind farms?", [])
+
+    def test_explicit_embed_fn_wins(self, mock_llm_client):
+        from verbatim_rag_tpu.core.templates import TemplateManager
+        from verbatim_rag_tpu.core.templates.question_specific import (
+            QuestionSpecificTemplate,
+        )
+        from verbatim_rag_tpu.engine.embedding_providers import HashedBowDenseProvider
+        from verbatim_rag_tpu.engine.index import VerbatimIndex
+        from verbatim_rag_tpu.rag.core import VerbatimRAG
+
+        def custom(texts):
+            return [[1.0, 0.0] for _ in texts]
+
+        tm = TemplateManager(llm_client=mock_llm_client)
+        tm.strategies["question_specific"] = QuestionSpecificTemplate(embed_fn=custom)
+        index = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=32))
+        rag = VerbatimRAG(index, llm_client=mock_llm_client, template_manager=tm)
+        assert rag.template_manager.strategies["question_specific"].embed_fn is custom

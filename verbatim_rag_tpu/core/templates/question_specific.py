@@ -88,6 +88,19 @@ class QuestionSpecificTemplate(TemplateStrategy):
     def clear(self) -> None:
         self.entries.clear()
 
+    @property
+    def uses_default_embed(self) -> bool:
+        """True while routing on the model-free hashed-BoW default."""
+        return self.embed_fn is _hashed_bow_embed
+
+    def set_embed_fn(self, embed_fn: EmbedFn) -> None:
+        """Swap the routing embedding (e.g. the engine's neural dense
+        provider — the reference routes with MiniLM cosine,
+        `question_specific.py:140-187`) and re-embed registered examples."""
+        self.embed_fn = embed_fn
+        for entry in self.entries:
+            entry["_embeddings"] = embed_fn(entry["questions"])
+
     # -- strategy interface -------------------------------------------------------
 
     def generate(self, question: str, spans: list[str], citation_count: int = 0) -> str:

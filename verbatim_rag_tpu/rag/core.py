@@ -69,6 +69,32 @@ class VerbatimRAG:
         self.response_builder = response_builder or ResponseBuilder()
         self.intent_detector = intent_detector
         self.reranker = reranker
+        self._wire_routing_embeddings()
+
+    def _wire_routing_embeddings(self) -> None:
+        """Route question-specific templates with the index's dense provider.
+
+        The reference routes with a pretrained MiniLM
+        (`templates/question_specific.py:140-187`); the equivalent here is
+        whatever embedding space the index actually retrieves in — neural
+        when the user configured one. Only replaces the model-free hashed
+        default; an explicitly injected embed_fn wins.
+        """
+        strategy = self.template_manager.strategies.get("question_specific")
+        provider = getattr(self.index, "dense_provider", None)
+        if (
+            strategy is None
+            or provider is None
+            or not getattr(strategy, "uses_default_embed", False)
+        ):
+            return
+
+        def embed(texts):
+            import numpy as np
+
+            return np.asarray(provider.embed_batch(list(texts)), dtype=float).tolist()
+
+        strategy.set_embed_fn(embed)
 
     # -- public sync ---------------------------------------------------------------
 
