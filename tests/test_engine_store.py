@@ -297,3 +297,35 @@ class TestPendingDuplicates:
             store.add_vectors([{"id": "a", "text": "y", "dense": [0, 1, 0, 0]}])
         store.flush()
         assert store.count() == 1
+
+
+class TestGeometricGrowth:
+    def test_capacity_doubles_and_queries_stay_correct(self):
+        import numpy as np
+
+        from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+        rng = np.random.default_rng(0)
+        store = DeviceVectorStore(dense_dim=8, sparse_vocab=None, block=8)
+        caps = []
+        for wave in range(6):
+            store.add_vectors(
+                [
+                    {
+                        "id": f"w{wave}_{i}",
+                        "text": f"t{wave}_{i}",
+                        "dense": rng.normal(size=8).astype(np.float32),
+                    }
+                    for i in range(5)
+                ]
+            )
+            store.flush()
+            caps.append(store._capacity)
+        # Geometric: few distinct capacities, each a doubling of block.
+        assert len(set(caps)) <= 4
+        assert all(c % 8 == 0 and (c & (c - 1)) == 0 for c in caps)
+        # All 30 rows retrievable exactly.
+        probe = np.asarray(store._dense[17], np.float32)
+        hits = store.query(dense_query=probe, top_k=1)
+        assert hits[0].id == store._ids[17]
+        assert store.count() == 30

@@ -43,6 +43,30 @@ from .search_result import SearchResult
 logger = logging.getLogger(__name__)
 
 _BLOCK = 8192
+#: New rows are padded to this multiple before the device write, so flushes
+#: of any size reuse a handful of compiled write programs.
+_FLUSH_PAD = 1024
+
+_write_rows_jit = None
+
+
+def _write_rows():
+    """Lazy jitted row writer: (arr [cap, w], rows [r, w], offset) → arr.
+
+    The offset is traced, so every flush at the same (cap, r) shape reuses
+    one cached executable. No donation: a concurrent reader (an in-flight
+    query on another thread) may still hold the previous buffer, and the
+    non-donated copy is one HBM-bandwidth pass per flush.
+    """
+    global _write_rows_jit
+    if _write_rows_jit is None:
+        import jax
+
+        def _write(arr, rows, offset):
+            return jax.lax.dynamic_update_slice(arr, rows, (offset, 0))
+
+        _write_rows_jit = jax.jit(_write)
+    return _write_rows_jit
 
 
 class VectorStore(ABC):
@@ -326,19 +350,26 @@ class DeviceVectorStore(VectorStore):
             self._promoted[f] = np.concatenate([self._promoted[f], col])
         self._doc_len = np.concatenate([self._doc_len, dl_new])
 
-        # Device arrays: concat + re-pad to a block multiple.
+        # Device arrays: geometric capacity + fixed-shape dynamic writes.
+        #
+        # Round-1 design concatenated on device per flush — a FRESH XLA
+        # compile for every new capacity shape, which dominated e2e ingest
+        # (15.9 s of a 32.7 s profile was backend_compile). Now capacity
+        # doubles (O(log N) allocation shapes), new rows are padded to a
+        # fixed row-chunk and written with `dynamic_update_slice` whose
+        # offset is a traced scalar — so steady-state flushes reuse cached
+        # executables and dispatch without compiling.
         n_total = len(self._ids)
-        new_cap = -(-n_total // self.block) * self.block
+        pad_unit = min(_FLUSH_PAD, self.block)
+        pad_rows = -(-n_new // pad_unit) * pad_unit
+        new_cap = self._target_capacity(offset + pad_rows)
 
         def _grow(old, new_host, width, dtype):
-            parts = []
-            if old is not None:
-                parts.append(old[: n_total - n_new])  # drop old padding rows
-            parts.append(jnp.asarray(new_host, dtype=dtype))
-            pad_rows = new_cap - n_total
-            if pad_rows > 0:
-                parts.append(jnp.zeros((pad_rows, width), dtype=dtype))
-            return self._place(jnp.concatenate(parts, axis=0))
+            arr = self._grow_capacity(old, new_cap, width, dtype)
+            buf = np.zeros((pad_rows, width), new_host.dtype)
+            buf[:n_new] = new_host
+            arr = _write_rows()(arr, jnp.asarray(buf, dtype=dtype), offset)
+            return self._place(arr)
 
         dtype_dense = jnp.bfloat16 if self.dense_dtype == "bfloat16" else jnp.float32
         if dense_new is not None:
@@ -391,6 +422,26 @@ class DeviceVectorStore(VectorStore):
         from verbatim_rag_tpu.parallel.mesh import row_sharding
 
         return jax.device_put(arr, row_sharding(self.mesh))
+
+    def _target_capacity(self, needed: int) -> int:
+        """Next capacity: doubles from `block` so allocation shapes are
+        O(log N) distinct (each shape's programs compile once, then cache)."""
+        cap = max(self._capacity, self.block)
+        while cap < needed:
+            cap *= 2
+        return cap
+
+    @staticmethod
+    def _grow_capacity(old, cap: int, width: int, dtype):
+        """Allocate [cap, width] and copy the old rows into the prefix."""
+        import jax.numpy as jnp
+
+        if old is not None and old.shape[0] >= cap:
+            return old
+        fresh = jnp.zeros((cap, width), dtype)
+        if old is None:
+            return fresh
+        return _write_rows()(fresh, old, 0)
 
     @property
     def _bm25_stale(self) -> bool:

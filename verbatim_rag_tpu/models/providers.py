@@ -62,26 +62,36 @@ class JaxDenseProvider(DenseEmbeddingProvider):
         """Pipelined batched encode: host tokenization of chunk i+1 overlaps
         the (async-dispatched) device forward of chunk i; results are only
         materialized at the end. Partial final chunks are padded to the full
-        batch size — a fresh batch shape would trigger a recompile."""
-        pending = []
+        batch size — a fresh batch shape would trigger a recompile.
+
+        Materialization is ONE readback: per-chunk results are concatenated
+        on device first. On tunneled backends every host sync costs a full
+        round-trip (~31 ms), so per-chunk np.asarray serialized the whole
+        pipeline (round-1 ingest bottleneck: the encode host was ~98% idle).
+        """
+        pending, reals = [], []
         for start in range(0, len(texts), self.batch_size):
             chunk = list(texts[start : start + self.batch_size])
-            real = len(chunk)
-            if real < self.batch_size:
-                chunk += [""] * (self.batch_size - real)
+            reals.append(len(chunk))
+            if len(chunk) < self.batch_size:
+                chunk += [""] * (self.batch_size - len(chunk))
             enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
             pending.append(
-                (
-                    embed_texts(
-                        self.params,
-                        self.config,
-                        jnp.asarray(enc.input_ids),
-                        jnp.asarray(enc.attention_mask),
-                    ),
-                    real,
+                embed_texts(
+                    self.params,
+                    self.config,
+                    jnp.asarray(enc.input_ids),
+                    jnp.asarray(enc.attention_mask),
                 )
             )
-        return np.concatenate([np.asarray(v)[:real] for v, real in pending], axis=0)
+        if len(pending) == 1:
+            return np.asarray(pending[0])[: reals[0]]
+        full = np.asarray(jnp.concatenate(pending, axis=0))  # one sync
+        rows = [
+            full[i * self.batch_size : i * self.batch_size + real]
+            for i, real in enumerate(reals)
+        ]
+        return np.concatenate(rows, axis=0)
 
     def get_dimension(self) -> int:
         return self.config.hidden_size
@@ -125,30 +135,34 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
 
     def embed_batch(self, texts: Sequence[str]) -> list[dict[int, float]]:
         """Pipelined like the dense provider: dispatch every chunk's forward
-        before materializing any of them."""
-        pending = []
+        before materializing any of them, then fetch everything in TWO
+        readbacks (device-side concat of ids and weights)."""
+        pending, reals = [], []
         for start in range(0, len(texts), self.batch_size):
             chunk = list(texts[start : start + self.batch_size])
-            real = len(chunk)
-            if real < self.batch_size:
-                chunk += [""] * (self.batch_size - real)  # fixed batch shape
+            reals.append(len(chunk))
+            if len(chunk) < self.batch_size:
+                chunk += [""] * (self.batch_size - len(chunk))  # fixed batch shape
             enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
             pending.append(
-                (
-                    splade_topk_terms(
-                        self.params,
-                        self.config,
-                        jnp.asarray(enc.input_ids),
-                        jnp.asarray(enc.attention_mask),
-                        max_nnz=self.max_nnz,
-                    ),
-                    real,
+                splade_topk_terms(
+                    self.params,
+                    self.config,
+                    jnp.asarray(enc.input_ids),
+                    jnp.asarray(enc.attention_mask),
+                    max_nnz=self.max_nnz,
                 )
             )
+        if len(pending) == 1:
+            ids_np = np.asarray(pending[0][0])
+            w_np = np.asarray(pending[0][1])
+        else:
+            ids_np = np.asarray(jnp.concatenate([p[0] for p in pending], axis=0))
+            w_np = np.asarray(jnp.concatenate([p[1] for p in pending], axis=0))
         out: list[dict[int, float]] = []
-        for (ids, weights), real in pending:
-            ids_np, w_np = np.asarray(ids)[:real], np.asarray(weights)[:real]
-            for row_ids, row_w in zip(ids_np, w_np):
+        for i, real in enumerate(reals):
+            base = i * self.batch_size
+            for row_ids, row_w in zip(ids_np[base : base + real], w_np[base : base + real]):
                 out.append(
                     {int(t): float(w) for t, w in zip(row_ids, row_w) if w > 0.0}
                 )

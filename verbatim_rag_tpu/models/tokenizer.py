@@ -76,11 +76,19 @@ class HashTokenizer(Tokenizer):
     def describe(self) -> dict:
         return {"class": "HashTokenizer", "vocab_size": self.vocab_size}
 
-    def tokenize_with_offsets(self, text: str) -> tuple[list[int], list[tuple[int, int]]]:
+    def tokenize_with_offsets(
+        self, text: str, max_tokens: int | None = None
+    ) -> tuple[list[int], list[tuple[int, int]]]:
+        """Tokenize; ``max_tokens`` stops the scan early (finditer is lazy),
+        so encoding a long chunk at a short max_length costs O(max_length),
+        not O(len(text)) — the round-1 ingest profile spent 13.5 s/660 chunks
+        re-tokenizing full texts that were then truncated."""
         ids, offsets = [], []
         for m in _WORD_RE.finditer(text.lower()):
             ids.append(self._word_id(m.group(0)))
             offsets.append((m.start(), m.end()))
+            if max_tokens is not None and len(ids) >= max_tokens:
+                break
         return ids, offsets
 
     def encode_batch(
@@ -92,11 +100,11 @@ class HashTokenizer(Tokenizer):
     ) -> TokenizedBatch:
         rows, offs = [], []
         for i, text in enumerate(texts):
-            ids, offsets = self.tokenize_with_offsets(text)
+            ids, offsets = self.tokenize_with_offsets(text, max_tokens=max_length)
             ids = [self.cls_id] + ids + [self.sep_id]
             offsets = [(0, 0)] + offsets + [(0, 0)]
             if pair is not None:
-                p_ids, _p_off = self.tokenize_with_offsets(pair[i])
+                p_ids, _p_off = self.tokenize_with_offsets(pair[i], max_tokens=max_length)
                 ids += p_ids + [self.sep_id]
                 offsets += [(0, 0)] * (len(p_ids) + 1)
             ids = ids[:max_length]
