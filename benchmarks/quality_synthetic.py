@@ -120,9 +120,10 @@ def main() -> None:
     trainer = Trainer(
         params,
         config,
-        TrainingConfig(learning_rate=1e-3, num_epochs=50, batch_size=16),
+        TrainingConfig(learning_rate=1e-3, num_epochs=120, batch_size=16, warmup_steps=500),
         output_dir="/tmp/quality_synth_ckpt",
         loss_fn=token_loss,
+        total_steps=120 * (len(train) // 16 + 1),
     )
     trainer.train(
         [],

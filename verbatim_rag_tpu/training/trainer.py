@@ -125,13 +125,16 @@ class Trainer:
         output_dir: str = "./qa_model_out",
         mesh=None,
         loss_fn=sentence_loss,
+        total_steps: int | None = None,
     ):
         self.encoder_config = encoder_config
         self.tc = training_config or TrainingConfig()
         self.output_dir = output_dir
         self.mesh = mesh
         self.loss_fn = loss_fn
-        self.optimizer = make_optimizer(self.tc)
+        # Size the (warmup+cosine) schedule to the actual run — a schedule
+        # sized to the default hits lr~0 partway through longer runs.
+        self.optimizer = make_optimizer(self.tc, total_steps or 10_000)
         if mesh is not None:
             from verbatim_rag_tpu.parallel.mesh import shard_params
 
