@@ -15,9 +15,10 @@ hybrid top-10 identical to the exact pipeline):
            → exact forward-index rescore ON DEVICE (term-match scan)
   fusion:  weighted RRF on device → (scores [B, k], rows [B, k])
 
-The host phase is nothing but the [B, k] readback, so a two-deep pipeline
-(batch i's readback overlaps batch i+1's device program) hides the tunnel
-round-trip entirely up to the device-program time.
+The host phase is nothing but the [B, k] readback, so a four-deep pipeline
+(readbacks overlap in-flight device programs) hides the tunnel round-trip
+entirely up to the device-program time. Batch 512 and pipeline depth 4 were
+swept (256/512/1024 x depth 2/4): 512@4 wins.
 
 Prints exactly one JSON line:
   {"metric": "hybrid_qps_1m_per_chip", "value": <best>, "unit": "qps",
@@ -37,7 +38,7 @@ MAX_NNZ = 128
 VOCAB = 30522
 PROJ_DIM = 768
 RESCORE_DEPTH = 256  # the DeviceVectorStore serving default
-QUERY_BATCH = 256
+QUERY_BATCH = 512
 QUERY_NNZ = 32
 TOP_K = 10
 RRF_K = 60
@@ -107,7 +108,7 @@ def main() -> None:
         pipeline = []
         for q in queries:
             pipeline.append(dispatch(q))  # async device dispatch
-            if len(pipeline) >= 2:
+            if len(pipeline) >= 4:
                 host_phase(pipeline.pop(0))  # overlapped readback
         while pipeline:
             host_phase(pipeline.pop(0))

@@ -105,12 +105,18 @@ def _candidate_select(exact_topk: bool):
     """k-selection for candidate lists: XLA `top_k` (exact) or the TPU-native
     `approx_max_k` (the hardware MIPS top-k; measured 3–10× faster at
     [256, 1M] on v5e — 86 ms → 8 ms for k=96). Candidates feed exact rescore
-    + RRF, so per-list selection recall (target 0.99) folds into the same
-    quality knob as the sketch depth; reported scores stay exact either way.
+    + RRF, so per-list selection recall folds into the same quality knob as
+    the sketch depth; reported scores stay exact either way.
+
+    recall_target 0.95: measured at the 1M serving point with SPLADE-like
+    statistics, the hybrid top-10 is IDENTICAL to the exact pipeline
+    (overlap 1.0) while the k=256 selection drops 36 ms → 20 ms vs 0.99
+    (deeper bucket reduction). The rescore+RRF stages absorb per-list
+    selection misses.
     """
     if exact_topk:
         return jax.lax.top_k
-    return partial(jax.lax.approx_max_k, recall_target=0.99)
+    return partial(jax.lax.approx_max_k, recall_target=0.95)
 
 
 @partial(jax.jit, static_argnames=("k", "depth", "exact_topk"))
