@@ -60,6 +60,10 @@ class Tokenizer(ABC):
 class HashTokenizer(Tokenizer):
     """Deterministic word-hash tokenizer (no vocab files needed)."""
 
+    #: word→id memo cap (natural-language vocab is far smaller; the cap only
+    #: guards against adversarial/unbounded token streams).
+    _CACHE_MAX = 1 << 20
+
     def __init__(self, vocab_size: int = 30522, buckets=DEFAULT_BUCKETS):
         from verbatim_rag_tpu.engine.filters import stable_hash64
 
@@ -68,10 +72,18 @@ class HashTokenizer(Tokenizer):
         self._hash = stable_hash64
         self.pad_id, self.cls_id, self.sep_id = 0, 1, 2
         self._reserved = 3
+        # blake2b-per-word dominated ingest tokenization (2.8 ms/text);
+        # corpora repeat words heavily, so memoize word→id.
+        self._word_cache: dict[str, int] = {}
 
     def _word_id(self, word: str) -> int:
-        span = self.vocab_size - self._reserved
-        return self._reserved + int(self._hash(word.lower())) % span
+        wid = self._word_cache.get(word)
+        if wid is None:
+            span = self.vocab_size - self._reserved
+            wid = self._reserved + int(self._hash(word.lower())) % span
+            if len(self._word_cache) < self._CACHE_MAX:
+                self._word_cache[word] = wid
+        return wid
 
     def describe(self) -> dict:
         return {"class": "HashTokenizer", "vocab_size": self.vocab_size}

@@ -202,8 +202,8 @@ def _flash_partial_kernel(
     k_ref,  # [1, Sk, D]
     v_ref,  # [1, Sk, D]
     o_ref,  # [1, q_block, D] f32 — UNnormalized numerator
-    m_ref,  # [1, q_block] f32 — running max
-    l_ref,  # [1, q_block] f32 — denominator
+    m_ref,  # [1, q_block, 128] f32 — running max (lane-broadcast tile)
+    l_ref,  # [1, q_block, 128] f32 — denominator (lane-broadcast tile)
     *,
     kv_len: int,
     kv_valid: int,
@@ -246,8 +246,10 @@ def _flash_partial_kernel(
     )
     acc, m, l = jax.lax.fori_loop(0, n_k_blocks, body, init)
     o_ref[0] = acc
-    m_ref[0] = m
-    l_ref[0] = l
+    # m/l are per-query scalars; stored lane-broadcast so the output tile
+    # satisfies the TPU (8, 128) tiling rules (cost: 128 KB/tile of writes).
+    m_ref[0] = jnp.broadcast_to(m[:, None], (m.shape[0], 128))
+    l_ref[0] = jnp.broadcast_to(l[:, None], (l.shape[0], 128))
 
 
 @partial(jax.jit, static_argnames=("q_block", "k_block", "interpret"))
@@ -309,19 +311,22 @@ def flash_attention_partial(
             ],
             out_specs=[
                 pl.BlockSpec((1, q_block, head_dim), lambda bh, qi, *_: (bh, qi, 0)),
-                pl.BlockSpec((1, q_block), lambda bh, qi, *_: (bh, qi)),
-                pl.BlockSpec((1, q_block), lambda bh, qi, *_: (bh, qi)),
+                pl.BlockSpec((1, q_block, 128), lambda bh, qi, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, q_block, 128), lambda bh, qi, *_: (bh, qi, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((batch * heads, sq_pad, head_dim), jnp.float32),
-            jax.ShapeDtypeStruct((batch * heads, sq_pad), jnp.float32),
-            jax.ShapeDtypeStruct((batch * heads, sq_pad), jnp.float32),
+            jax.ShapeDtypeStruct((batch * heads, sq_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((batch * heads, sq_pad, 128), jnp.float32),
         ],
+        # The lane-broadcast m/l tiles push the working set slightly past the
+        # conservative 16 MB scoped-VMEM default; v5e has 128 MB physical.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(lengths_bh, koff, qbh, kbh, vbh)
 
     numer = jnp.moveaxis(numer.reshape(batch, heads, sq_pad, head_dim), 1, 2)[:, :sq]
-    m = m.reshape(batch, heads, sq_pad)[:, :, :sq]
-    l = l.reshape(batch, heads, sq_pad)[:, :, :sq]
+    m = m[..., 0].reshape(batch, heads, sq_pad)[:, :, :sq]
+    l = l[..., 0].reshape(batch, heads, sq_pad)[:, :, :sq]
     return numer, m, l

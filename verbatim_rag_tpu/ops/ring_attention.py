@@ -111,7 +111,16 @@ def ring_attention(
             k_shard.astype(jnp.float32),
             v_shard.astype(jnp.float32),
         )
-        acc, _m, l_run, _k, _v = jax.lax.fori_loop(0, n_dev, step, init)
+        if use_flash:
+            # Unrolled ring: pallas_call inside lax.fori_loop crashes the TPU
+            # compile helper; the step count (n_dev) is static under
+            # shard_map, so a Python loop traces the same program unrolled.
+            carry = init
+            for i in range(mesh.shape[axis] if axis in mesh.shape else 1):
+                carry = step(jnp.int32(i), carry)
+            acc, _m, l_run, _k, _v = carry
+        else:
+            acc, _m, l_run, _k, _v = jax.lax.fori_loop(0, n_dev, step, init)
         denom = jnp.maximum(l_run, 1e-20).transpose(0, 2, 1)[..., None]
         return (acc / denom).astype(q_shard.dtype)
 
