@@ -23,6 +23,9 @@ def main() -> None:
     parser.add_argument("--max-length", type=int, default=256)
     args = parser.parse_args()
 
+    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     from verbatim_rag_tpu.engine.index import VerbatimIndex
     from verbatim_rag_tpu.ingestion.schema import DocumentSchema
     from verbatim_rag_tpu.models.providers import JaxDenseProvider, JaxSpladeProvider

@@ -26,7 +26,11 @@ def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # Persist even quick compiles: on the tunneled backend a "0.4 s"
+        # compile still costs a round-trip per run, and ingest dispatches
+        # dozens of small per-shape programs (concats, flush writes) that the
+        # 1.0 s default silently excluded — they re-compiled on every run.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         logger.info("JAX persistent compilation cache: %s", cache_dir)
     except Exception as exc:  # never fail startup over a cache
