@@ -209,3 +209,98 @@ class TestStreamTimings:
         assert final["type"] == "answer" and final["done"]
         stages = [t["stage"] for t in final.get("timings", [])]
         assert "retrieve" in stages and "extract" in stages and "template" in stages
+
+
+class TestMicroBatching:
+    """Concurrent /api/query requests coalesce into one batched dispatch."""
+
+    async def test_concurrent_requests_batch_into_one_call(self, client_factory):
+        import asyncio as aio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from verbatim_rag_tpu.api import dependencies as deps
+
+        rag = deps.get_rag()
+        calls = []
+        original = rag.query_batch
+
+        def counting(questions, **kwargs):
+            calls.append(list(questions))
+            return original(questions, **kwargs)
+
+        rag.query_batch = counting
+        try:
+            async with TestClient(TestServer(client_factory())) as client:
+                async def ask(q):
+                    resp = await client.post("/api/query", json={"question": q, "k": 2})
+                    assert resp.status == 200
+                    return await resp.json()
+
+                answers = await aio.gather(*[ask(f"solar question {i}") for i in range(6)])
+            # All six went through query_batch, in few (ideally one) batches.
+            assert sum(len(c) for c in calls) == 6
+            assert len(calls) <= 2
+            for i, ans in enumerate(answers):
+                assert ans["question"] == f"solar question {i}"
+        finally:
+            rag.query_batch = original
+
+    async def test_different_params_do_not_mix(self, client_factory):
+        import asyncio as aio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from verbatim_rag_tpu.api import dependencies as deps
+
+        rag = deps.get_rag()
+        calls = []
+        original = rag.query_batch
+
+        def counting(questions, **kwargs):
+            calls.append((list(questions), kwargs.get("k")))
+            return original(questions, **kwargs)
+
+        rag.query_batch = counting
+        try:
+            async with TestClient(TestServer(client_factory())) as client:
+                a, b = await aio.gather(
+                    client.post("/api/query", json={"question": "about solar", "k": 1}),
+                    client.post("/api/query", json={"question": "about wind", "k": 3}),
+                )
+                assert a.status == 200 and b.status == 200
+            ks = sorted(k for _qs, k in calls)
+            assert ks == [1, 3]  # two separate batches — params differ
+        finally:
+            rag.query_batch = original
+
+    async def test_batch_error_propagates_to_every_request(self, client_factory):
+        import asyncio as aio
+
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from verbatim_rag_tpu.api import dependencies as deps
+
+        rag = deps.get_rag()
+        original = rag.query_batch
+
+        def boom(questions, **kwargs):
+            raise RuntimeError("device on fire")
+
+        rag.query_batch = boom
+        try:
+            async with TestClient(TestServer(client_factory())) as client:
+                responses = await aio.gather(
+                    *[client.post("/api/query", json={"question": f"q{i}"}) for i in range(3)]
+                )
+                assert all(r.status == 500 for r in responses)
+        finally:
+            rag.query_batch = original
+
+    async def test_status_reports_batching_stats(self, client_factory):
+        from aiohttp.test_utils import TestClient, TestServer
+
+        async with TestClient(TestServer(client_factory())) as client:
+            await client.post("/api/query", json={"question": "warm"})
+            status = await (await client.get("/api/status")).json()
+        assert status["micro_batching"]["requests"] >= 1

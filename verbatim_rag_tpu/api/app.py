@@ -42,6 +42,9 @@ async def handle_status(request: web.Request) -> web.Response:
     ready, detail = await asyncio.to_thread(deps.check_system_ready)
     index = deps.get_index()
     stats = index.inspect()
+    batcher = deps.get_batcher()
+    if batcher is not None:
+        stats["micro_batching"] = batcher.stats()
     return web.json_response({"status": "ok" if ready else "error", "detail": detail, **stats})
 
 
@@ -68,15 +71,27 @@ async def handle_query(request: web.Request) -> web.Response:
             f"{config.max_question_length} characters"
         )
     rag = deps.get_rag()
+    params = {
+        "k": data.get("k"),
+        "filter": data.get("filter"),
+        "hybrid_weights": data.get("hybrid_weights"),
+        "rrf_k": data.get("rrf_k", 60),
+    }
     try:
-        response = await asyncio.to_thread(
-            rag.query,
-            question,
-            data.get("k"),
-            data.get("filter"),
-            data.get("hybrid_weights"),
-            data.get("rrf_k", 60),
-        )
+        batcher = deps.get_batcher()
+        if batcher is not None:
+            # Concurrent requests with the same params coalesce into ONE
+            # batched retrieval dispatch + multi-question extraction forward.
+            response = await batcher.submit(question, params)
+        else:
+            response = await asyncio.to_thread(
+                rag.query,
+                question,
+                params["k"],
+                params["filter"],
+                params["hybrid_weights"],
+                params["rrf_k"],
+            )
     except Exception as exc:
         logger.exception("Query failed")
         return _json_error(f"query failed: {exc}", status=500)

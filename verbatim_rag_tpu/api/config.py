@@ -24,6 +24,10 @@ class APIConfig(BaseModel):
     log_level: str = "INFO"
     llm_model: str = ""
     llm_api_base: str = "https://api.openai.com/v1"
+    #: server-side micro-batching of concurrent /api/query requests
+    micro_batch: bool = True
+    micro_batch_max: int = 64
+    micro_batch_wait_ms: float = 4.0
 
     @classmethod
     def from_env(cls) -> "APIConfig":
@@ -41,4 +45,7 @@ class APIConfig(BaseModel):
             log_level=env("LOG_LEVEL", "INFO"),
             llm_model=env("LLM_MODEL", ""),
             llm_api_base=env("LLM_API_BASE", "https://api.openai.com/v1"),
+            micro_batch=env("MICRO_BATCH", "1").lower() not in ("0", "false"),
+            micro_batch_max=int(env("MICRO_BATCH_MAX", "64")),
+            micro_batch_wait_ms=float(env("MICRO_BATCH_WAIT_MS", "4.0")),
         )

@@ -82,6 +82,34 @@ def get_rag():
         return _state["rag"]
 
 
+def get_batcher():
+    """Micro-batcher over `VerbatimRAG.query_batch` (None when disabled)."""
+    config = get_config()
+    if not config.micro_batch:
+        return None
+    with _lock:
+        if "batcher" not in _state:
+            from .batching import MicroBatcher
+
+            rag = get_rag()
+
+            def run_batch(questions, params):
+                return rag.query_batch(
+                    questions,
+                    k=params.get("k"),
+                    filter=params.get("filter"),
+                    hybrid_weights=params.get("hybrid_weights"),
+                    rrf_k=params.get("rrf_k", 60),
+                )
+
+            _state["batcher"] = MicroBatcher(
+                run_batch,
+                max_batch=config.micro_batch_max,
+                max_wait_ms=config.micro_batch_wait_ms,
+            )
+        return _state["batcher"]
+
+
 def set_rag(rag) -> None:
     """Inject a prebuilt RAG (tests / embedding the API in another app)."""
     with _lock:
