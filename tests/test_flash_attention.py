@@ -8,6 +8,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from verbatim_rag_tpu.ops.flash_attention import (  # noqa: E402
     attention_reference,
+    flash_attention,
     flash_attention_tpu,
 )
 
@@ -46,3 +47,35 @@ class TestFlashAttention:
             flash_attention_tpu(q, k, v, lengths, q_block=128, k_block=128, interpret=True)
         )
         np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+
+class TestFlashGradient:
+    """flash_attention is differentiable (custom VJP with reference backward)
+    — training the flash-enabled 150M config previously raised
+    NotImplementedError (pallas_call has no JVP rule)."""
+
+    def test_grad_matches_reference(self):
+        rng = np.random.default_rng(4)
+        b, s, h, d = 2, 64, 2, 16
+        q = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(b, s, h, d)), jnp.float32)
+        lengths = jnp.asarray([64, 40], jnp.int32)
+
+        def loss_flash(q, k, v):
+            return (flash_attention(q, k, v, lengths) ** 2).sum()
+
+        def loss_ref(q, k, v):
+            return (attention_reference(q, k, v, lengths) ** 2).sum()
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+    def test_grad_with_window(self):
+        rng = np.random.default_rng(5)
+        q = jnp.asarray(rng.normal(size=(1, 32, 2, 8)), jnp.float32)
+        lengths = jnp.asarray([32], jnp.int32)
+        g = jax.grad(lambda x: flash_attention(x, q, q, lengths, 8).sum())(q)
+        assert np.isfinite(np.asarray(g)).all()

@@ -178,6 +178,15 @@ def flash_attention_tpu(
     return result[:, :orig_seq]
 
 
+def _flash_dispatch(q, k, v, lengths, window):
+    """Backend dispatch: Pallas kernel on TPU, jnp reference elsewhere."""
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon") and q.shape[1] % 128 == 0:
+        return flash_attention_tpu(q, k, v, lengths, window=window)
+    return attention_reference(q, k, v, lengths, window)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -185,11 +194,35 @@ def flash_attention(
     lengths: jax.Array,
     window: int | None = None,
 ) -> jax.Array:
-    """Backend dispatch: Pallas kernel on TPU, jnp reference elsewhere."""
-    platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon") and q.shape[1] % 128 == 0:
-        return flash_attention_tpu(q, k, v, lengths, window=window)
-    return attention_reference(q, k, v, lengths, window)
+    """Flash attention with a training path.
+
+    Forward runs the Pallas kernel (TPU) or the jnp reference (elsewhere);
+    `pallas_call` has no JVP rule, so the backward is defined explicitly: it
+    recomputes attention with the jnp reference and lets JAX derive the
+    gradient — the standard recompute-in-backward trade (forward activations
+    stay VMEM-resident; the backward materializes block scores only while
+    differentiating, i.e. during training).
+    """
+    return _flash_dispatch(q, k, v, lengths, window)
+
+
+def _flash_fwd(q, k, v, lengths, window):
+    return _flash_dispatch(q, k, v, lengths, window), (q, k, v, lengths)
+
+
+def _flash_bwd(window, residuals, g):
+    import numpy as np
+
+    q, k, v, lengths = residuals
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_reference(q_, k_, v_, lengths, window), q, k, v
+    )
+    dq, dk, dv = vjp(g.astype(jnp.float32))
+    # lengths is integral — its cotangent is float0 by convention.
+    return dq, dk, dv, np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 # -- partial (unnormalized) kernel for ring attention --------------------------------
