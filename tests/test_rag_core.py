@@ -256,3 +256,30 @@ class TestRoutingEmbeddings:
         index = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=32))
         rag = VerbatimRAG(index, llm_client=mock_llm_client, template_manager=tm)
         assert rag.template_manager.strategies["question_specific"].embed_fn is custom
+
+
+class TestQueryBatchParity:
+    """query_batch must behave like query per question (review finding)."""
+
+    def test_intent_short_circuits_apply_in_batch(self, mock_llm_client):
+        from verbatim_rag_tpu.engine.embedding_providers import HashedBowDenseProvider
+        from verbatim_rag_tpu.engine.index import VerbatimIndex
+        from verbatim_rag_tpu.rag.core import VerbatimRAG
+        from verbatim_rag_tpu.rag.intent import IntentDecision, IntentDetector
+
+        class Greeter(IntentDetector):
+            def detect(self, question):
+                if "hello" in question:
+                    return IntentDecision(
+                        intent="greeting", route="predefined", answer="Hi there!"
+                    )
+                return IntentDecision(intent="question", route="continue")
+
+        index = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=32))
+        index.add_documents([{"content": "solar panels convert light", "title": "t"}])
+        rag = VerbatimRAG(index, llm_client=mock_llm_client, intent_detector=Greeter())
+        out = rag.query_batch(["hello friend", "solar panels?", "hello again"])
+        assert out[0].answer == "Hi there!"
+        assert out[2].answer == "Hi there!"
+        assert "Hi there" not in out[1].answer
+        assert out[1].question == "solar panels?"

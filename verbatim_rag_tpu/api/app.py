@@ -212,11 +212,16 @@ def _cors_headers(request: web.Request) -> dict[str, str]:
         allow = request_origin
     else:
         allow = origins[0]
-    return {
+    headers = {
         "Access-Control-Allow-Origin": allow,
         "Access-Control-Allow-Methods": "GET, POST, OPTIONS",
         "Access-Control-Allow-Headers": "Content-Type, Authorization",
     }
+    if allow != "*":
+        # The ACAO value depends on the request Origin — shared caches must
+        # not serve one origin's header to another.
+        headers["Vary"] = "Origin"
+    return headers
 
 
 @web.middleware

@@ -66,7 +66,10 @@ class MicroBatcher:
                     self._flush_after_wait(key, params)
                 )
         if flush_now:
-            await self._flush(key, params)
+            # Detached task: if THIS request's handler is cancelled (client
+            # disconnect, shutdown) mid-flush, the rest of the batch still
+            # gets its results.
+            asyncio.create_task(self._flush(key, params))
         return await future
 
     async def _flush_after_wait(self, key: str, params: dict[str, Any]) -> None:
@@ -98,11 +101,15 @@ class MicroBatcher:
             for (_q, future), result in zip(batch, results):
                 if not future.done():
                     future.set_result(result)
-        except Exception as exc:  # propagate to every waiter
-            logger.error("micro-batch of %d failed: %s", len(batch), exc)
+        except BaseException as exc:  # incl. CancelledError: never strand waiters
+            logger.error("micro-batch of %d failed: %r", len(batch), exc)
             for _q, future in batch:
                 if not future.done():
-                    future.set_exception(exc)
+                    future.set_exception(
+                        exc if isinstance(exc, Exception) else RuntimeError(repr(exc))
+                    )
+            if not isinstance(exc, Exception):
+                raise
 
     def stats(self) -> dict[str, float]:
         return {

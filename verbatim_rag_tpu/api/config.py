@@ -45,7 +45,8 @@ class APIConfig(BaseModel):
             log_level=env("LOG_LEVEL", "INFO"),
             llm_model=env("LLM_MODEL", ""),
             llm_api_base=env("LLM_API_BASE", "https://api.openai.com/v1"),
-            micro_batch=env("MICRO_BATCH", "1").lower() not in ("0", "false"),
+            micro_batch=env("MICRO_BATCH", "1").strip().lower()
+            not in ("0", "false", "no", "off"),
             micro_batch_max=int(env("MICRO_BATCH_MAX", "64")),
             micro_batch_wait_ms=float(env("MICRO_BATCH_WAIT_MS", "4.0")),
         )

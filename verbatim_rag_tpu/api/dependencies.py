@@ -116,6 +116,8 @@ def set_rag(rag) -> None:
         _state["rag"] = rag
         _state["index"] = rag.index
         _state["templates"] = rag.template_manager
+        # A cached batcher's run_batch closes over the OLD rag — rebuild.
+        _state.pop("batcher", None)
 
 
 def reset() -> None:

@@ -362,7 +362,7 @@ class DeviceVectorStore(VectorStore):
         n_total = len(self._ids)
         pad_unit = min(_FLUSH_PAD, self.block)
         pad_rows = -(-n_new // pad_unit) * pad_unit
-        new_cap = self._target_capacity(offset + pad_rows)
+        new_cap = self._target_capacity(offset + pad_rows, first_flush=offset == 0)
 
         def _grow(old, new_host, width, dtype):
             arr = self._grow_capacity(old, new_cap, width, dtype)
@@ -423,9 +423,16 @@ class DeviceVectorStore(VectorStore):
 
         return jax.device_put(arr, row_sharding(self.mesh))
 
-    def _target_capacity(self, needed: int) -> int:
+    def _target_capacity(self, needed: int, first_flush: bool = False) -> int:
         """Next capacity: doubles from `block` so allocation shapes are
-        O(log N) distinct (each shape's programs compile once, then cache)."""
+        O(log N) distinct (each shape's programs compile once, then cache).
+
+        The FIRST flush of an empty store sizes tightly (next block
+        multiple): `load()`, one-shot bulk ingests and `compact()` all
+        materialize in one flush, and doubling there would permanently tax
+        every query with up to 2x dead rows."""
+        if first_flush:
+            return max(-(-needed // self.block) * self.block, self.block)
         cap = max(self._capacity, self.block)
         while cap < needed:
             cap *= 2
@@ -869,6 +876,7 @@ class DeviceVectorStore(VectorStore):
                 dense_weight=float(weights.get("dense", 0.5)),
                 sparse_weight=float(weights.get("sparse", 0.5)),
                 rrf_k=rrf_k,
+                exact_topk=exact_topk,
             )
         else:
             scores, rows = hybrid_fused_topk(
@@ -942,6 +950,7 @@ class DeviceVectorStore(VectorStore):
                 depth,
                 mask,
                 self.mesh,
+                exact_topk=exact_topk,
             )
         else:
             top_scores, top_rows = projected_sparse_topk(

@@ -70,6 +70,10 @@ def matmul_bucket_max(
     global argmax row ids [B, N/128] i32; masked-out buckets carry -inf)."""
     n, d = corpus.shape
     b = q.shape[0]
+    if n % BUCKET != 0:
+        # The kernel reduces over [*, n/128, 128] groups — no layout exists
+        # for a ragged tail.
+        raise ValueError(f"corpus rows ({n}) must be a multiple of {BUCKET}")
     if n <= BLOCK_ROWS:
         block_rows = n
     elif n % BLOCK_ROWS == 0:
@@ -79,8 +83,6 @@ def matmul_bucket_max(
             f"corpus rows ({n}) must be ≤ {BLOCK_ROWS} or a multiple of it "
             "(store capacities are powers of two of the block size)"
         )
-    if n % BUCKET != 0 and n != block_rows:
-        raise ValueError("corpus rows must be a multiple of 128")
 
     # Pad queries to a Q_BLOCK multiple (tiny [B, d] pad).
     qb = min(Q_BLOCK, b) if b % Q_BLOCK else Q_BLOCK

@@ -201,16 +201,37 @@ class VerbatimRAG:
 
         Retrieval for the whole batch is a single device program
         (`VerbatimIndex.query_batch`); extraction/templating then run per
-        question. The batched-serving entry the reference lacks (its query
+        question. Behavior matches :meth:`query` per question: intent
+        short-circuits apply, and structured template mode (whose extraction
+        is template-driven, not batchable) falls back to per-question
+        queries. The batched-serving entry the reference lacks (its query
         path is strictly one-question, `core.py:210-277`).
         """
+        if self.template_manager.get_current_mode() == "structured":
+            return [
+                self.query(q, k=k, filter=filter, hybrid_weights=hybrid_weights, rrf_k=rrf_k)
+                for q in questions
+            ]
+
+        short_circuits: dict[int, QueryResponse] = {}
+        if self.intent_detector is not None:
+            for i, q in enumerate(questions):
+                decision = self._detect_intent(q)
+                if decision is not None and decision.route != "continue":
+                    short_circuits[i] = self._short_circuit_response(q, decision)
+        live = [i for i in range(len(questions)) if i not in short_circuits]
+        if not live:
+            return [short_circuits[i] for i in range(len(questions))]
+        live_questions = [questions[i] for i in live]
+
         results_per_q = self.index.query_batch(
-            questions,
+            live_questions,
             k=k or self.k,
             filter=filter,
             hybrid_weights=hybrid_weights,
             rrf_k=rrf_k,
         )
+        questions = live_questions
         reranked = [
             self._apply_reranker(q, r) for q, r in zip(questions, results_per_q)
         ]
@@ -238,7 +259,13 @@ class VerbatimRAG:
                     display_span_count=len(display),
                 )
             )
-        return responses
+        if not short_circuits:
+            return responses
+        # Re-interleave intent short-circuits at their original positions.
+        merged, live_iter = [], iter(responses)
+        for i in range(len(short_circuits) + len(responses)):
+            merged.append(short_circuits[i] if i in short_circuits else next(live_iter))
+        return merged
 
     def warmup(self) -> None:
         """Trigger every jit compile the query path needs (serving startup).

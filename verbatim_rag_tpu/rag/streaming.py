@@ -99,25 +99,23 @@ class StreamingRAG:
             return
 
         docs_with_highlights = []
-        timer_highlight = timer.stage("highlight")
-        timer_highlight.__enter__()
-        for result in results:
-            content = getattr(result, "text", "")
-            spans = relevant_spans.get(content, [])
-            highlights = (
-                rag.response_builder._create_highlights(content, spans) if spans else []
-            )
-            metadata = getattr(result, "metadata", {}) or {}
-            docs_with_highlights.append(
-                DocumentWithHighlights(
-                    content=content or " ",
-                    highlights=highlights,
-                    title=metadata.get("title", ""),
-                    source=metadata.get("source", ""),
-                    metadata=metadata,
+        with timer.stage("highlight"):
+            for result in results:
+                content = getattr(result, "text", "")
+                spans = relevant_spans.get(content, [])
+                highlights = (
+                    rag.response_builder._create_highlights(content, spans) if spans else []
                 )
-            )
-        timer_highlight.__exit__(None, None, None)
+                metadata = getattr(result, "metadata", {}) or {}
+                docs_with_highlights.append(
+                    DocumentWithHighlights(
+                        content=content or " ",
+                        highlights=highlights,
+                        title=metadata.get("title", ""),
+                        source=metadata.get("source", ""),
+                        metadata=metadata,
+                    )
+                )
         yield {
             "type": "highlights",
             "data": {"documents": [d.model_dump() for d in docs_with_highlights]},
