@@ -93,3 +93,54 @@ class TestTokenTraining:
         assert spans, "trained extractor found no spans"
         predicted = " ".join(ex.context[s:e] for s, e in spans)
         assert "noteworthy" in predicted
+
+
+class TestTrainSaveServe:
+    """The full loop: Trainer checkpoint → ModelSpanExtractor serving it."""
+
+    def test_trained_checkpoint_loads_into_extractor(self, tmp_path):
+        from verbatim_rag_tpu.models.config import TrainingConfig, tiny_test_config
+        from verbatim_rag_tpu.models.hf_convert import (
+            detect_checkpoint_format,
+            load_span_extractor,
+        )
+        from verbatim_rag_tpu.models.highlighter import init_highlighter_params
+        from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+        from verbatim_rag_tpu.training.model import token_loss
+        from verbatim_rag_tpu.training.token_dataset import (
+            TokenDatasetEncoder,
+            make_synthetic_token_data,
+        )
+        from verbatim_rag_tpu.training.trainer import Trainer
+
+        config = tiny_test_config(vocab_size=512, max_position_embeddings=256)
+        tokenizer = HashTokenizer(vocab_size=config.vocab_size)
+        encoder = TokenDatasetEncoder(tokenizer, max_length=128, doc_stride=32)
+        data = make_synthetic_token_data(n_examples=24, seed=2)
+
+        trainer = Trainer(
+            init_highlighter_params(jax.random.PRNGKey(0), config),
+            config,
+            TrainingConfig(learning_rate=2e-3, num_epochs=2, batch_size=8),
+            output_dir=str(tmp_path / "out"),
+            loss_fn=token_loss,
+            tokenizer=tokenizer,
+        )
+        trainer.train(list(encoder.iter_batches(data, 8)))
+
+        ckpt = str(tmp_path / "out" / "final")
+        assert detect_checkpoint_format(ckpt) == "highlighter_v2"
+        extractor = load_span_extractor(ckpt, threshold=0.3, min_span_chars=5)
+        # Weights actually came from the checkpoint, not a fresh init.
+        got = np.asarray(
+            jax.tree.leaves(extractor.params)[0], np.float32
+        )
+        want = np.asarray(jax.tree.leaves(trainer.params)[0], np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        # And the extractor runs end to end on raw text.
+        class R:
+            text = "Clause 0 is noteworthy about solar item 3. Clause 1 is ordinary."
+            metadata = {}
+
+        spans = extractor.extract_spans("what about solar?", [R()])
+        assert isinstance(spans, dict)

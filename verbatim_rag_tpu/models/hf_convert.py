@@ -214,6 +214,10 @@ def load_highlighter_checkpoint(model_dir: str):
     """
     from .tokenizer import HFTokenizer
 
+    meta = _native_meta(model_dir)
+    if meta is not None:
+        return load_native_checkpoint(model_dir, meta)
+
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_config = json.load(f)
     config = config_from_hf(hf_config)
@@ -247,13 +251,62 @@ def load_highlighter_checkpoint(model_dir: str):
     return params, config, tokenizer
 
 
+def _native_meta(model_dir: str) -> dict | None:
+    """Metadata of a framework-native trainer checkpoint, if this is one."""
+    path = os.path.join(model_dir, "verbatim_config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def load_native_checkpoint(model_dir: str, meta: dict):
+    """Load a `training.Trainer.save_checkpoint` directory.
+
+    :return: (params, config, tokenizer) — same contract as the HF loader,
+        so `ModelSpanExtractor(model_path=...)` serves trained checkpoints
+        directly (the train→save→serve loop).
+    """
+    import jax
+
+    from verbatim_rag_tpu.models.config import EncoderConfig
+    from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+    from verbatim_rag_tpu.training.trainer import Trainer
+
+    config = EncoderConfig(**meta["encoder_config"])
+    if meta.get("head") == "sentence":
+        from verbatim_rag_tpu.training.model import init_qa_model_params
+
+        template = init_qa_model_params(jax.random.PRNGKey(0), config)
+    else:
+        from verbatim_rag_tpu.models.highlighter import init_highlighter_params
+
+        template = init_highlighter_params(jax.random.PRNGKey(0), config)
+    params = Trainer.load_checkpoint(model_dir, template)
+
+    tok_meta = meta.get("tokenizer") or {}
+    if tok_meta.get("class") == "HFTokenizer" and tok_meta.get("path"):
+        from verbatim_rag_tpu.models.tokenizer import HFTokenizer
+
+        tokenizer = HFTokenizer(tok_meta["path"])
+    else:
+        tokenizer = HashTokenizer(
+            vocab_size=int(tok_meta.get("vocab_size", config.vocab_size))
+        )
+    return params, config, tokenizer
+
+
 def detect_checkpoint_format(model_dir: str) -> str:
     """'highlighter_v2' (token classifier) vs 'qa_model_v1' (sentence level).
 
     Parity: the reference auto-detects via ``auto_map`` containing
     "Highlighter" (`extractors.py:135-149`); a sentence-classifier head in
-    the weights also marks v1.
+    the weights also marks v1. Framework-native trainer checkpoints declare
+    their head in verbatim_config.json.
     """
+    meta = _native_meta(model_dir)
+    if meta is not None:
+        return "qa_model_v1" if meta.get("head") == "sentence" else "highlighter_v2"
     with open(os.path.join(model_dir, "config.json")) as f:
         hf_config = json.load(f)
     auto_map = hf_config.get("auto_map") or {}

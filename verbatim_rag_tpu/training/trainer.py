@@ -126,12 +126,16 @@ class Trainer:
         mesh=None,
         loss_fn=sentence_loss,
         total_steps: int | None = None,
+        tokenizer=None,
     ):
         self.encoder_config = encoder_config
         self.tc = training_config or TrainingConfig()
         self.output_dir = output_dir
         self.mesh = mesh
         self.loss_fn = loss_fn
+        #: recorded in checkpoints so the serving extractor can rebuild the
+        #: exact same tokenizer (None → hash tokenizer at the config vocab)
+        self.tokenizer = tokenizer
         # Size the (warmup+cosine) schedule to the actual run — a schedule
         # sized to the default hits lr~0 partway through longer runs.
         self.optimizer = make_optimizer(self.tc, total_steps or 10_000)
@@ -232,6 +236,26 @@ class Trainer:
             for key_path, leaf in flat
         }
         np.savez_compressed(os.path.join(path, "params.npz"), **arrays)
+        self._write_checkpoint_meta(path)
+
+    def _write_checkpoint_meta(self, path: str) -> None:
+        """Self-describing checkpoint: enough metadata that
+        `models.hf_convert.load_span_extractor` (and through it
+        `ModelSpanExtractor(model_path=...)`) can serve the trained model
+        directly — the train→save→serve loop needs no HF round-trip."""
+        import dataclasses
+
+        meta = {
+            "format": "verbatim-native",
+            "head": "token" if getattr(self.loss_fn, "__name__", "") == "token_loss"
+            else "sentence",
+            "encoder_config": dataclasses.asdict(self.encoder_config),
+            "tokenizer": self.tokenizer.describe()
+            if hasattr(self.tokenizer, "describe")
+            else None,
+        }
+        with open(os.path.join(path, "verbatim_config.json"), "w") as f:
+            json.dump(meta, f, indent=1)
 
     def _save_orbax(self, path: str) -> None:
         import orbax.checkpoint as ocp
