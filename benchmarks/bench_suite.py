@@ -1,19 +1,22 @@
 """Extended benchmark suite (one JSON line per metric).
 
 `bench.py` (repo root) prints the single headline line the driver records;
-this suite covers the full perf surface on real hardware:
+this suite covers the full perf surface on real hardware, through the SAME
+code paths the serving store uses (round 2: everything on device —
+`hybrid_fused_topk` / `projected_sparse_topk`):
 
   dense_qps_1m        exact dense retrieval throughput @1M chunks
-  sparse_qps_1m       projected+rescore sparse retrieval throughput @1M
+  sparse_qps_1m       projected + on-device rescore sparse throughput @1M
   hybrid_qps_1m       fused hybrid (the headline, same path as bench.py)
   encode_dense_tps    MiniLM-shaped dense encoder, texts/sec (seq 256)
   extract_tokens_tps  highlighter token-classification throughput (seq 512)
+  train_tokens_tps    150M token-classifier TRAINING throughput (B=8, S=512)
   e2e_p50_ms          single-query hybrid latency, median over 30 queries
 
 Timing is host-synchronous (forced readback) — `block_until_ready` is not
 trusted on tunneled backends.
 
-Run: python benchmarks/bench_suite.py [--n 1000000]
+Run: python benchmarks/bench_suite.py [--n 999424]
 """
 
 from __future__ import annotations
@@ -32,57 +35,57 @@ def emit(metric: str, value: float, unit: str) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--n", type=int, default=1_000_000)
-    parser.add_argument("--batch", type=int, default=128)
-    parser.add_argument("--iters", type=int, default=15)
+    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--iters", type=int, default=10)
     args = parser.parse_args()
 
+    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     import jax
     import jax.numpy as jnp
 
     from verbatim_rag_tpu.ops.dense import dense_topk
-    from verbatim_rag_tpu.ops.fusion import rrf_fuse_np
-    from verbatim_rag_tpu.ops.hybrid import hybrid_candidates
-    from verbatim_rag_tpu.ops.sparse_projected import exact_rescore
+    from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk, projected_sparse_topk
 
     n, batch, iters = args.n, args.batch, args.iters
-    dim, proj_dim, max_nnz, vocab, depth, fetch_k = 384, 768, 128, 30522, 96, 20
+    dim, proj_dim, max_nnz, vocab = 384, 768, 128, 30522
+    depth, fetch_k, qnnz = 256, 20, 32
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     dense = jax.random.normal(k1, (n, dim), jnp.bfloat16)
     sp_proj = jax.random.normal(k2, (n, proj_dim), jnp.bfloat16)
+    sp_ids = jax.random.randint(k3, (n, max_nnz), 1, vocab, jnp.int32)
+    sp_w = jax.random.uniform(k4, (n, max_nnz), jnp.float32)
     mask = jnp.ones((n,), bool)
-    sp_ids_host = rng.integers(1, vocab, size=(n, max_nnz)).astype(np.int32)
-    sp_w_host = rng.random((n, max_nnz)).astype(np.float32)
 
     def queries(seed, b=batch):
         q_rng = np.random.default_rng(seed)
         dq = q_rng.normal(size=(b, dim)).astype(np.float32)
         dq /= np.linalg.norm(dq, axis=1, keepdims=True)
-        qp = q_rng.normal(size=(b, proj_dim)).astype(np.float32)
-        q_terms = q_rng.integers(1, vocab, size=(b, 32))
-        q_dense = np.zeros((b, vocab), np.float32)
-        np.put_along_axis(q_dense, q_terms, q_rng.random((b, 32)).astype(np.float32), 1)
-        return jnp.asarray(dq), jnp.asarray(qp), q_dense
+        qp = jnp.asarray(q_rng.normal(size=(b, proj_dim)).astype(np.float32))
+        q_ids = jnp.asarray(q_rng.integers(1, vocab, size=(b, qnnz)).astype(np.int32))
+        q_w = jnp.asarray(q_rng.random((b, qnnz)).astype(np.float32))
+        return jnp.asarray(dq), qp, q_ids, q_w
 
     # -- dense ------------------------------------------------------------------
-    dq, _, _ = queries(0)
+    dq, *_ = queries(0)
     np.asarray(dense_topk(dense, dq, 10, mask)[0])
     start = time.perf_counter()
     for i in range(iters):
-        dq, _, _ = queries(i + 1)
+        dq, *_ = queries(i + 1)
         np.asarray(dense_topk(dense, dq, 10, mask)[1])
     emit("dense_qps_1m", batch * iters / (time.perf_counter() - start), "qps")
 
-    # -- sparse (projected + rescore) ----------------------------------------------
+    # -- sparse (projected + on-device rescore) ------------------------------------
     def sparse_once(seed):
-        _, qp, q_dense = queries(seed)
-        _, rows = dense_topk(sp_proj, qp, depth, mask)
-        rows = np.asarray(rows)
-        exact = exact_rescore(rows.astype(np.int64), sp_ids_host, sp_w_host, q_dense)
-        order = np.argsort(-exact, axis=1)[:, :10]
-        return np.take_along_axis(rows, order, axis=1)
+        _, qp, q_ids, q_w = queries(seed)
+        _, rows = projected_sparse_topk(
+            sp_proj, sp_ids, sp_w, qp, q_ids, q_w, 10, depth, mask, exact_topk=False
+        )
+        return np.asarray(rows)
 
     sparse_once(0)
     start = time.perf_counter()
@@ -91,37 +94,30 @@ def main() -> None:
     emit("sparse_qps_1m", batch * iters / (time.perf_counter() - start), "qps")
 
     # -- hybrid (pipelined, headline path) ----------------------------------------
-    def dispatch(seed):
-        dq, qp, q_dense = queries(seed)
-        d_rows, s_cand = hybrid_candidates(dense, sp_proj, dq, qp, fetch_k, depth, mask)
-        return d_rows, s_cand, q_dense
+    def dispatch(seed, b=batch):
+        dq, qp, q_ids, q_w = queries(seed, b)
+        return hybrid_fused_topk(
+            dense, sp_proj, sp_ids, sp_w, dq, qp, q_ids, q_w,
+            k=10, fetch_k=fetch_k, depth=depth, mask=mask, exact_topk=False,
+        )
 
-    def host_phase(inflight):
-        d_rows, s_cand, q_dense = inflight
-        d_rows, s_cand = np.asarray(d_rows), np.asarray(s_cand)
-        exact = exact_rescore(s_cand.astype(np.int64), sp_ids_host, sp_w_host, q_dense)
-        order = np.argsort(-exact, axis=1)[:, :fetch_k]
-        s_rows = np.take_along_axis(s_cand, order, axis=1)
-        rrf_fuse_np(np.stack([d_rows, s_rows]), np.asarray([0.5, 0.5], np.float32), k=10)
-
-    host_phase(dispatch(0))
+    np.asarray(dispatch(0)[1])
     start = time.perf_counter()
     pipeline = []
     for i in range(iters):
         pipeline.append(dispatch(i + 1))
-        if len(pipeline) >= 2:
-            host_phase(pipeline.pop(0))
+        if len(pipeline) >= 4:
+            np.asarray(pipeline.pop(0)[1])
     while pipeline:
-        host_phase(pipeline.pop(0))
+        np.asarray(pipeline.pop(0)[1])
     emit("hybrid_qps_1m", batch * iters / (time.perf_counter() - start), "qps")
 
     # -- e2e single-query latency p50 ----------------------------------------------
+    np.asarray(dispatch(99, b=1)[1])  # compile the b=1 shape
     latencies = []
     for i in range(30):
-        dq, qp, q_dense = queries(100 + i, b=1)
         start = time.perf_counter()
-        host_phase(dispatch_single(dense, sp_proj, dq, qp, q_dense, fetch_k, depth, mask,
-                                   sp_ids_host, sp_w_host))
+        np.asarray(dispatch(100 + i, b=1)[1])
         latencies.append((time.perf_counter() - start) * 1000)
     emit("e2e_p50_ms", float(np.median(latencies)), "ms")
 
@@ -153,12 +149,30 @@ def main() -> None:
         np.asarray(token_relevance_probs(hl_params, hl_cfg, ids, att))
     emit("extract_tokens_tps", 8 * 512 * 10 / (time.perf_counter() - start), "tokens/s")
 
+    # -- training throughput (full 150M config) -----------------------------------
+    from verbatim_rag_tpu.models.config import TrainingConfig
+    from verbatim_rag_tpu.training.model import token_loss
+    from verbatim_rag_tpu.training.trainer import make_optimizer, train_step
 
-def dispatch_single(dense, sp_proj, dq, qp, q_dense, fetch_k, depth, mask, ids_h, w_h):
-    from verbatim_rag_tpu.ops.hybrid import hybrid_candidates
-
-    d_rows, s_cand = hybrid_candidates(dense, sp_proj, dq, qp, fetch_k, depth, mask)
-    return d_rows, s_cand, q_dense
+    tc = TrainingConfig(learning_rate=2e-5, batch_size=8, max_seq_length=512)
+    optimizer = make_optimizer(tc)
+    params = hl_params
+    opt_state = optimizer.init(params)
+    tb = {
+        "input_ids": ids,
+        "attention_mask": att,
+        "labels": jnp.asarray(rng.integers(0, 2, (8, 512)), jnp.int32),
+        "label_mask": jnp.ones((8, 512), jnp.int32),
+    }
+    params, opt_state, loss, _ = train_step(params, opt_state, tb, hl_cfg, optimizer, token_loss)
+    float(loss)
+    start = time.perf_counter()
+    for _ in range(10):
+        params, opt_state, loss, _ = train_step(
+            params, opt_state, tb, hl_cfg, optimizer, token_loss
+        )
+    float(loss)
+    emit("train_tokens_tps", 8 * 512 * 10 / (time.perf_counter() - start), "tokens/s")
 
 
 if __name__ == "__main__":
