@@ -269,3 +269,37 @@ class TestMeshStore:
                 [h.score for h in hits_p], [h.score for h in hits_s],
                 rtol=1e-4, atol=1e-5,
             )
+
+    def test_full_text_parity(self, mesh):
+        from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+        def build(mesh_arg):
+            store = DeviceVectorStore(
+                dense_dim=None, sparse_vocab=None, enable_full_text=True,
+                full_text_vocab=256, full_text_max_nnz=16, block=64,
+                projection_dim=32, rescore_depth=512, mesh=mesh_arg,
+            )
+            # Unique (solar_tf, storage_tf) per doc — tied BM25 scores make
+            # top-k order ambiguous across merge strategies.
+            store.add_vectors(
+                [
+                    {
+                        "id": f"d{i}",
+                        "text": "solar " * (i % 9 + 1)
+                        + f"panel grid w{i} "
+                        + "storage " * (i // 9 + 1),
+                    }
+                    for i in range(80)
+                ]
+            )
+            store.flush()
+            return store
+
+        plain, sharded = build(None), build(mesh)
+        for query in ("solar storage", "panel w3"):
+            hp = plain.query_batch(text_queries=[query], top_k=6)[0]
+            hs = sharded.query_batch(text_queries=[query], top_k=6)[0]
+            assert [h.id for h in hp] == [h.id for h in hs]
+            np.testing.assert_allclose(
+                [h.score for h in hp], [h.score for h in hs], rtol=1e-4, atol=1e-5
+            )
