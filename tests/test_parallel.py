@@ -299,7 +299,14 @@ class TestMeshStore:
         for query in ("solar storage", "panel w3"):
             hp = plain.query_batch(text_queries=[query], top_k=6)[0]
             hs = sharded.query_batch(text_queries=[query], top_k=6)[0]
-            assert [h.id for h in hp] == [h.id for h in hs]
             np.testing.assert_allclose(
                 [h.score for h in hp], [h.score for h in hs], rtol=1e-4, atol=1e-5
             )
+            # Exact ties (symmetric term-count docs score identically under
+            # BM25) may permute within a tie group; compare groups as sets.
+            groups_p, groups_s = {}, {}
+            for h in hp:
+                groups_p.setdefault(round(h.score, 4), set()).add(h.id)
+            for h in hs:
+                groups_s.setdefault(round(h.score, 4), set()).add(h.id)
+            assert groups_p == groups_s
