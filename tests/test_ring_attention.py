@@ -118,3 +118,25 @@ class TestRingFlash:
         np.testing.assert_allclose(
             np.asarray(numer_f), np.asarray(numer_r), rtol=1e-4, atol=1e-5
         )
+
+
+class TestRingGradient:
+    """The flash ring path is differentiable (custom VJP on the partial
+    kernel) — long-context SP training."""
+
+    def test_ring_grad_flash_matches_jnp(self, mesh):
+        shape = (1, 32, 2, 8)
+        q = jnp.asarray(RNG.normal(size=shape), jnp.float32)
+        lengths = jnp.asarray([32], jnp.int32)
+
+        def loss(x, use_flash):
+            out = ring_attention(
+                shard_sequence(x, mesh), shard_sequence(x, mesh),
+                shard_sequence(x, mesh), lengths, mesh, use_flash=use_flash,
+            )
+            return (out.astype(jnp.float32) ** 2).sum()
+
+        g_flash = np.asarray(jax.grad(lambda x: loss(x, True))(q))
+        g_jnp = np.asarray(jax.grad(lambda x: loss(x, False))(q))
+        np.testing.assert_allclose(g_flash, g_jnp, rtol=2e-4, atol=2e-5)
+        assert np.abs(g_flash).max() > 0

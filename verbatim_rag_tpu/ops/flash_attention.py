@@ -285,8 +285,70 @@ def _flash_partial_kernel(
     l_ref[0] = jnp.broadcast_to(l[:, None], (l.shape[0], 128))
 
 
-@partial(jax.jit, static_argnames=("q_block", "k_block", "interpret"))
+def _partial_reference(q, k, v, lengths, k_offset):
+    """jnp math of one KV block's unnormalized contribution — the VJP
+    target for `flash_attention_partial` (matches the kernel's outputs)."""
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    )
+    k_idx = k_offset + jnp.arange(k.shape[1])
+    valid = k_idx[None, :] < lengths[:, None]
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1)  # [B, H, Sq]
+    p = jnp.where(valid[:, None, None, :], jnp.exp(logits - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    numer = jnp.einsum(
+        "bhqk,bkhd->bqhd", p, v.astype(jnp.float32), preferred_element_type=jnp.float32
+    )
+    return numer, m, l
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def flash_attention_partial(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    lengths: jax.Array,
+    k_offset: jax.Array,
+    q_block: int = DEFAULT_Q_BLOCK,
+    k_block: int = DEFAULT_K_BLOCK,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Differentiable wrapper: Pallas forward, reference-derived backward —
+    the long-context SP/ring path is trainable (pallas_call has no JVP)."""
+    return _flash_partial_impl(q, k, v, lengths, k_offset, q_block, k_block, interpret)
+
+
+def _flash_partial_fwd(q, k, v, lengths, k_offset, q_block, k_block, interpret):
+    out = _flash_partial_impl(q, k, v, lengths, k_offset, q_block, k_block, interpret)
+    return out, (q, k, v, lengths, k_offset)
+
+
+def _flash_partial_bwd(q_block, k_block, interpret, residuals, cotangents):
+    import numpy as np
+
+    q, k, v, lengths, k_offset = residuals
+    g_numer, g_m, g_l = cotangents
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _partial_reference(q_, k_, v_, lengths, k_offset), q, k, v
+    )
+    dq, dk, dv = vjp(
+        (
+            g_numer.astype(jnp.float32),
+            g_m.astype(jnp.float32),
+            g_l.astype(jnp.float32),
+        )
+    )
+    f0 = lambda a: np.zeros(np.shape(a), dtype=jax.dtypes.float0)  # noqa: E731
+    return dq, dk, dv, f0(lengths), f0(k_offset)
+
+
+flash_attention_partial.defvjp(_flash_partial_fwd, _flash_partial_bwd)
+
+
+@partial(jax.jit, static_argnames=("q_block", "k_block", "interpret"))
+def _flash_partial_impl(
     q: jax.Array,  # [B, Sq, H, D]
     k: jax.Array,  # [B, Sk, H, D] — ONE KV block of a longer sequence
     v: jax.Array,
