@@ -120,10 +120,6 @@ def _analyze(text: str, vocab_size: int) -> tuple[np.ndarray, np.ndarray, int]:
     return unique.astype(np.int32), counts.astype(np.int32), len(tokens)
 
 
-def _append_host(old: np.ndarray | None, new: np.ndarray) -> np.ndarray:
-    return new.copy() if old is None else np.concatenate([old, new], axis=0)
-
-
 def _pad_sparse(
     entries: Mapping[int, float] | Sequence[tuple[int, float]],
     max_nnz: int,
@@ -232,11 +228,6 @@ class DeviceVectorStore(VectorStore):
         self._ft_w = None  # [cap, fm] BM25-saturated weights
         self._ft_proj = None  # [cap, d_p] projected BM25 sketches
 
-        # Host mirrors of the forward indexes (exact rescoring + projection).
-        self._sp_ids_host = None  # np [n, m]
-        self._sp_w_host = None
-        self._ft_ids_host = None
-        self._ft_sat_host = None  # BM25-saturated weights (refreshed at flush)
         self._valid_dev = None  # [cap]
         self._capacity = 0
 
@@ -377,8 +368,6 @@ class DeviceVectorStore(VectorStore):
         if sp_ids_new is not None:
             self._sp_ids = _grow(self._sp_ids, sp_ids_new, self.sparse_max_nnz, jnp.int32)
             self._sp_w = _grow(self._sp_w, sp_w_new, self.sparse_max_nnz, jnp.float32)
-            self._sp_ids_host = _append_host(self._sp_ids_host, sp_ids_new)
-            self._sp_w_host = _append_host(self._sp_w_host, sp_w_new)
             if self.sparse_mode == "projected":
                 from verbatim_rag_tpu.ops.sparse_projected import project_rows
 
@@ -391,7 +380,6 @@ class DeviceVectorStore(VectorStore):
         if self.enable_full_text:
             self._ft_ids = _grow(self._ft_ids, ft_ids_new, self.full_text_max_nnz, jnp.int32)
             self._ft_tf = _grow(self._ft_tf, ft_tf_new, self.full_text_max_nnz, jnp.int32)
-            self._ft_ids_host = _append_host(self._ft_ids_host, ft_ids_new)
             self._recompute_bm25()
             if self.sparse_mode == "projected":
                 from verbatim_rag_tpu.ops.sparse_projected import project_rows
@@ -399,8 +387,17 @@ class DeviceVectorStore(VectorStore):
                 # Sketch new rows with current-avgdl saturation; older sketches
                 # go slightly stale as avgdl drifts, which only nudges
                 # candidate generation — exact rescoring uses fresh weights.
-                n0 = len(self._ids) - n_new
-                sat_new = self._ft_sat_host[n0 : len(self._ids)]
+                # (Computed locally: a full host mirror of the saturated
+                # matrix cost an O(N) device readback per flush.)
+                n = len(self._ids)
+                avgdl = max(float(self._doc_len[:n].mean()) if n else 1.0, 1.0)
+                tf_new = ft_tf_new.astype(np.float32)
+                norm = self.bm25_k1 * (
+                    1.0 - self.bm25_b + self.bm25_b * dl_new[:, None] / avgdl
+                )
+                sat_new = np.where(
+                    tf_new > 0, tf_new * (self.bm25_k1 + 1.0) / (tf_new + norm), 0.0
+                ).astype(np.float32)
                 proj_new = project_rows(
                     ft_ids_new, sat_new, self._projection(self.full_text_vocab)
                 )
@@ -470,15 +467,6 @@ class DeviceVectorStore(VectorStore):
                 k1=self.bm25_k1, b=self.bm25_b,
             )
         )
-        # Host mirror of saturated weights (exact rescoring path).
-        if self._ft_ids_host is not None:
-            tf_host = np.asarray(self._ft_tf[:n], np.float32)
-            norm = self.bm25_k1 * (
-                1.0 - self.bm25_b + self.bm25_b * self._doc_len[:n, None] / avgdl
-            )
-            self._ft_sat_host = np.where(
-                tf_host > 0, tf_host * (self.bm25_k1 + 1.0) / (tf_host + norm), 0.0
-            ).astype(np.float32)
 
     # -- projections ---------------------------------------------------------------
 
@@ -544,6 +532,9 @@ class DeviceVectorStore(VectorStore):
             return 0
 
         keep = np.flatnonzero(self._valid[:n])
+        # One O(N) readback for the rebuild (no host mirrors are kept).
+        sp_ids_np = np.asarray(self._sp_ids[:n]) if self._sp_ids is not None else None
+        sp_w_np = np.asarray(self._sp_w[:n]) if self._sp_ids is not None else None
         records = []
         for row in keep:
             rec: dict[str, Any] = {
@@ -554,10 +545,10 @@ class DeviceVectorStore(VectorStore):
             }
             if self._dense is not None:
                 rec["dense"] = np.asarray(self._dense[int(row)], np.float32)
-            if self._sp_ids_host is not None:
+            if sp_ids_np is not None:
                 rec["sparse"] = {
                     int(t): float(w)
-                    for t, w in zip(self._sp_ids_host[row], self._sp_w_host[row])
+                    for t, w in zip(sp_ids_np[row], sp_w_np[row])
                     if w != 0.0
                 }
             records.append(rec)
