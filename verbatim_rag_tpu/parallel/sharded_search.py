@@ -18,8 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from verbatim_rag_tpu.ops.dense import NEG_INF
-from verbatim_rag_tpu.ops.hybrid import _candidate_select
+from verbatim_rag_tpu.ops.dense import NEG_INF, candidate_select
 
 
 def shard_rows(x: jax.Array, mesh: Mesh) -> jax.Array:
@@ -31,13 +30,14 @@ def replicate(x: jax.Array, mesh: Mesh) -> jax.Array:
     return jax.device_put(x, NamedSharding(mesh, P()))
 
 
-@partial(jax.jit, static_argnames=("k", "mesh"))
+@partial(jax.jit, static_argnames=("k", "mesh", "exact_topk"))
 def sharded_dense_topk(
     corpus: jax.Array,  # [N, d] row-sharded over ('dp','tp')
     queries: jax.Array,  # [B, d] replicated
     k: int,
     mask: jax.Array,  # [N] row-sharded
     mesh: Mesh,
+    exact_topk: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact distributed top-k: (scores [B, k], global row indices [B, k])."""
     axis = ("dp", "tp")
@@ -52,7 +52,7 @@ def sharded_dense_topk(
         )
         scores = jnp.where(mask_shard[None, :], scores, NEG_INF)
         local_k = min(k, corpus_shard.shape[0])
-        top_scores, top_idx = jax.lax.top_k(scores, local_k)  # [B, k]
+        top_scores, top_idx = candidate_select(exact_topk)(scores, k=local_k)
 
         # Globalize indices: shard offset = shard_index * rows_per_shard.
         shard_index = jax.lax.axis_index(axis)
@@ -122,7 +122,7 @@ def sharded_projected_sparse_topk(
         )
         s_scores = jnp.where(mask_s[None, :], s_scores, NEG_INF)
         local_depth = min(depth, n_local)
-        c_top, cand = _candidate_select(exact_topk)(s_scores, k=local_depth)
+        c_top, cand = candidate_select(exact_topk)(s_scores, k=local_depth)
         cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
         exact = exact_rescore_device(cand, ids_s, w_s, qids, qw)
         local_k = min(k, local_depth)
@@ -194,7 +194,7 @@ def sharded_hybrid_topk(
         )
         d_scores = jnp.where(mask_s[None, :], d_scores, NEG_INF)
         lk = min(fetch_k, n_local)
-        d_top, d_idx = _candidate_select(exact_topk)(d_scores, k=lk)
+        d_top, d_idx = candidate_select(exact_topk)(d_scores, k=lk)
         d_idx = jnp.where(d_top > NEG_INF / 2, d_idx + offset, -1)
         d_all_s = jax.lax.all_gather(d_top, axis, axis=1).reshape(d_top.shape[0], -1)
         d_all_i = jax.lax.all_gather(d_idx, axis, axis=1).reshape(d_top.shape[0], -1)
@@ -210,7 +210,7 @@ def sharded_hybrid_topk(
         )
         s_scores = jnp.where(mask_s[None, :], s_scores, NEG_INF)
         local_depth = min(depth, n_local)
-        c_top, cand = _candidate_select(exact_topk)(s_scores, k=local_depth)
+        c_top, cand = candidate_select(exact_topk)(s_scores, k=local_depth)
         cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
         exact = exact_rescore_device(cand, ids_s, w_s, qids, qw)
         lrk = min(fetch_k, local_depth)
