@@ -329,3 +329,52 @@ class TestGeometricGrowth:
         hits = store.query(dense_query=probe, top_k=1)
         assert hits[0].id == store._ids[17]
         assert store.count() == 30
+
+
+class TestReserveAndAutoCompact:
+    def test_reserve_presizes_then_queries_work(self):
+        import numpy as np
+
+        from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+        rng = np.random.default_rng(1)
+        store = DeviceVectorStore(dense_dim=8, sparse_vocab=32, sparse_max_nnz=4, block=16)
+        store.reserve(100)
+        cap0 = store._capacity
+        assert cap0 >= 100
+        store.add_vectors(
+            [
+                {
+                    "id": f"r{i}",
+                    "text": f"t{i}",
+                    "dense": rng.normal(size=8).astype(np.float32),
+                    "sparse": {int(1 + i % 30): 1.0 + i},
+                }
+                for i in range(60)
+            ]
+        )
+        store.flush()
+        assert store._capacity == cap0  # no growth copies happened
+        probe = np.asarray(store._dense[13], np.float32)
+        assert store.query(dense_query=probe, top_k=1)[0].id == "r13"
+
+    def test_auto_compact_on_delete(self):
+        import numpy as np
+
+        from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+        rng = np.random.default_rng(2)
+        store = DeviceVectorStore(
+            dense_dim=8, sparse_vocab=None, block=8, auto_compact_threshold=0.5
+        )
+        store.add_vectors(
+            [
+                {"id": f"r{i}", "text": f"t{i}", "dense": rng.normal(size=8).astype(np.float32)}
+                for i in range(20)
+            ]
+        )
+        store.flush()
+        store.delete([f"r{i}" for i in range(12)])  # 60% dead → auto-compact
+        assert store.count() == 8
+        assert len(store._ids) == 8  # rows physically reclaimed
+        assert store.query(dense_query=np.asarray(store._dense[0], np.float32), top_k=1)[0]

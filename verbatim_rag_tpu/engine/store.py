@@ -159,6 +159,7 @@ class DeviceVectorStore(VectorStore):
         projection_seed: int = 0,
         mesh=None,
         approx_topk: bool = True,
+        auto_compact_threshold: float | None = None,
     ):
         if sparse_mode not in ("projected", "exact"):
             raise ValueError(f"sparse_mode must be 'projected' or 'exact', got {sparse_mode!r}")
@@ -194,6 +195,10 @@ class DeviceVectorStore(VectorStore):
         #: top-k + ICI merge). The multi-chip replacement for Milvus's
         #: horizontally-scaled cluster (`milvus_base.py:189-313`).
         self.mesh = mesh
+        #: Auto-compaction: when set, `delete()` rebuilds the arrays densely
+        #: once the dead fraction exceeds this (Milvus hides the equivalent
+        #: housekeeping inside the service). None = manual `compact()` only.
+        self.auto_compact_threshold = auto_compact_threshold
         #: Candidate k-selection: `approx_max_k` (TPU hardware MIPS top-k,
         #: recall_target 0.99 — measured 3–10× faster at 1M on v5e) vs exact
         #: `lax.top_k`. Serving default is approx: measured at 1M chunks with
@@ -429,7 +434,8 @@ class DeviceVectorStore(VectorStore):
         materialize in one flush, and doubling there would permanently tax
         every query with up to 2x dead rows."""
         if first_flush:
-            return max(-(-needed // self.block) * self.block, self.block)
+            # Never below an explicit reserve()'s capacity.
+            return max(-(-needed // self.block) * self.block, self.block, self._capacity)
         cap = max(self._capacity, self.block)
         while cap < needed:
             cap *= 2
@@ -507,6 +513,12 @@ class DeviceVectorStore(VectorStore):
             self._valid_dev = self._place(
                 self._valid_dev.at[jnp.asarray(rows)].set(False)
             )
+        if self.auto_compact_threshold is not None:
+            n = len(self._ids)
+            dead = n - int(self._valid[:n].sum())
+            if n and dead / n >= self.auto_compact_threshold:
+                reclaimed = self.compact()
+                logger.info("auto-compacted %d tombstoned rows", reclaimed)
 
     def delete_document(self, document_id: str) -> None:
         self.flush()
@@ -516,6 +528,48 @@ class DeviceVectorStore(VectorStore):
             if m.get("document_id") == document_id and self._valid[i]
         ]
         self.delete([self._ids[r] for r in rows])
+
+    def reserve(self, n_rows: int) -> None:
+        """Pre-size device capacity for a known corpus size: one allocation
+        instead of log2(n) growth copies during a large ingest."""
+        if n_rows <= self._capacity:
+            return
+        self.flush()
+        cap = max(-(-n_rows // self.block) * self.block, self.block)
+        import jax.numpy as jnp
+
+        dtype_dense = jnp.bfloat16 if self.dense_dtype == "bfloat16" else jnp.float32
+        if self.dense_dim:
+            self._dense = self._place(
+                self._grow_capacity(self._dense, cap, self.dense_dim, dtype_dense)
+            )
+        if self.sparse_vocab:
+            self._sp_ids = self._place(
+                self._grow_capacity(self._sp_ids, cap, self.sparse_max_nnz, jnp.int32)
+            )
+            self._sp_w = self._place(
+                self._grow_capacity(self._sp_w, cap, self.sparse_max_nnz, jnp.float32)
+            )
+            if self.sparse_mode == "projected":
+                self._sp_proj = self._place(
+                    self._grow_capacity(self._sp_proj, cap, self.projection_dim, dtype_dense)
+                )
+        if self.enable_full_text:
+            self._ft_ids = self._place(
+                self._grow_capacity(self._ft_ids, cap, self.full_text_max_nnz, jnp.int32)
+            )
+            self._ft_tf = self._place(
+                self._grow_capacity(self._ft_tf, cap, self.full_text_max_nnz, jnp.int32)
+            )
+            if self.sparse_mode == "projected":
+                self._ft_proj = self._place(
+                    self._grow_capacity(self._ft_proj, cap, self.projection_dim, dtype_dense)
+                )
+            self._ft_w = None  # recomputed lazily at the right capacity
+        valid_padded = np.zeros(cap, bool)
+        valid_padded[: self._valid.size] = self._valid
+        self._valid_dev = self._place(jnp.asarray(valid_padded))
+        self._capacity = cap
 
     def compact(self, min_dead_fraction: float = 0.0) -> int:
         """Reclaim tombstoned rows by rebuilding the arrays densely.
@@ -569,6 +623,8 @@ class DeviceVectorStore(VectorStore):
             rescore_depth=self.rescore_depth,
             projection_seed=self.projection_seed,
             mesh=self.mesh,
+            approx_topk=self.approx_topk,
+            auto_compact_threshold=self.auto_compact_threshold,
         )
         fresh.add_vectors(records)
         fresh.flush()
