@@ -45,7 +45,7 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self._queues: dict[str, list[tuple[str, asyncio.Future]]] = {}
-        self._timers: dict[str, asyncio.Task] = {}
+        self._workers: dict[str, asyncio.Task] = {}
         self._lock = asyncio.Lock()
         #: batches dispatched / requests served (observability)
         self.batches = 0
@@ -55,40 +55,49 @@ class MicroBatcher:
         key = _params_key(params)
         loop = asyncio.get_running_loop()
         future: asyncio.Future = loop.create_future()
-        flush_now = False
         async with self._lock:
-            queue = self._queues.setdefault(key, [])
-            queue.append((question, future))
-            if len(queue) >= self.max_batch:
-                flush_now = True
-            elif key not in self._timers:
-                self._timers[key] = asyncio.create_task(
-                    self._flush_after_wait(key, params)
-                )
-        if flush_now:
-            # Detached task: if THIS request's handler is cancelled (client
-            # disconnect, shutdown) mid-flush, the rest of the batch still
-            # gets its results.
-            asyncio.create_task(self._flush(key, params))
+            self._queues.setdefault(key, []).append((question, future))
+            if key not in self._workers:
+                # Detached worker: if THIS request's handler is cancelled
+                # (client disconnect, shutdown) mid-batch, the rest of the
+                # group still gets its results.
+                self._workers[key] = asyncio.create_task(self._worker(key, params))
         return await future
 
-    async def _flush_after_wait(self, key: str, params: dict[str, Any]) -> None:
-        try:
-            await asyncio.sleep(self.max_wait_ms / 1000.0)
-            await self._flush(key, params)
-        except asyncio.CancelledError:  # flushed early by a full batch
-            pass
+    async def _worker(self, key: str, params: dict[str, Any]) -> None:
+        """Drain the key's queue batch by batch until it runs dry.
 
-    async def _flush(self, key: str, params: dict[str, Any]) -> None:
-        async with self._lock:
-            batch = self._queues.pop(key, [])
-            timer = self._timers.pop(key, None)
-        # When the timer itself is running this flush, cancelling it would
-        # self-cancel at the next await and strand every waiter.
-        if timer is not None and timer is not asyncio.current_task():
-            timer.cancel()
-        if not batch:
-            return
+        Adaptive batching falls out of the loop structure: while one batch
+        runs on the device, new arrivals accumulate and form the next batch
+        (size = arrival rate × service time, capped at max_batch) — a timer
+        that flushed on a fixed cadence instead launched overlapping small
+        batches under load.
+        """
+        try:
+            await asyncio.sleep(self.max_wait_ms / 1000.0)  # gather companions
+            while True:
+                async with self._lock:
+                    queue = self._queues.get(key, [])
+                    batch, self._queues[key] = (
+                        queue[: self.max_batch],
+                        queue[self.max_batch :],
+                    )
+                    if not batch:
+                        self._queues.pop(key, None)
+                        self._workers.pop(key, None)
+                        return
+                await self._run_one(batch, params)
+        except asyncio.CancelledError:
+            # Shutdown: fail any stranded waiters rather than hanging them.
+            async with self._lock:
+                leftovers = self._queues.pop(key, [])
+                self._workers.pop(key, None)
+            for _q, future in leftovers:
+                if not future.done():
+                    future.set_exception(RuntimeError("batcher shut down"))
+            raise
+
+    async def _run_one(self, batch, params: dict[str, Any]) -> None:
         questions = [q for q, _ in batch]
         self.batches += 1
         self.requests += len(batch)

@@ -231,8 +231,21 @@ class ModelSpanExtractor(SpanExtractor):
 
         longest = bucket_length(max(len(r) for r in rows))
         seq = longest if self.sp_mesh is not None else min(longest, self.max_length)
-        ids = np.full((len(rows), seq), self.tokenizer.pad_id, np.int32)
-        mask = np.zeros((len(rows), seq), np.int32)
+        # Bucket the WINDOW-COUNT dimension too: server micro-batches arrive
+        # at arbitrary sizes, and an unbucketed row count meant a fresh XLA
+        # compile per distinct total (measured: large mixed batches spent
+        # more time compiling than scoring). Pad rows are all-pad tokens and
+        # are sliced off after the forward.
+        n_real = len(rows)
+        n_padded = n_real
+        for b in (1, 2, 4, 8, 16, 32, 64, 128, 256, 512):
+            if b >= n_real:
+                n_padded = b
+                break
+        else:
+            n_padded = -(-n_real // 512) * 512
+        ids = np.full((n_padded, seq), self.tokenizer.pad_id, np.int32)
+        mask = np.zeros((n_padded, seq), np.int32)
         for i, row in enumerate(rows):
             row = row[:seq]
             ids[i, : len(row)] = row
