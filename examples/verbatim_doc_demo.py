@@ -2,6 +2,17 @@
 (parity with the reference's `examples/verbatim_doc_demo.py`).
 """
 
+import os
+
+# Examples default to the (fast-compiling) CPU backend; set
+# VERBATIM_EXAMPLE_DEVICE=tpu to run on real hardware instead.
+if os.environ.get("VERBATIM_EXAMPLE_DEVICE", "cpu") == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 from pathlib import Path
 
 from verbatim_rag_tpu.engine import VerbatimIndex
