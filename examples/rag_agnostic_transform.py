@@ -2,15 +2,9 @@
 (parity with the reference's `examples/rag_agnostic_transform.py`).
 """
 
-import os
+from _backend import use_cpu_unless_overridden  # noqa: E402
 
-# Examples default to the (fast-compiling) CPU backend; set
-# VERBATIM_EXAMPLE_DEVICE=tpu to run on real hardware instead.
-if os.environ.get("VERBATIM_EXAMPLE_DEVICE", "cpu") == "cpu":
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+use_cpu_unless_overridden()
 
 
 from verbatim_rag_tpu.core import LLMClient, VerbatimTransform, verbatim_enhance

@@ -7,14 +7,9 @@ and the merge traffic rides ICI. See docs/scaling.md.
 Run: python examples/scale_out_demo.py
 """
 
-import os
+from _backend import use_cpu_unless_overridden  # noqa: E402
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-
-import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
+use_cpu_unless_overridden(virtual_devices=8)
 
 import numpy as np  # noqa: E402
 

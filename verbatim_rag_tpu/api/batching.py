@@ -84,18 +84,18 @@ class MicroBatcher:
                     )
                     if not batch:
                         self._queues.pop(key, None)
-                        self._workers.pop(key, None)
                         return
                 await self._run_one(batch, params)
-        except asyncio.CancelledError:
-            # Shutdown: fail any stranded waiters rather than hanging them.
-            async with self._lock:
-                leftovers = self._queues.pop(key, [])
-                self._workers.pop(key, None)
+        except BaseException:
+            # Shutdown / hard interrupt: fail stranded waiters, not hang them.
+            leftovers = self._queues.pop(key, [])
             for _q, future in leftovers:
                 if not future.done():
                     future.set_exception(RuntimeError("batcher shut down"))
             raise
+        finally:
+            # A dead worker left registered would strand every later submit.
+            self._workers.pop(key, None)
 
     async def _run_one(self, batch, params: dict[str, Any]) -> None:
         questions = [q for q, _ in batch]

@@ -200,7 +200,7 @@ class DeviceVectorStore(VectorStore):
         #: housekeeping inside the service). None = manual `compact()` only.
         self.auto_compact_threshold = auto_compact_threshold
         #: Candidate k-selection: `approx_max_k` (TPU hardware MIPS top-k,
-        #: recall_target 0.99 — measured 3–10× faster at 1M on v5e) vs exact
+        #: recall_target per ops/dense.candidate_select — measured 3–10× faster at 1M on v5e) vs exact
         #: `lax.top_k`. Serving default is approx: measured at 1M chunks with
         #: SPLADE-like stats, the hybrid top-10 is IDENTICAL to the exact
         #: pipeline (benchmarks/recall_1m.py — overlap 1.0, recall@10 vs
@@ -586,9 +586,11 @@ class DeviceVectorStore(VectorStore):
             return 0
 
         keep = np.flatnonzero(self._valid[:n])
-        # One O(N) readback for the rebuild (no host mirrors are kept).
+        # One O(N) readback per array for the rebuild (per-row device slices
+        # would be one round-trip each).
         sp_ids_np = np.asarray(self._sp_ids[:n]) if self._sp_ids is not None else None
         sp_w_np = np.asarray(self._sp_w[:n]) if self._sp_ids is not None else None
+        dense_np = np.asarray(self._dense[:n], np.float32) if self._dense is not None else None
         records = []
         for row in keep:
             rec: dict[str, Any] = {
@@ -597,8 +599,8 @@ class DeviceVectorStore(VectorStore):
                 "enhanced_text": self._enhanced[row],
                 "metadata": self._metadata[row],
             }
-            if self._dense is not None:
-                rec["dense"] = np.asarray(self._dense[int(row)], np.float32)
+            if dense_np is not None:
+                rec["dense"] = dense_np[row]
             if sp_ids_np is not None:
                 rec["sparse"] = {
                     int(t): float(w)
@@ -1124,6 +1126,7 @@ class DeviceVectorStore(VectorStore):
                         "rescore_depth": self.rescore_depth,
                         "projection_seed": self.projection_seed,
                         "approx_topk": self.approx_topk,
+                        "auto_compact_threshold": self.auto_compact_threshold,
                     },
                     "ids": self._ids,
                     "texts": self._texts,

@@ -37,16 +37,11 @@ def hybrid_candidates(
     batch — on tunneled/remote backends the round-trip dominates, so fusing
     the two matmul top-ks halves the fixed cost.
 
-    k-selection uses the TPU-native `approx_max_k` (the hardware MIPS top-k;
-    recall target 0.99 per list) unless ``exact_topk`` — candidate lists feed
-    RRF/rescoring, so per-list selection recall folds into the same knob as
-    the sketch depth.
+    k-selection uses the TPU-native `approx_max_k` (the hardware MIPS
+    top-k) unless ``exact_topk`` — candidate lists feed RRF/rescoring, so
+    per-list selection recall folds into the same knob as the sketch depth.
     """
-    select = (
-        jax.lax.top_k
-        if exact_topk
-        else partial(jax.lax.approx_max_k, recall_target=0.99)
-    )
+    select = candidate_select(exact_topk)
     d_scores = jnp.dot(
         dense_q.astype(dense_corpus.dtype), dense_corpus.T, preferred_element_type=jnp.float32
     )

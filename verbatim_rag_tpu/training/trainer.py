@@ -226,6 +226,7 @@ class Trainer:
         process writes only its shards)."""
         if format == "orbax":
             self._save_orbax(path)
+            self._write_checkpoint_meta(path)
             return
         os.makedirs(path, exist_ok=True)
         flat, _treedef = jax.tree_util.tree_flatten_with_path(self.params)
@@ -245,10 +246,12 @@ class Trainer:
         directly — the train→save→serve loop needs no HF round-trip."""
         import dataclasses
 
+        # Head kind comes from the parameter tree, not the loss callable —
+        # wrapped/partial losses would mislabel the checkpoint.
+        head = "sentence" if "sentence_classifier" in self.params else "token"
         meta = {
             "format": "verbatim-native",
-            "head": "token" if getattr(self.loss_fn, "__name__", "") == "token_loss"
-            else "sentence",
+            "head": head,
             "encoder_config": dataclasses.asdict(self.encoder_config),
             "tokenizer": self.tokenizer.describe()
             if hasattr(self.tokenizer, "describe")
