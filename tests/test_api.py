@@ -304,3 +304,28 @@ class TestMicroBatching:
             await client.post("/api/query", json={"question": "warm"})
             status = await (await client.get("/api/status")).json()
         assert status["micro_batching"]["requests"] >= 1
+
+
+class TestBatcherWorkerDeath:
+    async def test_dead_worker_does_not_strand_later_submits(self):
+        import asyncio as aio
+
+        from verbatim_rag_tpu.api.batching import MicroBatcher
+
+        class Hard(BaseException):  # not an Exception — escapes _run_one
+            pass
+
+        calls = {"n": 0}
+
+        def run_batch(questions, params):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise Hard
+            return [q for q in questions]
+
+        b = MicroBatcher(run_batch, max_batch=4, max_wait_ms=2)
+        with pytest.raises(BaseException):
+            await aio.wait_for(b.submit("first", {"k": 1}), timeout=5)
+        # Worker died — but deregistered, so a later submit spawns a new one.
+        result = await aio.wait_for(b.submit("second", {"k": 1}), timeout=5)
+        assert result == "second"
