@@ -20,6 +20,12 @@ import argparse
 import os
 import sys
 
+# Importable regardless of the caller's cwd/PYTHONPATH (the test spawns us
+# as a bare subprocess).
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def main() -> int:
     parser = argparse.ArgumentParser()
