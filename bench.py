@@ -100,7 +100,10 @@ def main() -> None:
     # The chip and its tunnel are shared; measure several windows, report the
     # best (transient contention only ever subtracts throughput) plus the
     # median for honesty about the typical window.
-    iters, windows = 10, 5
+    # Windows are ~0.7 s each while setup/compile dominates the run; sampling
+    # more of them costs little and makes `best` robust to transient tunnel
+    # contention (measured p50 swings of 2x between runs minutes apart).
+    iters, windows = 10, 12
     elapsed_windows = []
     for w in range(windows):
         queries = [make_queries(w * iters + i + 2) for i in range(iters)]

@@ -1,0 +1,224 @@
+"""Training parity: the reference-style torch pipeline vs this framework's
+JAX trainer on the SAME question-conditioned extraction task.
+
+VERDICT.md round-1 #2 asked for quality proven against the reference. The
+published ACL checkpoint is unobtainable offline (see
+`benchmarks/quality_synthetic.py`), so this benchmark instead pits the two
+TRAINING pipelines against each other under identical conditions:
+
+- identical data: `quality_synthetic.make_dataset` (question-conditioned
+  gold spans — lexical salience alone cannot solve it);
+- identical windowed encoding: `TokenDatasetEncoder` (the layout
+  `ModelSpanExtractor` consumes at inference);
+- identical architecture class and size: ModernBERT token classifier
+  (HF `ModernBertForTokenClassification` for torch — the exact family the
+  reference's v2 highlighter fine-tunes, `/root/reference/README.md:32-34`;
+  our `training/model.py token_loss` for JAX), tiny config
+  (3 layers / 64 hidden / 4 heads / vocab 4096);
+- identical budget: same epochs, batch size and peak LR;
+- identical scoring: BOTH models run through the production
+  `ModelSpanExtractor` windowing/decode (the torch model plugs in via the
+  `_forward_probs` seam) and the micro Word-F1 harness
+  (`training/eval_f1.py`) on the same held-out 100 rows.
+
+Output: one JSON line with micro Word-F1 and train wall-clock for each side.
+The reference trains with plain torch AdamW + CE over token labels
+(`/root/reference/packages/core/verbatim_core/extractor_models/trainer.py`);
+that is what the torch side does here.
+
+Run: JAX_PLATFORMS=cpu python benchmarks/quality_torch_parity.py [--epochs 8]
+(~25 min — torch-CPU is the slow side at ~520 ms/step on this 1-vCPU host)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quality_synthetic import make_dataset  # noqa: E402
+
+
+def train_torch(train, encoder, epochs: int, batch_size: int, lr: float):
+    """Reference-style pipeline: HF ModernBERT + torch AdamW + token CE."""
+    import torch
+    from transformers import ModernBertConfig, ModernBertForTokenClassification
+
+    torch.manual_seed(0)
+    cfg = ModernBertConfig(
+        vocab_size=4096,
+        hidden_size=64,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=512,
+        num_labels=2,
+        pad_token_id=encoder.tokenizer.pad_id,
+        reference_compile=False,
+    )
+    model = ModernBertForTokenClassification(cfg)
+    optimizer = torch.optim.AdamW(model.parameters(), lr=lr)
+
+    start = time.perf_counter()
+    steps = 0
+    for epoch in range(epochs):
+        for batch in encoder.iter_batches(train, batch_size, shuffle=True, seed=epoch):
+            labels = np.where(batch.label_mask == 1, batch.labels, -100)
+            out = model(
+                input_ids=torch.from_numpy(batch.input_ids).long(),
+                attention_mask=torch.from_numpy(batch.attention_mask).long(),
+                labels=torch.from_numpy(labels).long(),
+            )
+            out.loss.backward()
+            optimizer.step()
+            optimizer.zero_grad()
+            steps += 1
+    wall = time.perf_counter() - start
+    model.eval()
+    return model, wall, steps
+
+
+def train_jax(train, encoder, config, epochs: int, batch_size: int, lr: float):
+    """This framework's pipeline: `training/trainer.py` jitted step."""
+    import jax
+
+    from verbatim_rag_tpu.models.config import TrainingConfig
+    from verbatim_rag_tpu.models.highlighter import init_highlighter_params
+    from verbatim_rag_tpu.training.model import token_loss
+    from verbatim_rag_tpu.training.trainer import Trainer
+
+    steps_per_epoch = len(train) // batch_size + 1
+    trainer = Trainer(
+        init_highlighter_params(jax.random.PRNGKey(0), config),
+        config,
+        TrainingConfig(
+            learning_rate=lr,
+            num_epochs=epochs,
+            batch_size=batch_size,
+            warmup_steps=min(100, steps_per_epoch),
+        ),
+        output_dir="/tmp/torch_parity_jax_ckpt",
+        loss_fn=token_loss,
+        total_steps=epochs * steps_per_epoch,
+    )
+    start = time.perf_counter()
+    trainer.train(
+        [],
+        dev_batches=None,
+        make_train_iter=lambda epoch: encoder.iter_batches(
+            train, batch_size, shuffle=True, seed=epoch
+        ),
+    )
+    return trainer.params, time.perf_counter() - start
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=8)
+    parser.add_argument("--batch-size", type=int, default=16)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    args = parser.parse_args()
+
+    from verbatim_rag_tpu.models.config import tiny_test_config
+    from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+    from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+    from verbatim_rag_tpu.training.eval_f1 import evaluate_extractor
+    from verbatim_rag_tpu.training.token_dataset import TokenDatasetEncoder
+
+    config = tiny_test_config(
+        vocab_size=4096,
+        hidden_size=64,
+        num_layers=3,
+        num_heads=4,
+        intermediate_size=128,
+        max_position_embeddings=512,
+    )
+    data = make_dataset(6000, seed=7)
+    train = [e for e in data if e.split == "train"]
+    dev = [e for e in data if e.split == "dev"][:100]
+    tokenizer = HashTokenizer(vocab_size=config.vocab_size)
+    encoder = TokenDatasetEncoder(tokenizer, max_length=320, doc_stride=64)
+    examples = [
+        {
+            "question": e.question,
+            "context": e.context,
+            "answers": [e.context[s:t] for s, t in e.spans],
+        }
+        for e in dev
+    ]
+
+    def production_extractor(forward_probs=None, params=None):
+        extractor = ModelSpanExtractor(
+            params=params,
+            config=config,
+            tokenizer=tokenizer,
+            threshold=0.5,
+            min_span_chars=30,
+            merge_gap_chars=2,
+            max_length=320,
+            doc_stride=64,
+        )
+        if forward_probs is not None:
+            extractor._forward_probs = forward_probs
+
+        def extract(question, context):
+            class _R:
+                pass
+
+            r = _R()
+            r.text = context
+            r.metadata = {}
+            return extractor.extract_spans(question, [r]).get(context, [])
+
+        return extract
+
+    jax_params, jax_wall = train_jax(
+        train, encoder, config, args.epochs, args.batch_size, args.lr
+    )
+    f1_jax = evaluate_extractor(
+        production_extractor(params=jax_params), examples
+    )["micro_word_f1"]
+    print(f"jax: f1={f1_jax:.4f} wall={jax_wall:.1f}s", flush=True)
+
+    torch_model, torch_wall, steps = train_torch(
+        train, encoder, args.epochs, args.batch_size, args.lr
+    )
+
+    def torch_probs(ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        import torch
+
+        with torch.no_grad():
+            logits = torch_model(
+                input_ids=torch.from_numpy(ids).long(),
+                attention_mask=torch.from_numpy(mask).long(),
+            ).logits
+            return torch.softmax(logits.float(), dim=-1)[..., 1].numpy()
+
+    f1_torch = evaluate_extractor(
+        production_extractor(forward_probs=torch_probs), examples
+    )["micro_word_f1"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "micro_word_f1_torch_parity",
+                "epochs": args.epochs,
+                "steps": steps,
+                "jax_f1": round(f1_jax, 4),
+                "torch_f1": round(f1_torch, 4),
+                "jax_train_wall_s": round(jax_wall, 1),
+                "torch_train_wall_s": round(torch_wall, 1),
+                "examples": len(examples),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

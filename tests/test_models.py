@@ -218,3 +218,46 @@ class TestCrossEncoder:
         scores = ce.score("what is solar power", ["solar energy text", "pasta recipe"])
         assert scores.shape == (2,)
         assert np.isfinite(scores).all()
+
+
+class TestProviderLengthBucketing:
+    """embed_batch length-sorts texts into per-bucket chunks; results must
+    come back in the caller's original order regardless."""
+
+    def _texts(self):
+        rng = np.random.default_rng(11)
+        return [
+            " ".join(f"word{rng.integers(50)}" for _ in range(n))
+            for n in rng.integers(2, 60, size=13)
+        ]
+
+    def test_dense_order_restored(self):
+        from verbatim_rag_tpu.models.providers import JaxDenseProvider
+
+        prov = JaxDenseProvider(config=tiny_test_config(), max_length=64, batch_size=4)
+        texts = self._texts()
+        batched = prov.embed_batch(texts)
+        assert batched.shape == (len(texts), prov.get_dimension())
+        for i in (0, 5, len(texts) - 1):
+            solo = prov.embed_text(texts[i])
+            np.testing.assert_allclose(batched[i], solo, rtol=2e-2, atol=2e-2)
+
+    def test_dense_empty(self):
+        from verbatim_rag_tpu.models.providers import JaxDenseProvider
+
+        prov = JaxDenseProvider(config=tiny_test_config(), max_length=64, batch_size=4)
+        assert prov.embed_batch([]).shape == (0, prov.get_dimension())
+
+    def test_sparse_order_restored(self):
+        from verbatim_rag_tpu.models.providers import JaxSpladeProvider
+
+        prov = JaxSpladeProvider(
+            config=tiny_test_config(), max_length=64, batch_size=4, max_nnz=8
+        )
+        texts = self._texts()
+        batched = prov.embed_batch(texts)
+        assert len(batched) == len(texts)
+        assert prov.embed_batch([]) == []
+        for i in (0, 5, len(texts) - 1):
+            solo = prov.embed_text(texts[i])
+            assert set(solo) == set(batched[i])

@@ -251,26 +251,7 @@ class ModelSpanExtractor(SpanExtractor):
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1
 
-        if self.sp_mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            shard = NamedSharding(self.sp_mesh, P(None, self.sp_axis))
-            probs = np.asarray(
-                token_relevance_probs_sp(
-                    self.params,
-                    self.config,
-                    jax.device_put(jnp.asarray(ids), shard),
-                    jax.device_put(jnp.asarray(mask), shard),
-                    self.sp_mesh,
-                    axis=self.sp_axis,
-                )
-            )
-        else:
-            probs = np.asarray(
-                token_relevance_probs(
-                    self.params, self.config, jnp.asarray(ids), jnp.asarray(mask)
-                )
-            )
+        probs = self._forward_probs(ids, mask)
 
         out: list[list[tuple[int, int]]] = []
         cursor = 0
@@ -298,6 +279,34 @@ class ModelSpanExtractor(SpanExtractor):
                 )
             )
         return out
+
+    def _forward_probs(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        """[B, S] padded token ids/mask → [B, S] relevance probabilities.
+
+        The single model-backend seam: everything around it (window planning,
+        padded batching, max-aggregation, span decode) is backend-agnostic, so
+        an alternate model (e.g. the torch parity run in
+        ``benchmarks/quality_torch_parity.py``) only overrides this method.
+        """
+        if self.sp_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            shard = NamedSharding(self.sp_mesh, P(None, self.sp_axis))
+            return np.asarray(
+                token_relevance_probs_sp(
+                    self.params,
+                    self.config,
+                    jax.device_put(jnp.asarray(ids), shard),
+                    jax.device_put(jnp.asarray(mask), shard),
+                    self.sp_mesh,
+                    axis=self.sp_axis,
+                )
+            )
+        return np.asarray(
+            token_relevance_probs(
+                self.params, self.config, jnp.asarray(ids), jnp.asarray(mask)
+            )
+        )
 
     def _plan(self, question: str, context: str) -> dict | None:
         """Tokenize one document and lay out its windows (host-only work)."""

@@ -27,6 +27,23 @@ from .tokenizer import HashTokenizer, Tokenizer
 Params = dict[str, Any]
 
 
+def _length_sorted_chunks(texts: Sequence[str], batch_size: int):
+    """Yield ``(original_indices, chunk_texts)`` in approximate-token-length
+    order.
+
+    Mixed-length corpora batched in arrival order waste MXU time: one long
+    text drags its whole chunk up to the largest padding bucket. Sorting by
+    a cheap length proxy (whitespace word count — monotone enough for bucket
+    assignment) groups similar lengths so each chunk pads to its OWN bucket.
+    Measured on repo text with 30–500-word chunks this roughly halves padded
+    tokens; output order is restored by the caller via the yielded indices.
+    """
+    order = sorted(range(len(texts)), key=lambda i: len(texts[i].split()))
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        yield idx, [texts[i] for i in idx]
+
+
 class JaxDenseProvider(DenseEmbeddingProvider):
     """Dense sentence embeddings: encoder → masked mean-pool → L2 norm."""
 
@@ -69,10 +86,11 @@ class JaxDenseProvider(DenseEmbeddingProvider):
         round-trip (~31 ms), so per-chunk np.asarray serialized the whole
         pipeline (round-1 ingest bottleneck: the encode host was ~98% idle).
         """
-        pending, reals = [], []
-        for start in range(0, len(texts), self.batch_size):
-            chunk = list(texts[start : start + self.batch_size])
-            reals.append(len(chunk))
+        if not texts:
+            return np.zeros((0, self.get_dimension()), np.float32)
+        pending, idx_groups = [], []
+        for idx, chunk in _length_sorted_chunks(texts, self.batch_size):
+            idx_groups.append(idx)
             if len(chunk) < self.batch_size:
                 chunk += [""] * (self.batch_size - len(chunk))
             enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
@@ -84,14 +102,13 @@ class JaxDenseProvider(DenseEmbeddingProvider):
                     jnp.asarray(enc.attention_mask),
                 )
             )
-        if len(pending) == 1:
-            return np.asarray(pending[0])[: reals[0]]
-        full = np.asarray(jnp.concatenate(pending, axis=0))  # one sync
-        rows = [
-            full[i * self.batch_size : i * self.batch_size + real]
-            for i, real in enumerate(reals)
-        ]
-        return np.concatenate(rows, axis=0)
+        full = np.asarray(
+            pending[0] if len(pending) == 1 else jnp.concatenate(pending, axis=0)
+        )  # one sync
+        out = np.empty((len(texts), full.shape[1]), full.dtype)
+        for i, idx in enumerate(idx_groups):
+            out[idx] = full[i * self.batch_size : i * self.batch_size + len(idx)]
+        return out
 
     def get_dimension(self) -> int:
         return self.config.hidden_size
@@ -137,10 +154,11 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         """Pipelined like the dense provider: dispatch every chunk's forward
         before materializing any of them, then fetch everything in TWO
         readbacks (device-side concat of ids and weights)."""
-        pending, reals = [], []
-        for start in range(0, len(texts), self.batch_size):
-            chunk = list(texts[start : start + self.batch_size])
-            reals.append(len(chunk))
+        if not texts:
+            return []
+        pending, idx_groups = [], []
+        for idx, chunk in _length_sorted_chunks(texts, self.batch_size):
+            idx_groups.append(idx)
             if len(chunk) < self.batch_size:
                 chunk += [""] * (self.batch_size - len(chunk))  # fixed batch shape
             enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
@@ -159,13 +177,15 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         else:
             ids_np = np.asarray(jnp.concatenate([p[0] for p in pending], axis=0))
             w_np = np.asarray(jnp.concatenate([p[1] for p in pending], axis=0))
-        out: list[dict[int, float]] = []
-        for i, real in enumerate(reals):
+        out: list[dict[int, float] | None] = [None] * len(texts)
+        for i, idx in enumerate(idx_groups):
             base = i * self.batch_size
-            for row_ids, row_w in zip(ids_np[base : base + real], w_np[base : base + real]):
-                out.append(
-                    {int(t): float(w) for t, w in zip(row_ids, row_w) if w > 0.0}
-                )
+            for j, orig in enumerate(idx):
+                out[orig] = {
+                    int(t): float(w)
+                    for t, w in zip(ids_np[base + j], w_np[base + j])
+                    if w > 0.0
+                }
         return out
 
     def get_dimension(self) -> int:
