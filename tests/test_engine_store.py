@@ -378,3 +378,44 @@ class TestReserveAndAutoCompact:
         assert store.count() == 8
         assert len(store._ids) == 8  # rows physically reclaimed
         assert store.query(dense_query=np.asarray(store._dense[0], np.float32), top_k=1)[0]
+
+
+class TestInt8DenseMode:
+    """dense_dtype='int8': the capacity mode — per-row quantized dense matrix
+    (ops/dense.quantize_rows_int8), scores rescaled inside the kernels."""
+
+    def test_rejects_unknown_dtype(self):
+        with pytest.raises(ValueError):
+            make_store(dense_dtype="fp4")
+
+    def test_dense_search_matches_bf16_on_separable_data(self):
+        a = fill(make_store())
+        b = fill(make_store(dense_dtype="int8"))
+        for i in (0, 3, 7):
+            ra = a.query(dense_query=_unit(i), top_k=3)
+            rb = b.query(dense_query=_unit(i), top_k=3)
+            assert [h.id for h in ra] == [h.id for h in rb]
+            # int8 dequantized scores approximate cosine
+            assert abs(ra[0].score - rb[0].score) < 0.02
+
+    def test_hybrid_fused_path(self):
+        store = fill(make_store(dense_dtype="int8"))
+        hits = store.query(dense_query=_unit(2), sparse_query={2: 1.0}, top_k=3)
+        assert hits and hits[0].id == "c2"
+
+    def test_save_load_roundtrip(self, tmp_path):
+        store = fill(make_store(dense_dtype="int8"))
+        path = str(tmp_path / "idx")
+        store.save(path)
+        loaded = DeviceVectorStore.load(path)
+        assert loaded.dense_dtype == "int8"
+        orig = store.query(dense_query=_unit(4), top_k=3)
+        back = loaded.query(dense_query=_unit(4), top_k=3)
+        assert [h.id for h in orig] == [h.id for h in back]
+
+    def test_delete_and_compact(self):
+        store = fill(make_store(dense_dtype="int8"))
+        store.delete(["c1"])
+        assert store.compact() > 0
+        hits = store.query(dense_query=_unit(1), top_k=2)
+        assert all(h.id != "c1" for h in hits)

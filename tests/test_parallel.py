@@ -209,6 +209,22 @@ class TestMeshStore:
             sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
         )
 
+    def test_int8_dense_parity(self, mesh):
+        """int8 capacity mode: sharded quantized scoring must equal the
+        single-device quantized scoring exactly (same q, same scales)."""
+        plain, sharded = self._stores(mesh, dense_dtype="int8")
+        rng = np.random.default_rng(7)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        qs = [{3: 1.0, 9: 0.5}, {40: 2.0}, {1: 1.0, 4: 1.0}]
+        self._assert_same(
+            plain.query_batch(dense_queries=q, top_k=8),
+            sharded.query_batch(dense_queries=q, top_k=8),
+        )
+        self._assert_same(
+            plain.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+            sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+        )
+
     def test_filter_and_delete_parity(self, mesh):
         plain, sharded = self._stores(mesh)
         for store in (plain, sharded):

@@ -48,6 +48,7 @@ class VerbatimIndex:
         enable_full_text: bool = False,
         db_path: str | None = None,
         mesh=None,
+        dense_dtype: str = "bfloat16",
     ):
         self.dense_provider = dense_provider
         self.sparse_provider = sparse_provider
@@ -62,6 +63,9 @@ class VerbatimIndex:
                 sparse_vocab=sparse_provider.get_dimension() if sparse_provider else None,
                 enable_full_text=enable_full_text,
                 mesh=mesh,
+                # "int8" = capacity mode: 2x corpus rows per chip (see
+                # DeviceVectorStore._dense_store_dtype).
+                dense_dtype=dense_dtype,
             )
         #: document_id → {title, source, metadata, num_chunks}
         self.documents: dict[str, dict[str, Any]] = {}

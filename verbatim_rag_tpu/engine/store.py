@@ -163,6 +163,10 @@ class DeviceVectorStore(VectorStore):
     ):
         if sparse_mode not in ("projected", "exact"):
             raise ValueError(f"sparse_mode must be 'projected' or 'exact', got {sparse_mode!r}")
+        if dense_dtype not in ("bfloat16", "float32", "int8"):
+            raise ValueError(
+                f"dense_dtype must be 'bfloat16', 'float32' or 'int8', got {dense_dtype!r}"
+            )
         if mesh is not None and block % mesh.size != 0:
             raise ValueError(
                 f"block ({block}) must be a multiple of the mesh size ({mesh.size}) "
@@ -224,7 +228,8 @@ class DeviceVectorStore(VectorStore):
         self._pending_ids: set[str] = set()
 
         # Device arrays (built lazily on flush).
-        self._dense = None  # [cap, d]
+        self._dense = None  # [cap, d] (int8 when dense_dtype="int8")
+        self._dense_scale = None  # [cap, 1] f32 per-row scales (int8 mode only)
         self._sp_ids = None  # [cap, m]
         self._sp_w = None  # [cap, m]
         self._sp_proj = None  # [cap, d_p] projected sparse sketches
@@ -243,6 +248,38 @@ class DeviceVectorStore(VectorStore):
         )
 
     # -- basic accessors -----------------------------------------------------
+
+    @property
+    def _dense_store_dtype(self):
+        """Device dtype of the dense matrix. ``int8`` is the capacity mode:
+        per-row symmetric quantization (`ops/dense.quantize_rows_int8`) halves
+        HBM vs bf16 (2x corpus rows per chip) and runs the candidate matmul on
+        the MXU int8 path (~1.3x faster at [512, 1M] on v5e) at a measured
+        recall cost (dense-only recall@10 ~0.96 vs f32 exact; hybrid RRF
+        absorbs most of it — see benchmarks/recall_1m.py --dense-dtype int8).
+        """
+        import jax.numpy as jnp
+
+        return {
+            "bfloat16": jnp.bfloat16,
+            "float32": jnp.float32,
+            "int8": jnp.int8,
+        }[self.dense_dtype]
+
+    @property
+    def _sketch_dtype(self):
+        """Sketch matrices stay in float compute dtypes in every mode — the
+        int8 option quantizes only the (dominant) dense matrix."""
+        import jax.numpy as jnp
+
+        return jnp.float32 if self.dense_dtype == "float32" else jnp.bfloat16
+
+    def _dense_rows_f32(self, n: int) -> np.ndarray:
+        """Host float32 view of the first ``n`` dense rows (dequantized)."""
+        rows = np.asarray(self._dense[:n], np.float32)
+        if self.dense_dtype == "int8":
+            rows = rows * np.asarray(self._dense_scale[:n], np.float32)
+        return rows
 
     @property
     def size(self) -> int:
@@ -367,9 +404,18 @@ class DeviceVectorStore(VectorStore):
             arr = _write_rows()(arr, jnp.asarray(buf, dtype=dtype), offset)
             return self._place(arr)
 
-        dtype_dense = jnp.bfloat16 if self.dense_dtype == "bfloat16" else jnp.float32
+        dtype_dense = self._sketch_dtype  # sketch matrices (float in all modes)
         if dense_new is not None:
-            self._dense = _grow(self._dense, dense_new, self.dense_dim, dtype_dense)
+            if self.dense_dtype == "int8":
+                from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+
+                q_new, scale_new = quantize_rows_int8(dense_new)
+                self._dense = _grow(self._dense, q_new, self.dense_dim, jnp.int8)
+                self._dense_scale = _grow(self._dense_scale, scale_new, 1, jnp.float32)
+            else:
+                self._dense = _grow(
+                    self._dense, dense_new, self.dense_dim, self._dense_store_dtype
+                )
         if sp_ids_new is not None:
             self._sp_ids = _grow(self._sp_ids, sp_ids_new, self.sparse_max_nnz, jnp.int32)
             self._sp_w = _grow(self._sp_w, sp_w_new, self.sparse_max_nnz, jnp.float32)
@@ -493,9 +539,8 @@ class DeviceVectorStore(VectorStore):
 
         key = ("dev", vocab, self.projection_dim, self.projection_seed)
         if key not in DeviceVectorStore._projection_cache:
-            dtype = jnp.bfloat16 if self.dense_dtype == "bfloat16" else jnp.float32
             DeviceVectorStore._projection_cache[key] = jnp.asarray(
-                self._projection(vocab), dtype
+                self._projection(vocab), self._sketch_dtype
             )
         return DeviceVectorStore._projection_cache[key]
 
@@ -538,11 +583,17 @@ class DeviceVectorStore(VectorStore):
         cap = max(-(-n_rows // self.block) * self.block, self.block)
         import jax.numpy as jnp
 
-        dtype_dense = jnp.bfloat16 if self.dense_dtype == "bfloat16" else jnp.float32
+        dtype_dense = self._sketch_dtype
         if self.dense_dim:
             self._dense = self._place(
-                self._grow_capacity(self._dense, cap, self.dense_dim, dtype_dense)
+                self._grow_capacity(
+                    self._dense, cap, self.dense_dim, self._dense_store_dtype
+                )
             )
+            if self.dense_dtype == "int8":
+                self._dense_scale = self._place(
+                    self._grow_capacity(self._dense_scale, cap, 1, jnp.float32)
+                )
         if self.sparse_vocab:
             self._sp_ids = self._place(
                 self._grow_capacity(self._sp_ids, cap, self.sparse_max_nnz, jnp.int32)
@@ -590,7 +641,7 @@ class DeviceVectorStore(VectorStore):
         # would be one round-trip each).
         sp_ids_np = np.asarray(self._sp_ids[:n]) if self._sp_ids is not None else None
         sp_w_np = np.asarray(self._sp_w[:n]) if self._sp_ids is not None else None
-        dense_np = np.asarray(self._dense[:n], np.float32) if self._dense is not None else None
+        dense_np = self._dense_rows_f32(n) if self._dense is not None else None
         records = []
         for row in keep:
             rec: dict[str, Any] = {
@@ -803,10 +854,13 @@ class DeviceVectorStore(VectorStore):
 
                 scores, rows = sharded_dense_topk(
                     self._dense, replicate(q, self.mesh), k, mask, self.mesh,
-                    exact_topk=exact_topk,
+                    exact_topk=exact_topk, corpus_scale=self._dense_scale,
                 )
             else:
-                scores, rows = dense_topk(self._dense, q, k, mask, exact_topk=exact_topk)
+                scores, rows = dense_topk(
+                    self._dense, q, k, mask,
+                    exact_topk=exact_topk, corpus_scale=self._dense_scale,
+                )
             return np.asarray(scores), np.asarray(rows)
 
         if name == "sparse":
@@ -927,6 +981,7 @@ class DeviceVectorStore(VectorStore):
                 sparse_weight=float(weights.get("sparse", 0.5)),
                 rrf_k=rrf_k,
                 exact_topk=exact_topk,
+                dense_scale=self._dense_scale,
             )
         else:
             scores, rows = hybrid_fused_topk(
@@ -946,6 +1001,7 @@ class DeviceVectorStore(VectorStore):
                 sparse_weight=float(weights.get("sparse", 0.5)),
                 rrf_k=rrf_k,
                 exact_topk=exact_topk,
+                dense_scale=self._dense_scale,
             )
         return np.asarray(scores), np.asarray(rows)
 
@@ -1082,7 +1138,7 @@ class DeviceVectorStore(VectorStore):
         n = len(self._ids)
         arrays: dict[str, np.ndarray] = {"valid": self._valid[:n]}
         if self._dense is not None:
-            arrays["dense"] = np.asarray(self._dense[:n], np.float32)
+            arrays["dense"] = self._dense_rows_f32(n)
         if self._sp_ids is not None:
             arrays["sp_ids"] = np.asarray(self._sp_ids[:n])
             arrays["sp_w"] = np.asarray(self._sp_w[:n])

@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .dense import NEG_INF, candidate_select
+from .dense import NEG_INF, candidate_select, dense_scores
 from .fusion import rrf_fuse_device
 from .sparse import sparse_topk
 
@@ -29,6 +29,7 @@ def hybrid_candidates(
     depth: int,
     mask: jax.Array | None = None,
     exact_topk: bool = True,
+    dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
 ) -> tuple[jax.Array, jax.Array]:
     """Both hybrid candidate generations in ONE device program.
 
@@ -42,9 +43,7 @@ def hybrid_candidates(
     per-list selection recall folds into the same knob as the sketch depth.
     """
     select = candidate_select(exact_topk)
-    d_scores = jnp.dot(
-        dense_q.astype(dense_corpus.dtype), dense_corpus.T, preferred_element_type=jnp.float32
-    )
+    d_scores = dense_scores(dense_corpus, dense_q, dense_scale)
     s_scores = jnp.dot(
         sketch_q.astype(sketch_corpus.dtype), sketch_corpus.T, preferred_element_type=jnp.float32
     )
@@ -149,6 +148,7 @@ def hybrid_fused_topk(
     sparse_weight: jax.Array | float = 0.5,
     rrf_k: int = 60,
     exact_topk: bool = True,
+    dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
 ) -> tuple[jax.Array, jax.Array]:
     """The full hybrid query as ONE device program: both candidate matmuls,
     exact sparse rescore of the top-`depth` sketch candidates, and weighted
@@ -159,11 +159,7 @@ def hybrid_fused_topk(
     Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
     """
     select = candidate_select(exact_topk)
-    d_scores = jnp.dot(
-        dense_q.astype(dense_corpus.dtype),
-        dense_corpus.T,
-        preferred_element_type=jnp.float32,
-    )
+    d_scores = dense_scores(dense_corpus, dense_q, dense_scale)
     s_scores = jnp.dot(
         sketch_q.astype(sketch_corpus.dtype),
         sketch_corpus.T,
@@ -203,6 +199,7 @@ def hybrid_topk(
     sparse_weight: float = 0.5,
     rrf_k: int = 60,
     block: int = 8192,
+    dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
 ) -> tuple[jax.Array, jax.Array]:
     """Fused hybrid search → (fused scores [B, k], row indices [B, k]).
 
@@ -211,9 +208,7 @@ def hybrid_topk(
     """
     fetch_k = min(2 * k, dense_corpus.shape[0])
 
-    d_scores = jnp.dot(
-        dense_q.astype(dense_corpus.dtype), dense_corpus.T, preferred_element_type=jnp.float32
-    )
+    d_scores = dense_scores(dense_corpus, dense_q, dense_scale)
     if mask is not None:
         d_scores = jnp.where(mask[None, :], d_scores, NEG_INF)
     d_top_scores, d_rows = jax.lax.top_k(d_scores, fetch_k)

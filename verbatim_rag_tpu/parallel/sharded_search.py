@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from verbatim_rag_tpu.ops.dense import NEG_INF, candidate_select
+from verbatim_rag_tpu.ops.dense import NEG_INF, candidate_select, dense_scores
 
 
 def shard_rows(x: jax.Array, mesh: Mesh) -> jax.Array:
@@ -38,18 +38,15 @@ def sharded_dense_topk(
     mask: jax.Array,  # [N] row-sharded
     mesh: Mesh,
     exact_topk: bool = True,
+    corpus_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 corpus
 ) -> tuple[jax.Array, jax.Array]:
     """Exact distributed top-k: (scores [B, k], global row indices [B, k])."""
     axis = ("dp", "tp")
     n_total = corpus.shape[0]
 
-    def local_search(corpus_shard, queries_rep, mask_shard):
+    def local_search(corpus_shard, queries_rep, mask_shard, scale_shard=None):
         # corpus_shard: [N/devs, d] — local scores on the MXU.
-        scores = jnp.dot(
-            queries_rep.astype(corpus_shard.dtype),
-            corpus_shard.T,
-            preferred_element_type=jnp.float32,
-        )
+        scores = dense_scores(corpus_shard, queries_rep, scale_shard)
         scores = jnp.where(mask_shard[None, :], scores, NEG_INF)
         local_k = min(k, corpus_shard.shape[0])
         top_scores, top_idx = candidate_select(exact_topk)(scores, k=local_k)
@@ -69,15 +66,20 @@ def sharded_dense_topk(
 
     from jax import shard_map
 
+    in_specs = (P(axis), P(), P(axis))
+    args = (corpus, queries, mask)
+    if corpus_scale is not None:
+        in_specs += (P(axis),)
+        args += (corpus_scale,)
     fn = shard_map(
         local_search,
         mesh=mesh,
-        in_specs=(P(axis), P(), P(axis)),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
     del n_total
-    return fn(corpus, queries, mask)
+    return fn(*args)
 
 
 def _pad_cols(x: jax.Array, width: int, fill) -> jax.Array:
@@ -171,6 +173,7 @@ def sharded_hybrid_topk(
     sparse_weight: jax.Array | float = 0.5,
     rrf_k: int = 60,
     exact_topk: bool = True,
+    dense_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 corpus
 ) -> tuple[jax.Array, jax.Array]:
     """The full hybrid query distributed over the mesh, still ONE program:
     per-shard dense + sketch candidates, per-shard exact sparse rescore,
@@ -184,14 +187,12 @@ def sharded_hybrid_topk(
 
     axis = ("dp", "tp")
 
-    def local(dense_s, sketch_s, ids_s, w_s, mask_s, dq, qproj, qids, qw):
+    def local(dense_s, sketch_s, ids_s, w_s, mask_s, dq, qproj, qids, qw, scale_s=None):
         n_local = dense_s.shape[0]
         offset = jax.lax.axis_index(axis) * n_local
 
         # Dense: local exact top-fetch_k; global merge is exact.
-        d_scores = jnp.dot(
-            dq.astype(dense_s.dtype), dense_s.T, preferred_element_type=jnp.float32
-        )
+        d_scores = dense_scores(dense_s, dq, scale_s)
         d_scores = jnp.where(mask_s[None, :], d_scores, NEG_INF)
         lk = min(fetch_k, n_local)
         d_top, d_idx = candidate_select(exact_topk)(d_scores, k=lk)
@@ -237,16 +238,19 @@ def sharded_hybrid_topk(
 
     from jax import shard_map
 
+    in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P())
+    args = (dense_corpus, sketch_corpus, sp_ids, sp_w, mask, dense_q, sketch_q, q_ids, q_w)
+    if dense_scale is not None:
+        in_specs += (P(axis),)
+        args += (dense_scale,)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P()),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    scores, rows = fn(
-        dense_corpus, sketch_corpus, sp_ids, sp_w, mask, dense_q, sketch_q, q_ids, q_w
-    )
+    scores, rows = fn(*args)
     if rows.shape[1] < k:
         scores = _pad_cols(scores, k, 0.0)
         rows = _pad_cols(rows, k, -1)
