@@ -22,6 +22,7 @@ Run: python benchmarks/recall_1m.py  (on the TPU; ~5 min with cold compiles)
 from __future__ import annotations
 
 import json
+import sys
 
 import numpy as np
 
@@ -167,6 +168,30 @@ def main() -> None:
             float(np.mean([
                 len(set(overlap[label][b]) & set(gt_hybrid[b])) / K
                 for b in range(QB)
+            ])), 4
+        )
+
+    # --- 5 (optional): int8 capacity mode at the same operating point ---
+    if "--dense-dtype" in sys.argv and "int8" in sys.argv:
+        from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+
+        dq8, dscale = quantize_rows_int8(jnp.asarray(dense))
+        _s, rows8 = hybrid_fused_topk(
+            dq8, d_sketch, d_sp_ids, d_sp_w, jdq, jq_sketch, jq_ids, jq_w,
+            k=K, fetch_k=2 * K, depth=DEPTH, mask=mask, exact_topk=False,
+            dense_scale=dscale,
+        )
+        rows8 = np.asarray(rows8)
+        results["hybrid_top10_overlap_int8_vs_bf16"] = round(
+            float(np.mean([
+                len(set(rows8[b]) & set(overlap["approx"][b])) / K for b in range(QB)
+            ])), 4
+        )
+        _s, d_i8 = dense_topk(dq8, jdq, K, mask, exact_topk=False, corpus_scale=dscale)
+        d_i8 = np.asarray(d_i8)
+        results["dense_recall@10_int8_vs_exact"] = round(
+            float(np.mean([
+                len(set(d_i8[b]) & set(d_gt[b][:K])) / K for b in range(QB)
             ])), 4
         )
 
