@@ -31,6 +31,7 @@ Run: JAX_PLATFORMS=cpu python benchmarks/quality_synthetic.py   (~8 min)
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -88,6 +89,11 @@ def make_dataset(n: int, seed: int):
 
 def main() -> None:
     import jax
+
+    # The env var alone does not override a plugin backend (e.g. a tunneled
+    # TPU); pin explicitly when the caller asked for CPU.
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from verbatim_rag_tpu.models.config import TrainingConfig, tiny_test_config
     from verbatim_rag_tpu.models.highlighter import (

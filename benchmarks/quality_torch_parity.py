@@ -123,7 +123,20 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=8)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument(
+        "--device",
+        default="cpu",
+        choices=["cpu", "ambient"],
+        help="cpu (default) pins JAX to the host CPU so both pipelines train "
+        "on the same silicon — the fair wall-clock comparison. 'ambient' "
+        "keeps the session backend (e.g. the TPU; torch stays on CPU).",
+    )
     args = parser.parse_args()
+
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from verbatim_rag_tpu.models.config import tiny_test_config
     from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor

@@ -347,3 +347,50 @@ class TestFusedHybridDevice:
             np.asarray(f_scores), ref_scores, rtol=1e-5, atol=1e-6
         )
         assert 7 not in np.asarray(f_rows)
+
+
+class TestInt8Dense:
+    def test_quantize_roundtrip_error_small(self):
+        import jax.numpy as jnp
+
+        from verbatim_rag_tpu.ops.dense import normalize_rows, quantize_rows_int8
+
+        rng = np.random.default_rng(0)
+        x = np.asarray(normalize_rows(jnp.asarray(rng.normal(size=(64, 48)), jnp.float32)))
+        q, scale = quantize_rows_int8(x)
+        assert q.dtype == np.int8 and scale.shape == (64, 1)
+        back = q.astype(np.float32) * scale
+        # per-row max quantization step is scale/2 ≈ max|x|/254
+        assert np.max(np.abs(back - x)) <= np.max(scale) / 2 + 1e-6
+
+    def test_int8_topk_ranking_matches_f32(self):
+        import jax.numpy as jnp
+
+        from verbatim_rag_tpu.ops.dense import (
+            dense_topk,
+            normalize_rows,
+            quantize_rows_int8,
+        )
+
+        rng = np.random.default_rng(1)
+        corpus = np.asarray(
+            normalize_rows(jnp.asarray(rng.normal(size=(500, 32)), jnp.float32))
+        )
+        # queries = noisy copies of specific rows → unambiguous top-1
+        rows = [7, 99, 431]
+        q = corpus[rows] + 0.01 * rng.normal(size=(3, 32)).astype(np.float32)
+        q = np.asarray(normalize_rows(jnp.asarray(q)))
+        cq, scale = quantize_rows_int8(jnp.asarray(corpus))
+        s8, r8 = dense_topk(cq, jnp.asarray(q), 5, corpus_scale=scale)
+        s32, r32 = dense_topk(jnp.asarray(corpus), jnp.asarray(q), 5)
+        assert list(np.asarray(r8)[:, 0]) == rows == list(np.asarray(r32)[:, 0])
+        np.testing.assert_allclose(np.asarray(s8), np.asarray(s32), atol=0.02)
+
+    def test_int8_requires_scale(self):
+        import jax.numpy as jnp
+        import pytest as _pytest
+
+        from verbatim_rag_tpu.ops.dense import dense_scores
+
+        with _pytest.raises(ValueError):
+            dense_scores(jnp.zeros((4, 8), jnp.int8), jnp.zeros((2, 8), jnp.float32))
