@@ -76,6 +76,7 @@ async def handle_query(request: web.Request) -> web.Response:
         "filter": data.get("filter"),
         "hybrid_weights": data.get("hybrid_weights"),
         "rrf_k": data.get("rrf_k", 60),
+        "search_params": data.get("search_params"),
     }
     try:
         batcher = deps.get_batcher()
@@ -91,6 +92,7 @@ async def handle_query(request: web.Request) -> web.Response:
                 params["filter"],
                 params["hybrid_weights"],
                 params["rrf_k"],
+                params["search_params"],
             )
     except Exception as exc:
         logger.exception("Query failed")
@@ -115,6 +117,7 @@ async def handle_query_async(request: web.Request) -> web.Response:
             filter=data.get("filter"),
             hybrid_weights=data.get("hybrid_weights"),
             rrf_k=data.get("rrf_k", 60),
+            search_params=data.get("search_params"),
         )
     except Exception as exc:
         logger.exception("Async query failed")
@@ -187,6 +190,8 @@ async def handle_query_stream(request: web.Request) -> web.StreamResponse:
             k=data.get("k"),
             filter=data.get("filter"),
             hybrid_weights=data.get("hybrid_weights"),
+            rrf_k=data.get("rrf_k", 60),
+            search_params=data.get("search_params"),
         ):
             await response.write((json.dumps(event) + "\n").encode())
     except Exception as exc:

@@ -100,6 +100,7 @@ def get_batcher():
                     filter=params.get("filter"),
                     hybrid_weights=params.get("hybrid_weights"),
                     rrf_k=params.get("rrf_k", 60),
+                    search_params=params.get("search_params"),
                 )
 
             _state["batcher"] = MicroBatcher(

@@ -196,6 +196,7 @@ class VerbatimRAG:
         filter: Any = None,
         hybrid_weights: Mapping[str, float] | None = None,
         rrf_k: int = 60,
+        search_params: Mapping[str, Any] | None = None,
     ) -> list[QueryResponse]:
         """Serve many questions with ONE batched retrieval dispatch.
 
@@ -209,7 +210,10 @@ class VerbatimRAG:
         """
         if self.template_manager.get_current_mode() == "structured":
             return [
-                self.query(q, k=k, filter=filter, hybrid_weights=hybrid_weights, rrf_k=rrf_k)
+                self.query(
+                    q, k=k, filter=filter, hybrid_weights=hybrid_weights,
+                    rrf_k=rrf_k, search_params=search_params,
+                )
                 for q in questions
             ]
 
@@ -230,6 +234,7 @@ class VerbatimRAG:
             filter=filter,
             hybrid_weights=hybrid_weights,
             rrf_k=rrf_k,
+            search_params=search_params,
         )
         questions = live_questions
         reranked = [

@@ -35,6 +35,7 @@ class StreamingRAG:
         filter: Any = None,
         hybrid_weights: Mapping[str, float] | None = None,
         rrf_k: int = 60,
+        search_params: Mapping[str, Any] | None = None,
     ) -> AsyncIterator[dict[str, Any]]:
         rag = self.rag
         from verbatim_rag_tpu.utils.profiling import StageTimer
@@ -57,7 +58,8 @@ class StreamingRAG:
         try:
             with timer.stage("retrieve"):
                 results = await asyncio.to_thread(
-                    rag.index.query, question, k or rag.k, filter, None, hybrid_weights, rrf_k
+                    rag.index.query, question, k or rag.k, filter, None,
+                    hybrid_weights, rrf_k, search_params,
                 )
             if rag.reranker is not None:
                 try:
