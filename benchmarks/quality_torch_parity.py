@@ -6,8 +6,12 @@ published ACL checkpoint is unobtainable offline (see
 `benchmarks/quality_synthetic.py`), so this benchmark instead pits the two
 TRAINING pipelines against each other under identical conditions:
 
-- identical data: `quality_synthetic.make_dataset` (question-conditioned
-  gold spans — lexical salience alone cannot solve it);
+- identical data: by default the marker extraction task
+  (`training/token_dataset.make_synthetic_token_data`, converges in ~2
+  epochs — cheap enough to train twice on this 1-vCPU host);
+  `--task conditioned` selects the harder question-conditioned task of
+  `quality_synthetic.make_dataset` (whose loss plateaus for tens of epochs
+  before the conditioning feature is found — budget accordingly);
 - identical windowed encoding: `TokenDatasetEncoder` (the layout
   `ModelSpanExtractor` consumes at inference);
 - identical architecture class and size: ModernBERT token classifier
@@ -26,8 +30,8 @@ The reference trains with plain torch AdamW + CE over token labels
 (`/root/reference/packages/core/verbatim_core/extractor_models/trainer.py`);
 that is what the torch side does here.
 
-Run: JAX_PLATFORMS=cpu python benchmarks/quality_torch_parity.py [--epochs 8]
-(~25 min — torch-CPU is the slow side at ~520 ms/step on this 1-vCPU host)
+Run: python benchmarks/quality_torch_parity.py [--epochs 4]
+(~10 min — torch-CPU is the slow side at ~0.4 s/step on this 1-vCPU host)
 """
 
 from __future__ import annotations
@@ -120,9 +124,10 @@ def train_jax(train, encoder, config, epochs: int, batch_size: int, lr: float):
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--epochs", type=int, default=8)
+    parser.add_argument("--epochs", type=int, default=4)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--task", default="marker", choices=["marker", "conditioned"])
     parser.add_argument(
         "--device",
         default="cpu",
@@ -152,11 +157,18 @@ def main() -> None:
         intermediate_size=128,
         max_position_embeddings=512,
     )
-    data = make_dataset(6000, seed=7)
+    if args.task == "marker":
+        from verbatim_rag_tpu.training.token_dataset import make_synthetic_token_data
+
+        data = make_synthetic_token_data(3000, seed=7)
+        max_length, min_span = 256, 20
+    else:
+        data = make_dataset(6000, seed=7)
+        max_length, min_span = 320, 30
     train = [e for e in data if e.split == "train"]
     dev = [e for e in data if e.split == "dev"][:100]
     tokenizer = HashTokenizer(vocab_size=config.vocab_size)
-    encoder = TokenDatasetEncoder(tokenizer, max_length=320, doc_stride=64)
+    encoder = TokenDatasetEncoder(tokenizer, max_length=max_length, doc_stride=64)
     examples = [
         {
             "question": e.question,
@@ -172,9 +184,9 @@ def main() -> None:
             config=config,
             tokenizer=tokenizer,
             threshold=0.5,
-            min_span_chars=30,
+            min_span_chars=min_span,
             merge_gap_chars=2,
-            max_length=320,
+            max_length=max_length,
             doc_stride=64,
         )
         if forward_probs is not None:
@@ -221,6 +233,7 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "micro_word_f1_torch_parity",
+                "task": args.task,
                 "epochs": args.epochs,
                 "steps": steps,
                 "jax_f1": round(f1_jax, 4),
