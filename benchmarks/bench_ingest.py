@@ -70,7 +70,11 @@ def main() -> None:
     )
 
     # Encode-only throughput on the same text (isolates the device share).
+    # Tokenizer memo cleared first: steady-state encode pays tokenization.
+    from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+
     chunks = [h.enhanced_text for h in index.get_all_chunks(limit=2000)]
+    HashTokenizer._text_cache.clear()
     start = time.perf_counter()
     dense.embed_batch(chunks)
     sparse.embed_batch(chunks)
@@ -82,6 +86,38 @@ def main() -> None:
                 "value": round(len(chunks) / elapsed, 1),
                 "unit": "chunks/s",
                 "n_chunks": len(chunks),
+            }
+        ),
+        flush=True,
+    )
+
+    # Steady-state e2e: a long-lived ingest service has every program warm
+    # (in-memory jit cache) and pre-sizes its store. Honest accounting: the
+    # tokenizer memo is cleared (new corpora are new text) and the timed
+    # pass re-runs the FULL pipeline on a fresh index. The first pass above
+    # stays as the cold number (it pays persistent-cache executable loads,
+    # ~0.3 s apiece on this host, and geometric store growth).
+    HashTokenizer._text_cache.clear()
+    docs2 = [
+        DocumentSchema(content=d.content, title=f"{d.title}~warm", source=d.source)
+        for d in docs
+    ]
+    index2 = VerbatimIndex(dense_provider=dense, sparse_provider=sparse)
+    index2.store.reserve(n_chunks + 8)
+    # One probe doc warms the full-capacity flush shapes outside the timer.
+    index2.add_documents([{"content": "warm probe", "title": "p"}])
+    start = time.perf_counter()
+    index2.add_documents_bulk(docs2, chunk_batch_size=2000)
+    elapsed = time.perf_counter() - start
+    n2 = index2.inspect()["num_chunks"] - 1
+    print(
+        json.dumps(
+            {
+                "metric": "ingest_chunks_per_s_warm",
+                "value": round(n2 / elapsed, 1),
+                "unit": "chunks/s",
+                "n_chunks": n2,
+                "elapsed_s": round(elapsed, 1),
             }
         )
     )

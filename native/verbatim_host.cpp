@@ -110,3 +110,203 @@ int64_t analyze_text(const char* text, int64_t text_len, int64_t vocab,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// hash_tokenize: the HashTokenizer hot loop in C++ (models/tokenizer.py).
+//
+// Reproduces BIT-EXACTLY, for ASCII text, the Python pipeline
+//   re.findall(r"[a-z0-9]+|[^\w\s]", text.lower())
+//   id = reserved + int.from_bytes(blake2b(repr(tok), digest_size=8), 'little',
+//                                  signed=True) % (vocab - reserved)
+// so native and Python tokenization are interchangeable per text (the caller
+// falls back to Python for any non-ASCII input). Parity is enforced by
+// tests/test_native_tokenizer.py over the repository's own corpus.
+// ---------------------------------------------------------------------------
+
+#include <string>
+#include <unordered_map>
+
+namespace {
+
+// RFC 7693 BLAKE2b, unkeyed, 8-byte digest — matches hashlib.blake2b(...,
+// digest_size=8).
+struct Blake2b8 {
+    static inline uint64_t rotr64(uint64_t x, int n) {
+        return (x >> n) | (x << (64 - n));
+    }
+
+    static void compress(uint64_t h[8], const uint8_t block[128], uint64_t t,
+                         bool last) {
+        static const uint64_t IV[8] = {
+            0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+            0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+            0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+        static const uint8_t SIGMA[12][16] = {
+            {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+            {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+            {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+            {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+            {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+            {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+            {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+            {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+            {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+            {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+            {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+            {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3}};
+        uint64_t m[16], v[16];
+        for (int i = 0; i < 16; ++i) {
+            uint64_t w = 0;
+            for (int j = 7; j >= 0; --j) w = (w << 8) | block[i * 8 + j];
+            m[i] = w;
+        }
+        for (int i = 0; i < 8; ++i) v[i] = h[i];
+        for (int i = 0; i < 8; ++i) v[8 + i] = IV[i];
+        v[12] ^= t;  // low counter word (inputs here are far below 2^64)
+        if (last) v[14] = ~v[14];
+        for (int r = 0; r < 12; ++r) {
+            const uint8_t* s = SIGMA[r];
+            auto G = [&](int a, int b, int c, int d, uint64_t x, uint64_t y) {
+                v[a] = v[a] + v[b] + x;
+                v[d] = rotr64(v[d] ^ v[a], 32);
+                v[c] = v[c] + v[d];
+                v[b] = rotr64(v[b] ^ v[c], 24);
+                v[a] = v[a] + v[b] + y;
+                v[d] = rotr64(v[d] ^ v[a], 16);
+                v[c] = v[c] + v[d];
+                v[b] = rotr64(v[b] ^ v[c], 63);
+            };
+            G(0, 4, 8, 12, m[s[0]], m[s[1]]);
+            G(1, 5, 9, 13, m[s[2]], m[s[3]]);
+            G(2, 6, 10, 14, m[s[4]], m[s[5]]);
+            G(3, 7, 11, 15, m[s[6]], m[s[7]]);
+            G(0, 5, 10, 15, m[s[8]], m[s[9]]);
+            G(1, 6, 11, 12, m[s[10]], m[s[11]]);
+            G(2, 7, 8, 13, m[s[12]], m[s[13]]);
+            G(3, 4, 9, 14, m[s[14]], m[s[15]]);
+        }
+        for (int i = 0; i < 8; ++i) h[i] ^= v[i] ^ v[8 + i];
+    }
+
+    // 64-bit little-endian digest of `data` as a signed int64.
+    static int64_t hash8(const uint8_t* data, size_t len) {
+        uint64_t h[8] = {
+            0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL, 0x3c6ef372fe94f82bULL,
+            0xa54ff53a5f1d36f1ULL, 0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+            0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+        h[0] ^= 0x01010000ULL ^ 8ULL;  // depth/fanout 1, key 0, digest_len 8
+        uint8_t block[128];
+        size_t off = 0;
+        // All full blocks except the last go through non-final compression.
+        while (len - off > 128) {
+            std::memcpy(block, data + off, 128);
+            off += 128;
+            compress(h, block, (uint64_t)off, false);
+        }
+        const size_t rem = len - off;
+        std::memset(block, 0, sizeof(block));
+        std::memcpy(block, data + off, rem);
+        compress(h, block, (uint64_t)len, true);
+        return (int64_t)h[0];  // first 8 LE bytes == low word
+    }
+};
+
+// Python repr() of a single ASCII punctuation/control character, appended to
+// `out` — the exact bytes hashlib sees for one-char tokens.
+inline void repr_single(uint8_t c, std::string& out) {
+    if (c == '\'') {
+        out += "\"'\"";
+    } else if (c == '\\') {
+        out += "'\\\\'";
+    } else if (c >= 0x20 && c < 0x7f) {
+        out += '\'';
+        out += (char)c;
+        out += '\'';
+    } else {
+        static const char* hexd = "0123456789abcdef";
+        out += "'\\x";
+        out += hexd[c >> 4];
+        out += hexd[c & 0xf];
+        out += '\'';
+    }
+}
+
+// Character classes on the LOWERED ASCII text, matching Python's
+// re (unicode mode) for [a-z0-9] / \s / \w — derived from CPython, pinned by
+// the parity test. 'a' = token-run char, 's' = whitespace, 'w' = \w
+// non-run (only '_' after lowering), 'p' = single-char punctuation token.
+inline char char_class(uint8_t c) {
+    if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9'))
+        return 'a';
+    if (c == ' ' || (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f))
+        return 's';
+    if (c == '_') return 'w';
+    return 'p';
+}
+
+int64_t word_hash(const std::string& repr_bytes) {
+    // Per-word digest memo: corpora repeat words heavily and BLAKE2b is the
+    // expensive part. Thread-local: no locks on the (threaded) serving path.
+    static thread_local std::unordered_map<std::string, int64_t> cache;
+    auto it = cache.find(repr_bytes);
+    if (it != cache.end()) return it->second;
+    const int64_t h =
+        Blake2b8::hash8((const uint8_t*)repr_bytes.data(), repr_bytes.size());
+    if (cache.size() < (1u << 20)) cache.emplace(repr_bytes, h);
+    return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize ASCII `text` exactly like HashTokenizer.tokenize_with_offsets:
+// ids_out[i] = token id, offsets_out[2i, 2i+1] = (char_start, char_end).
+// Returns the token count (<= max_tokens), or -1 if any byte >= 0x80 was
+// seen before max_tokens tokens were produced (caller must use Python).
+int64_t hash_tokenize(const uint8_t* text, int64_t text_len,
+                      int64_t vocab_size, int64_t reserved,
+                      int64_t max_tokens, int32_t* ids_out,
+                      int32_t* offsets_out) {
+    const int64_t span = vocab_size - reserved;
+    std::string repr_buf;
+    int64_t n = 0;
+    int64_t i = 0;
+    while (i < text_len && n < max_tokens) {
+        uint8_t c = text[i];
+        if (c >= 0x80) return -1;
+        const char cls = char_class(c);
+        if (cls == 's' || cls == 'w') {
+            ++i;
+            continue;
+        }
+        repr_buf.clear();
+        int64_t start = i, end;
+        if (cls == 'a') {
+            repr_buf += '\'';
+            while (i < text_len) {
+                c = text[i];
+                if (c >= 0x80) return -1;  // a run is ended by non-[a-z0-9]
+                if (char_class(c) != 'a') break;
+                repr_buf += (char)(c >= 'A' && c <= 'Z' ? c + 32 : c);
+                ++i;
+            }
+            repr_buf += '\'';
+            end = i;
+        } else {  // 'p': single-char token
+            repr_single(c, repr_buf);
+            end = ++i;
+        }
+        const int64_t h = word_hash(repr_buf);
+        int64_t mod = h % span;  // Python %: result takes the divisor's sign
+        if (mod < 0) mod += span;
+        ids_out[n] = (int32_t)(reserved + mod);
+        offsets_out[2 * n] = (int32_t)start;
+        offsets_out[2 * n + 1] = (int32_t)end;
+        ++n;
+    }
+    return n;
+}
+
+}  // extern "C"

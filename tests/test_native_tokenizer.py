@@ -1,0 +1,118 @@
+"""Bit-exactness of the C++ HashTokenizer scan vs the Python reference path.
+
+The native scanner (`native/verbatim_host.cpp` hash_tokenize) must be
+interchangeable with the Python regex+blake2b pipeline per text: same ids,
+same offsets, same truncation — otherwise saved indexes built on one host
+would silently mismatch queries tokenized on another.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+import string
+
+import numpy as np
+import pytest
+
+from verbatim_rag_tpu.engine.native import available, hash_tokenize_native
+from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\w\s]")
+
+
+def _python_reference(text: str, vocab: int, reserved: int, max_tokens=None):
+    """The original pure-Python pipeline, inlined as the test oracle."""
+    span = vocab - reserved
+    ids, offs = [], []
+    for m in _WORD_RE.finditer(text.lower()):
+        digest = hashlib.blake2b(repr(m.group(0)).encode(), digest_size=8).digest()
+        h = int.from_bytes(digest, "little", signed=True)
+        ids.append(reserved + h % span)
+        offs.append((m.start(), m.end()))
+        if max_tokens is not None and len(ids) >= max_tokens:
+            break
+    return ids, offs
+
+
+CASES = [
+    "",
+    "hello world",
+    "a_b__c underscore runs are skipped",
+    "Don't stop! (really?) [x=1]; \"quoted\" \\ backslash",
+    "MiXeD CaSe 123abc mixed",
+    "'",
+    '"',
+    "\\",
+    "a" * 300,  # multi-block blake2b input (repr > 128 bytes)
+    string.punctuation,
+    "ctrl chars \x00\x01\x07\x1b\x7f here",
+    "\x1c\x1d\x1e\x1f unicode-mode whitespace",
+    "tab\tnewline\nvtab\x0b formfeed\x0c",
+]
+
+
+@pytest.mark.skipif(not available(), reason="native library unavailable")
+@pytest.mark.parametrize("max_tokens", [None, 1, 7, 64])
+def test_native_matches_python_reference(max_tokens):
+    rng = random.Random(0)
+    cases = list(CASES) + [
+        "".join(rng.choice(string.printable) for _ in range(rng.randint(0, 300)))
+        for _ in range(100)
+    ]
+    for text in cases:
+        expect_ids, expect_offs = _python_reference(text, 30522, 3, max_tokens)
+        got = hash_tokenize_native(text, 30522, 3, max_tokens or (1 << 62))
+        assert got is not None
+        ids, offs = got
+        assert ids.tolist() == expect_ids, repr(text)
+        assert [tuple(o) for o in offs] == expect_offs, repr(text)
+
+
+@pytest.mark.skipif(not available(), reason="native library unavailable")
+def test_native_rejects_non_ascii():
+    assert hash_tokenize_native("café ≡ naïve", 30522, 3, 64) is None
+
+
+def test_tokenizer_facade_consistent_with_reference():
+    """HashTokenizer (native or fallback) must agree with the oracle on
+    ASCII text, and its memo must return identical results on repeat."""
+    tok = HashTokenizer()
+    text = "The quick brown fox (no. 42) jumps -- twice!"
+    expect_ids, expect_offs = _python_reference(text, tok.vocab_size, 3, 16)
+    for _ in range(2):  # second pass exercises the memo
+        ids, offs = tok.tokenize_with_offsets(text, max_tokens=16)
+        assert ids == expect_ids
+        assert offs == expect_offs
+
+
+def test_encode_batch_shapes_and_truncation():
+    tok = HashTokenizer()
+    texts = ["one two three", "x " * 500, ""]
+    enc = tok.encode_batch(texts, max_length=64, with_offsets=True)
+    assert enc.input_ids.shape == enc.attention_mask.shape
+    assert enc.input_ids.shape[1] <= 64
+    # row 0: [CLS] t t t [SEP] → 5 live tokens
+    assert int(enc.attention_mask[0].sum()) == 5
+    assert enc.input_ids[0, 0] == tok.cls_id
+    assert enc.input_ids[0, 4] == tok.sep_id
+    # row 1 saturates the window
+    assert int(enc.attention_mask[1].sum()) == enc.input_ids.shape[1]
+    # row 2: [CLS] [SEP] only
+    assert int(enc.attention_mask[2].sum()) == 2
+    # offsets row mirrors the live width and starts with the CLS sentinel
+    assert len(enc.offsets[0]) == 5
+    assert enc.offsets[0][0] == (0, 0)
+    assert enc.offsets[0][1] == (0, 3)
+
+
+def test_encode_batch_pair_framing():
+    tok = HashTokenizer()
+    enc = tok.encode_batch(["alpha beta"], max_length=32, pair=["gamma"])
+    row = enc.input_ids[0][enc.attention_mask[0].astype(bool)]
+    # [CLS] a b [SEP] g [SEP]
+    assert row[0] == tok.cls_id
+    assert row[3] == tok.sep_id
+    assert row[-1] == tok.sep_id
+    assert len(row) == 6

@@ -54,6 +54,11 @@ def _load() -> ctypes.CDLL | None:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ]
             lib.analyze_text.restype = ctypes.c_int64
+            lib.hash_tokenize.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.hash_tokenize.restype = ctypes.c_int64
             _lib = lib
             logger.info("Loaded native host runtime: %s", _LIB_PATH)
         except Exception as exc:
@@ -111,6 +116,31 @@ def analyze_text_native(
     )
     n = n_terms.value
     return term_ids[:n].copy(), term_tfs[:n].copy(), int(dl)
+
+
+def hash_tokenize_native(
+    text: str, vocab_size: int, reserved: int, max_tokens: int
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """C++ HashTokenizer scan (bit-exact vs the Python regex+blake2b path).
+
+    Returns ``(ids int32[n], offsets int32[n, 2])`` or None when the library
+    is unavailable or the text is not pure ASCII (Python's unicode-aware
+    regex/lower() must handle those).
+    """
+    lib = _load()
+    if lib is None or not text.isascii():
+        return None
+    raw = text.encode("ascii")
+    cap = max(1, min(max_tokens, len(raw)))  # ≤1 token per input byte
+    ids = np.empty(cap, np.int32)
+    offsets = np.empty((cap, 2), np.int32)
+    n = lib.hash_tokenize(
+        raw, len(raw), vocab_size, reserved, cap,
+        ids.ctypes.data, offsets.ctypes.data,
+    )
+    if n < 0:  # non-ASCII byte seen mid-scan (defensive; isascii covers it)
+        return None
+    return ids[:n], offsets[:n]
 
 
 def exact_rescore_native(

@@ -88,20 +88,64 @@ class HashTokenizer(Tokenizer):
     def describe(self) -> dict:
         return {"class": "HashTokenizer", "vocab_size": self.vocab_size}
 
+    #: class-level (vocab, max_tokens, text) → (ids, offsets) memo. Dense and
+    #: sparse providers tokenize the SAME chunk texts back to back at ingest;
+    #: sharing one memo across instances halves host tokenization. Bounded;
+    #: cleared wholesale when full (the reuse window is one ingest batch).
+    _text_cache: dict = {}
+    _TEXT_CACHE_MAX = 8192
+    #: don't cache very long docs (highlighter whole-document scans) — they
+    #: would evict the high-hit-rate chunk entries and blow the memory bound.
+    _TEXT_CACHE_MAX_TOKENS = 4096
+
+    def _tokenize_arrays(
+        self, text: str, max_tokens: int | None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Tokenize to ``(ids int32[n], offsets int32[n, 2])``.
+
+        Fast path: the C++ scanner (`native/verbatim_host.cpp` hash_tokenize,
+        bit-exact for ASCII, ~40× the Python loop). Python regex fallback for
+        non-ASCII text or a missing native library. ``max_tokens`` stops the
+        scan early, so encoding a long chunk at a short max_length costs
+        O(max_length), not O(len(text))."""
+        key = (self.vocab_size, max_tokens, text)
+        cache = HashTokenizer._text_cache
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
+        from verbatim_rag_tpu.engine.native import hash_tokenize_native
+
+        out = hash_tokenize_native(
+            text,
+            self.vocab_size,
+            self._reserved,
+            max_tokens if max_tokens is not None else (1 << 62),
+        )
+        if out is None:
+            ids_l: list[int] = []
+            offs_l: list[tuple[int, int]] = []
+            for m in _WORD_RE.finditer(text.lower()):
+                ids_l.append(self._word_id(m.group(0)))
+                offs_l.append((m.start(), m.end()))
+                if max_tokens is not None and len(ids_l) >= max_tokens:
+                    break
+            out = (
+                np.asarray(ids_l, np.int32),
+                np.asarray(offs_l, np.int32).reshape(len(offs_l), 2),
+            )
+        if out[0].size <= self._TEXT_CACHE_MAX_TOKENS:
+            if len(cache) >= self._TEXT_CACHE_MAX:
+                cache.clear()
+            cache[key] = out
+        return out
+
     def tokenize_with_offsets(
         self, text: str, max_tokens: int | None = None
     ) -> tuple[list[int], list[tuple[int, int]]]:
-        """Tokenize; ``max_tokens`` stops the scan early (finditer is lazy),
-        so encoding a long chunk at a short max_length costs O(max_length),
-        not O(len(text)) — the round-1 ingest profile spent 13.5 s/660 chunks
-        re-tokenizing full texts that were then truncated."""
-        ids, offsets = [], []
-        for m in _WORD_RE.finditer(text.lower()):
-            ids.append(self._word_id(m.group(0)))
-            offsets.append((m.start(), m.end()))
-            if max_tokens is not None and len(ids) >= max_tokens:
-                break
-        return ids, offsets
+        ids, offsets = self._tokenize_arrays(text, max_tokens)
+        return ids.tolist(), list(
+            zip(offsets[:, 0].tolist(), offsets[:, 1].tolist())
+        )
 
     def encode_batch(
         self,
@@ -110,30 +154,49 @@ class HashTokenizer(Tokenizer):
         pair: list[str] | None = None,
         with_offsets: bool = False,
     ) -> TokenizedBatch:
-        rows, offs = [], []
+        # Array-native assembly: tokens are written straight into the padded
+        # batch; per-token Python lists/tuples exist only when the caller
+        # asked for offsets (row-tuple conversion measured 20× the cost of
+        # the whole C++ scan).
+        per: list[tuple[np.ndarray, np.ndarray, np.ndarray | None]] = []
+        lengths = []
         for i, text in enumerate(texts):
-            ids, offsets = self.tokenize_with_offsets(text, max_tokens=max_length)
-            ids = [self.cls_id] + ids + [self.sep_id]
-            offsets = [(0, 0)] + offsets + [(0, 0)]
+            ids, offsets = self._tokenize_arrays(text, max_tokens=max_length)
+            p_ids = None
             if pair is not None:
-                p_ids, _p_off = self.tokenize_with_offsets(pair[i], max_tokens=max_length)
-                ids += p_ids + [self.sep_id]
-                offsets += [(0, 0)] * (len(p_ids) + 1)
-            ids = ids[:max_length]
-            offsets = offsets[:max_length]
-            rows.append(ids)
-            offs.append(offsets)
+                p_ids, _ = self._tokenize_arrays(pair[i], max_tokens=max_length)
+            per.append((ids, offsets, p_ids))
+            full = 2 + len(ids) + (len(p_ids) + 1 if p_ids is not None else 0)
+            lengths.append(min(full, max_length))
 
-        seq = bucket_length(max(len(r) for r in rows), self.buckets)
-        seq = min(seq, max_length)
-        batch = np.full((len(rows), seq), self.pad_id, np.int32)
-        mask = np.zeros((len(rows), seq), np.int32)
-        for i, ids in enumerate(rows):
-            ids = ids[:seq]
-            batch[i, : len(ids)] = ids
-            mask[i, : len(ids)] = 1
-            offs[i] = offs[i][:seq]
-        return TokenizedBatch(batch, mask, offs if with_offsets else None)
+        seq = min(bucket_length(max(lengths), self.buckets), max_length)
+        batch = np.full((len(per), seq), self.pad_id, np.int32)
+        mask = np.zeros((len(per), seq), np.int32)
+        offs_out: list[list[tuple[int, int]]] | None = [] if with_offsets else None
+        for i, (ids, offsets, p_ids) in enumerate(per):
+            batch[i, 0] = self.cls_id
+            pos = 1
+            n = min(len(ids), seq - pos)
+            batch[i, pos : pos + n] = ids[:n]
+            pos += n
+            if pos < seq:
+                batch[i, pos] = self.sep_id
+                pos += 1
+            if p_ids is not None:
+                pn = min(len(p_ids), seq - pos)
+                batch[i, pos : pos + pn] = p_ids[:pn]
+                pos += pn
+                if pos < seq:
+                    batch[i, pos] = self.sep_id
+                    pos += 1
+            mask[i, :pos] = 1
+            if offs_out is not None:
+                row = [(0, 0)] + list(
+                    zip(offsets[:n, 0].tolist(), offsets[:n, 1].tolist())
+                )
+                row += [(0, 0)] * (pos - len(row))
+                offs_out.append(row)
+        return TokenizedBatch(batch, mask, offs_out)
 
 
 class HFTokenizer(Tokenizer):
