@@ -149,6 +149,22 @@ def main() -> None:
         np.asarray(token_relevance_probs(hl_params, hl_cfg, ids, att))
     emit("extract_tokens_tps", 8 * 512 * 10 / (time.perf_counter() - start), "tokens/s")
 
+    # Pipelined at the serving batch shape: the micro-batcher feeds the
+    # highlighter ~32-window batches and overlaps readbacks, so per-call
+    # host syncs (a ~31 ms tunnel RTT each here) are not the serving
+    # reality. Dispatch all calls, sync once.
+    ids32 = jnp.asarray(rng.integers(3, hl_cfg.vocab_size, (32, 512)), jnp.int32)
+    att32 = jnp.ones((32, 512), jnp.int32)
+    np.asarray(token_relevance_probs(hl_params, hl_cfg, ids32, att32))
+    start = time.perf_counter()
+    outs = [token_relevance_probs(hl_params, hl_cfg, ids32, att32) for _ in range(10)]
+    np.asarray(jnp.stack([o.sum() for o in outs]))
+    emit(
+        "extract_tokens_tps_pipelined_b32",
+        32 * 512 * 10 / (time.perf_counter() - start),
+        "tokens/s",
+    )
+
     # -- training throughput (full 150M config) -----------------------------------
     from verbatim_rag_tpu.models.config import TrainingConfig
     from verbatim_rag_tpu.training.model import token_loss

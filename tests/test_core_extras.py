@@ -214,6 +214,91 @@ class TestVerbatimDocVariants:
         assert len(result.citations) == 1
         assert result.document.count("[1]") == 2
 
+    def _batch_rag(self):
+        """A rag whose query_batch actually works, with call counters."""
+        from verbatim_rag_tpu.core.models import (
+            DocumentWithHighlights,
+            Highlight,
+            QueryResponse,
+            StructuredAnswer,
+        )
+
+        def make_response(q):
+            return QueryResponse(
+                question=q,
+                answer=f"answer to {q}",
+                structured_answer=StructuredAnswer(text="a"),
+                documents=[
+                    DocumentWithHighlights(
+                        content=f"context for {q}",
+                        title="Doc",
+                        highlights=[Highlight(text=f"span:{q}", start=0, end=6)],
+                    )
+                ],
+            )
+
+        class Rag:
+            def __init__(self):
+                self.batch_calls = []
+                self.single_calls = []
+
+            def query(self, question, k=5, **kw):
+                self.single_calls.append(question)
+                return make_response(question)
+
+            def query_batch(self, questions, k=5, **kw):
+                self.batch_calls.append(list(questions))
+                return [make_response(q) for q in questions]
+
+        return Rag()
+
+    def test_process_batches_directives(self):
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        rag = self._batch_rag()
+        doc = "x [!query=first] y [!query=second] z [!query=third]"
+        result = VerbatimDOC(rag).process(doc)
+        # One batched retrieval for the whole document, no per-query calls.
+        assert rag.batch_calls == [["first", "second", "third"]]
+        assert rag.single_calls == []
+        for q in ("first", "second", "third"):
+            assert f"span:{q}" in result.document
+
+    def test_per_directive_k_groups_batches(self):
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        rag = self._batch_rag()
+        doc = "[!query=a|k=3] [!query=b] [!query=c|k=3]"
+        result = VerbatimDOC(rag).process(doc)
+        # k=3 directives share one batch; the default-k one... is a batch
+        # of one index group — still routed through run (len<=1 short path
+        # only applies to whole-document batches) or batch; order restored.
+        flat = sorted(q for call in rag.batch_calls for q in call) + sorted(
+            rag.single_calls
+        )
+        assert flat == ["a", "b", "c"]
+        assert result.document.index("span:a") < result.document.index("span:b")
+        assert result.document.index("span:b") < result.document.index("span:c")
+
+    def test_batch_failure_falls_back_sequential(self):
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        rag = self._batch_rag()
+        rag.query_batch = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+        doc = "[!query=a] [!query=b]"
+        result = VerbatimDOC(rag).process(doc)
+        assert rag.single_calls == ["a", "b"]
+        assert "span:a" in result.document and "span:b" in result.document
+
+    def test_mock_rag_still_works_via_fallback(self):
+        """A rag whose query_batch returns garbage (e.g. a bare MagicMock)
+        must degrade to per-query calls, not crash."""
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        doc = "x [!query=first] y [!query=second] z"
+        result = VerbatimDOC(self._rag()).process(doc)
+        assert "alpha beta" in result.document
+
 
 class TestSemanticSentenceMode:
     def test_sentence_mode_snaps_to_boundaries(self):

@@ -93,15 +93,60 @@ class Processor:
         self.k = k
 
     def run(self, query: DocQuery) -> QueryResult:
-        question = query.text
-        if query.section:
-            question = f"{query.section}: {question}"  # section-context prefix
+        question = self._question(query)
         try:
             response = self.rag.query(question, k=query.params.get("k", self.k))
         except Exception as exc:
             logger.error("VerbatimDOC query failed: %s", exc)
             return QueryResult(query=query, error=str(exc))
+        return self._collect(query, response)
 
+    def run_batch(self, queries: list[DocQuery]) -> list[QueryResult]:
+        """Run a document's directives as BATCHED queries.
+
+        A document with n embedded queries is the natural unit for the
+        batched serving path: grouped by their per-directive ``k``,
+        retrieval for each group is ONE device program and neural
+        extraction one forward (`VerbatimRAG.query_batch`). Falls back to
+        sequential `run` when the RAG object has no ``query_batch`` or a
+        batch fails (per-group, preserving per-query error isolation).
+        """
+        if not hasattr(self.rag, "query_batch") or len(queries) <= 1:
+            return [self.run(q) for q in queries]
+        out: list[QueryResult | None] = [None] * len(queries)
+        by_k: dict[int, list[int]] = {}
+        for i, q in enumerate(queries):
+            by_k.setdefault(int(q.params.get("k", self.k)), []).append(i)
+        for k, idxs in by_k.items():
+            try:
+                responses = list(
+                    self.rag.query_batch(
+                        [self._question(queries[i]) for i in idxs], k=k
+                    )
+                )
+                if len(responses) != len(idxs):
+                    raise ValueError(
+                        f"query_batch returned {len(responses)} responses "
+                        f"for {len(idxs)} questions"
+                    )
+            except Exception as exc:
+                logger.error(
+                    "VerbatimDOC batch of %d failed (%s); retrying sequentially",
+                    len(idxs), exc,
+                )
+                for i in idxs:
+                    out[i] = self.run(queries[i])
+                continue
+            for i, response in zip(idxs, responses):
+                out[i] = self._collect(queries[i], response)
+        return [r for r in out if r is not None]
+
+    def _question(self, query: DocQuery) -> str:
+        if query.section:
+            return f"{query.section}: {query.text}"  # section-context prefix
+        return query.text
+
+    def _collect(self, query: DocQuery, response) -> QueryResult:
         spans: list[dict[str, Any]] = []
         for doc_index, doc in enumerate(response.documents):
             for h in doc.highlights:
@@ -175,7 +220,7 @@ class VerbatimDOC:
 
     def process(self, document: str) -> VerbatimDocResponse:
         queries = Parser.parse(document)
-        results = [self.processor.run(q) for q in queries]
+        results = self.processor.run_batch(queries)
         return self._build_response(document, results)
 
     def process_interactive(
