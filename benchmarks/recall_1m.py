@@ -195,6 +195,34 @@ def main() -> None:
             ])), 4
         )
 
+    # --- 6 (optional): int8 SKETCHES at the same operating point ---
+    if "--sketch-dtype" in sys.argv and "int8" in sys.argv:
+        from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+
+        sk8, sscale = quantize_rows_int8(jnp.asarray(sketches))
+        _s, rows_s8 = hybrid_fused_topk(
+            d_dense, sk8, d_sp_ids, d_sp_w, jdq, jq_sketch, jq_ids, jq_w,
+            k=K, fetch_k=2 * K, depth=DEPTH, mask=mask, exact_topk=False,
+            sketch_scale=sscale,
+        )
+        rows_s8 = np.asarray(rows_s8)
+        results["hybrid_top10_overlap_int8sketch_vs_bf16"] = round(
+            float(np.mean([
+                len(set(rows_s8[b]) & set(overlap["approx"][b])) / K
+                for b in range(QB)
+            ])), 4
+        )
+        _s, sp8 = projected_sparse_topk(
+            sk8, d_sp_ids, d_sp_w, jq_sketch, jq_ids, jq_w,
+            k=K, depth=DEPTH, mask=mask, exact_topk=False, sketch_scale=sscale,
+        )
+        sp8 = np.asarray(sp8)
+        results["sparse_recall@10_int8sketch_vs_groundtruth"] = round(
+            float(np.mean([
+                len(set(sp8[b]) & set(gt_rows[b])) / K for b in range(QB)
+            ])), 4
+        )
+
     print(json.dumps(results, indent=1))
 
 

@@ -1,5 +1,6 @@
 """DeviceVectorStore: ingest, search dispatch, filters, deletes, persistence."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -418,4 +419,66 @@ class TestInt8DenseMode:
         store.delete(["c1"])
         assert store.compact() > 0
         hits = store.query(dense_query=_unit(1), top_k=2)
+        assert all(h.id != "c1" for h in hits)
+
+
+class TestInt8SketchMode:
+    """sketch_dtype='int8': per-row quantized sketch matrices — at serving
+    scale the sketches are the LARGEST device array (1M×768 bf16 = 1.5 GB),
+    so this is the other half of the capacity story. Sketches only select
+    rescore candidates; exact forward-index rescore fixes every reported
+    score, so sparse results should match the float-sketch store on
+    separable data and scores must stay EXACT."""
+
+    def test_rejects_unknown_dtype(self):
+        with pytest.raises(ValueError):
+            make_store(sketch_dtype="fp4")
+
+    def test_sparse_search_matches_float_sketches(self):
+        a = fill(make_store())
+        b = fill(make_store(sketch_dtype="int8"))
+        assert b._sp_proj is not None and b._sp_proj.dtype == jnp.int8
+        assert b._sp_proj_scale is not None
+        for i in (0, 3, 7):
+            ra = a.query(sparse_query={i % 50: 1.0}, top_k=3)
+            rb = b.query(sparse_query={i % 50: 1.0}, top_k=3)
+            assert [h.id for h in ra] == [h.id for h in rb]
+            # reported scores are exact dots in BOTH stores (rescore)
+            for ha, hb in zip(ra, rb):
+                assert ha.score == pytest.approx(hb.score, abs=1e-6)
+
+    def test_hybrid_and_full_text(self):
+        store = fill(
+            make_store(sketch_dtype="int8", enable_full_text=True, full_text_vocab=128)
+        )
+        hits = store.query(dense_query=_unit(2), sparse_query={2: 1.0}, top_k=3)
+        assert hits and hits[0].id == "c2"
+        ft = store.query_batch(text_queries=["chunk 3 text about topic0"], top_k=3)[0]
+        assert ft and store._ft_proj.dtype == jnp.int8
+
+    def test_combined_with_int8_dense(self):
+        store = fill(make_store(dense_dtype="int8", sketch_dtype="int8"))
+        hits = store.query(dense_query=_unit(2), sparse_query={2: 1.0}, top_k=3)
+        assert hits and hits[0].id == "c2"
+
+    def test_save_load_roundtrip(self, tmp_path):
+        store = fill(make_store(sketch_dtype="int8"))
+        path = str(tmp_path / "idx8")
+        store.save(path)
+        loaded = DeviceVectorStore.load(path)
+        assert loaded.sketch_dtype == "int8"
+        assert loaded._sp_proj.dtype == jnp.int8
+        orig = store.query(sparse_query={4: 1.0}, top_k=3)
+        back = loaded.query(sparse_query={4: 1.0}, top_k=3)
+        assert [h.id for h in orig] == [h.id for h in back]
+
+    def test_reserve_delete_compact(self):
+        store = make_store(sketch_dtype="int8")
+        store.reserve(64)
+        fill(store)
+        assert store._sp_proj_scale.shape[0] == store._capacity
+        store.delete(["c1"])
+        assert store.compact() > 0
+        assert store.sketch_dtype == "int8"
+        hits = store.query(sparse_query={2: 1.0}, top_k=2)
         assert all(h.id != "c1" for h in hits)

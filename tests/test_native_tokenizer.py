@@ -107,6 +107,32 @@ def test_encode_batch_shapes_and_truncation():
     assert enc.offsets[0][1] == (0, 3)
 
 
+def test_memo_is_thread_safe_under_concurrent_encode():
+    """The class-level tokenization memo is hit from API batcher worker
+    threads; concurrent encodes of overlapping text sets must neither crash
+    nor corrupt results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tok = HashTokenizer()
+    texts = [f"shared text number {i} with words " + "pad " * (i % 7) for i in range(64)]
+    expected = tok.encode_batch(texts, max_length=64).input_ids.copy()
+    HashTokenizer._text_cache.clear()
+
+    def work(seed):
+        rng = random.Random(seed)
+        local = texts[:]
+        rng.shuffle(local)
+        enc = HashTokenizer().encode_batch(local, max_length=64)
+        if seed % 3 == 0:
+            HashTokenizer._text_cache.clear()  # adversarial eviction mid-flight
+        return {t: row for t, row in zip(local, enc.input_ids)}
+
+    with ThreadPoolExecutor(8) as pool:
+        for result in pool.map(work, range(24)):
+            for i, t in enumerate(texts):
+                np.testing.assert_array_equal(result[t], expected[i])
+
+
 def test_encode_batch_pair_framing():
     tok = HashTokenizer()
     enc = tok.encode_batch(["alpha beta"], max_length=32, pair=["gamma"])

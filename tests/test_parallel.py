@@ -225,6 +225,23 @@ class TestMeshStore:
             sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
         )
 
+    def test_int8_sketch_parity(self, mesh):
+        """int8 sketches: sharded quantized candidate generation + exact
+        rescore must equal the single-device int8-sketch store exactly
+        (reported scores are exact dots in both)."""
+        plain, sharded = self._stores(mesh, sketch_dtype="int8")
+        rng = np.random.default_rng(11)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        qs = [{3: 1.0, 9: 0.5}, {40: 2.0}, {1: 1.0, 4: 1.0}]
+        self._assert_same(
+            plain.query_batch(sparse_queries=qs, top_k=8),
+            sharded.query_batch(sparse_queries=qs, top_k=8),
+        )
+        self._assert_same(
+            plain.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+            sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+        )
+
     def test_filter_and_delete_parity(self, mesh):
         plain, sharded = self._stores(mesh)
         for store in (plain, sharded):

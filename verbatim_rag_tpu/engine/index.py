@@ -49,6 +49,7 @@ class VerbatimIndex:
         db_path: str | None = None,
         mesh=None,
         dense_dtype: str = "bfloat16",
+        sketch_dtype: str | None = None,
     ):
         self.dense_provider = dense_provider
         self.sparse_provider = sparse_provider
@@ -64,8 +65,10 @@ class VerbatimIndex:
                 enable_full_text=enable_full_text,
                 mesh=mesh,
                 # "int8" = capacity mode: 2x corpus rows per chip (see
-                # DeviceVectorStore._dense_store_dtype).
+                # DeviceVectorStore._dense_store_dtype). sketch_dtype="int8"
+                # additionally quantizes the (largest) sketch matrix.
                 dense_dtype=dense_dtype,
+                sketch_dtype=sketch_dtype,
             )
         #: document_id → {title, source, metadata, num_chunks}
         self.documents: dict[str, dict[str, Any]] = {}

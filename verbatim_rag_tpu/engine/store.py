@@ -150,6 +150,7 @@ class DeviceVectorStore(VectorStore):
         full_text_vocab: int = 1 << 17,
         full_text_max_nnz: int = 256,
         dense_dtype: str = "bfloat16",
+        sketch_dtype: str | None = None,
         block: int = _BLOCK,
         bm25_k1: float = 1.2,
         bm25_b: float = 0.75,
@@ -166,6 +167,11 @@ class DeviceVectorStore(VectorStore):
         if dense_dtype not in ("bfloat16", "float32", "int8"):
             raise ValueError(
                 f"dense_dtype must be 'bfloat16', 'float32' or 'int8', got {dense_dtype!r}"
+            )
+        if sketch_dtype not in (None, "bfloat16", "float32", "int8"):
+            raise ValueError(
+                "sketch_dtype must be None, 'bfloat16', 'float32' or 'int8', "
+                f"got {sketch_dtype!r}"
             )
         if mesh is not None and block % mesh.size != 0:
             raise ValueError(
@@ -186,6 +192,13 @@ class DeviceVectorStore(VectorStore):
         self.full_text_vocab = full_text_vocab
         self.full_text_max_nnz = full_text_max_nnz
         self.dense_dtype = dense_dtype
+        #: Sketch-matrix storage dtype. None follows dense_dtype's float
+        #: family; "int8" quantizes sketches per row — at 1M×768 the sketch
+        #: matrix is the LARGEST device array (1.5 GB bf16), so int8 halves
+        #: it. Sketches only pick rescore candidates (exact forward-index
+        #: rescore fixes every reported score), so quantization moves
+        #: candidate recall, not correctness — validated by recall tests.
+        self.sketch_dtype = sketch_dtype
         self.block = block
         self.bm25_k1 = bm25_k1
         self.bm25_b = bm25_b
@@ -233,10 +246,12 @@ class DeviceVectorStore(VectorStore):
         self._sp_ids = None  # [cap, m]
         self._sp_w = None  # [cap, m]
         self._sp_proj = None  # [cap, d_p] projected sparse sketches
+        self._sp_proj_scale = None  # [cap, 1] f32 scales (int8 sketches only)
         self._ft_ids = None  # [cap, fm]
         self._ft_tf = None  # [cap, fm] raw tf
         self._ft_w = None  # [cap, fm] BM25-saturated weights
         self._ft_proj = None  # [cap, d_p] projected BM25 sketches
+        self._ft_proj_scale = None  # [cap, 1] f32 scales (int8 sketches only)
 
         self._valid_dev = None  # [cap]
         self._capacity = 0
@@ -267,11 +282,21 @@ class DeviceVectorStore(VectorStore):
         }[self.dense_dtype]
 
     @property
+    def _sketch_is_int8(self) -> bool:
+        return self.sketch_dtype == "int8"
+
+    @property
     def _sketch_dtype(self):
-        """Sketch matrices stay in float compute dtypes in every mode — the
-        int8 option quantizes only the (dominant) dense matrix."""
+        """Sketch-matrix storage dtype: explicit ``sketch_dtype`` wins;
+        otherwise sketches follow the dense matrix's float family."""
         import jax.numpy as jnp
 
+        if self.sketch_dtype is not None:
+            return {
+                "bfloat16": jnp.bfloat16,
+                "float32": jnp.float32,
+                "int8": jnp.int8,
+            }[self.sketch_dtype]
         return jnp.float32 if self.dense_dtype == "float32" else jnp.bfloat16
 
     def _dense_rows_f32(self, n: int) -> np.ndarray:
@@ -425,9 +450,20 @@ class DeviceVectorStore(VectorStore):
                 proj_new = project_rows(
                     sp_ids_new, sp_w_new, self._projection(self.sparse_vocab)
                 )
-                self._sp_proj = _grow(
-                    self._sp_proj, proj_new, self.projection_dim, dtype_dense
-                )
+                if self._sketch_is_int8:
+                    from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+
+                    pq, pscale = quantize_rows_int8(proj_new)
+                    self._sp_proj = _grow(
+                        self._sp_proj, pq, self.projection_dim, jnp.int8
+                    )
+                    self._sp_proj_scale = _grow(
+                        self._sp_proj_scale, pscale, 1, jnp.float32
+                    )
+                else:
+                    self._sp_proj = _grow(
+                        self._sp_proj, proj_new, self.projection_dim, dtype_dense
+                    )
         if self.enable_full_text:
             self._ft_ids = _grow(self._ft_ids, ft_ids_new, self.full_text_max_nnz, jnp.int32)
             self._ft_tf = _grow(self._ft_tf, ft_tf_new, self.full_text_max_nnz, jnp.int32)
@@ -452,9 +488,20 @@ class DeviceVectorStore(VectorStore):
                 proj_new = project_rows(
                     ft_ids_new, sat_new, self._projection(self.full_text_vocab)
                 )
-                self._ft_proj = _grow(
-                    self._ft_proj, proj_new, self.projection_dim, dtype_dense
-                )
+                if self._sketch_is_int8:
+                    from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+
+                    pq, pscale = quantize_rows_int8(proj_new)
+                    self._ft_proj = _grow(
+                        self._ft_proj, pq, self.projection_dim, jnp.int8
+                    )
+                    self._ft_proj_scale = _grow(
+                        self._ft_proj_scale, pscale, 1, jnp.float32
+                    )
+                else:
+                    self._ft_proj = _grow(
+                        self._ft_proj, proj_new, self.projection_dim, dtype_dense
+                    )
 
         valid_padded = np.zeros(new_cap, bool)
         valid_padded[: self._valid.size] = self._valid
@@ -534,16 +581,6 @@ class DeviceVectorStore(VectorStore):
             )
         return DeviceVectorStore._projection_cache[key]
 
-    def _projection_device(self, vocab: int):
-        import jax.numpy as jnp
-
-        key = ("dev", vocab, self.projection_dim, self.projection_seed)
-        if key not in DeviceVectorStore._projection_cache:
-            DeviceVectorStore._projection_cache[key] = jnp.asarray(
-                self._projection(vocab), self._sketch_dtype
-            )
-        return DeviceVectorStore._projection_cache[key]
-
     # -- deletes -----------------------------------------------------------------
 
     def delete(self, ids: list[str]) -> None:
@@ -605,6 +642,10 @@ class DeviceVectorStore(VectorStore):
                 self._sp_proj = self._place(
                     self._grow_capacity(self._sp_proj, cap, self.projection_dim, dtype_dense)
                 )
+                if self._sketch_is_int8:
+                    self._sp_proj_scale = self._place(
+                        self._grow_capacity(self._sp_proj_scale, cap, 1, jnp.float32)
+                    )
         if self.enable_full_text:
             self._ft_ids = self._place(
                 self._grow_capacity(self._ft_ids, cap, self.full_text_max_nnz, jnp.int32)
@@ -616,6 +657,10 @@ class DeviceVectorStore(VectorStore):
                 self._ft_proj = self._place(
                     self._grow_capacity(self._ft_proj, cap, self.projection_dim, dtype_dense)
                 )
+                if self._sketch_is_int8:
+                    self._ft_proj_scale = self._place(
+                        self._grow_capacity(self._ft_proj_scale, cap, 1, jnp.float32)
+                    )
             self._ft_w = None  # recomputed lazily at the right capacity
         valid_padded = np.zeros(cap, bool)
         valid_padded[: self._valid.size] = self._valid
@@ -668,6 +713,7 @@ class DeviceVectorStore(VectorStore):
             full_text_vocab=self.full_text_vocab,
             full_text_max_nnz=self.full_text_max_nnz,
             dense_dtype=self.dense_dtype,
+            sketch_dtype=self.sketch_dtype,
             block=self.block,
             bm25_k1=self.bm25_k1,
             bm25_b=self.bm25_b,
@@ -869,6 +915,7 @@ class DeviceVectorStore(VectorStore):
                     list(payload), self._sp_proj, self._sp_ids, self._sp_w,
                     self.sparse_vocab, k, mask,
                     exact_topk=exact_topk, depth_override=depth_override,
+                    scale_dev=self._sp_proj_scale,
                 )
             q_dense = self._densify_host(payload, self.sparse_vocab)
             scores, rows = self._exact_sparse_topk(
@@ -883,6 +930,7 @@ class DeviceVectorStore(VectorStore):
                     q_sparse, self._ft_proj, self._ft_ids, self._ft_w,
                     self.full_text_vocab, k, mask,
                     exact_topk=exact_topk, depth_override=depth_override,
+                    scale_dev=self._ft_proj_scale,
                 )
             q_dense = self._densify_host(q_sparse, self.full_text_vocab)
             scores, rows = self._exact_sparse_topk(
@@ -982,6 +1030,7 @@ class DeviceVectorStore(VectorStore):
                 rrf_k=rrf_k,
                 exact_topk=exact_topk,
                 dense_scale=self._dense_scale,
+                sketch_scale=self._sp_proj_scale,
             )
         else:
             scores, rows = hybrid_fused_topk(
@@ -1002,6 +1051,7 @@ class DeviceVectorStore(VectorStore):
                 rrf_k=rrf_k,
                 exact_topk=exact_topk,
                 dense_scale=self._dense_scale,
+                sketch_scale=self._sp_proj_scale,
             )
         return np.asarray(scores), np.asarray(rows)
 
@@ -1027,6 +1077,7 @@ class DeviceVectorStore(VectorStore):
         mask,
         exact_topk: bool = True,
         depth_override: int | None = None,
+        scale_dev=None,  # [cap, 1] f32 — int8 sketches only
     ) -> tuple[np.ndarray, np.ndarray]:
         """Two-phase sparse search entirely on device: MXU sketch-matmul
         candidates + exact forward-index rescore + final top-k in one program
@@ -1057,6 +1108,7 @@ class DeviceVectorStore(VectorStore):
                 mask,
                 self.mesh,
                 exact_topk=exact_topk,
+                sketch_scale=scale_dev,
             )
         else:
             top_scores, top_rows = projected_sparse_topk(
@@ -1070,6 +1122,7 @@ class DeviceVectorStore(VectorStore):
                 depth,
                 mask,
                 exact_topk=exact_topk,
+                sketch_scale=scale_dev,
             )
         return np.asarray(top_scores), np.asarray(top_rows)
 
@@ -1176,6 +1229,7 @@ class DeviceVectorStore(VectorStore):
                         "full_text_vocab": self.full_text_vocab,
                         "full_text_max_nnz": self.full_text_max_nnz,
                         "dense_dtype": self.dense_dtype,
+                        "sketch_dtype": self.sketch_dtype,
                         "block": self.block,
                         "sparse_mode": self.sparse_mode,
                         "projection_dim": self.projection_dim,

@@ -22,7 +22,7 @@ from .sparse import sparse_topk
 @partial(jax.jit, static_argnames=("fetch_k", "depth", "exact_topk"))
 def hybrid_candidates(
     dense_corpus: jax.Array,  # [N, d] row-normalized bf16
-    sketch_corpus: jax.Array,  # [N, d_p] sparse sketches bf16
+    sketch_corpus: jax.Array,  # [N, d_p] sparse sketches bf16 (or int8)
     dense_q: jax.Array,  # [B, d]
     sketch_q: jax.Array,  # [B, d_p]
     fetch_k: int,
@@ -30,6 +30,7 @@ def hybrid_candidates(
     mask: jax.Array | None = None,
     exact_topk: bool = True,
     dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
+    sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
 ) -> tuple[jax.Array, jax.Array]:
     """Both hybrid candidate generations in ONE device program.
 
@@ -44,9 +45,7 @@ def hybrid_candidates(
     """
     select = candidate_select(exact_topk)
     d_scores = dense_scores(dense_corpus, dense_q, dense_scale)
-    s_scores = jnp.dot(
-        sketch_q.astype(sketch_corpus.dtype), sketch_corpus.T, preferred_element_type=jnp.float32
-    )
+    s_scores = dense_scores(sketch_corpus, sketch_q, sketch_scale)
     if mask is not None:
         d_scores = jnp.where(mask[None, :], d_scores, NEG_INF)
         s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
@@ -97,7 +96,7 @@ def exact_rescore_device(
 
 @partial(jax.jit, static_argnames=("k", "depth", "exact_topk"))
 def projected_sparse_topk(
-    sketch_corpus: jax.Array,  # [N, d_p] sparse sketches
+    sketch_corpus: jax.Array,  # [N, d_p] sparse sketches (float or int8)
     sp_ids: jax.Array,  # [N, m] forward index
     sp_w: jax.Array,  # [N, m]
     sketch_q: jax.Array,  # [B, d_p] query sketches
@@ -107,17 +106,14 @@ def projected_sparse_topk(
     depth: int,
     mask: jax.Array | None = None,
     exact_topk: bool = True,
+    sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
 ) -> tuple[jax.Array, jax.Array]:
     """Projected sparse search entirely on device: sketch-matmul candidates,
     exact forward-index rescore, final top-k. One program, one sync.
 
     Returns (exact scores [B, k], rows [B, k]; −1/−inf where missing).
     """
-    s_scores = jnp.dot(
-        sketch_q.astype(sketch_corpus.dtype),
-        sketch_corpus.T,
-        preferred_element_type=jnp.float32,
-    )
+    s_scores = dense_scores(sketch_corpus, sketch_q, sketch_scale)
     if mask is not None:
         s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
     c_top, cand = candidate_select(exact_topk)(s_scores, k=depth)
@@ -149,6 +145,7 @@ def hybrid_fused_topk(
     rrf_k: int = 60,
     exact_topk: bool = True,
     dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
+    sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
 ) -> tuple[jax.Array, jax.Array]:
     """The full hybrid query as ONE device program: both candidate matmuls,
     exact sparse rescore of the top-`depth` sketch candidates, and weighted
@@ -160,11 +157,7 @@ def hybrid_fused_topk(
     """
     select = candidate_select(exact_topk)
     d_scores = dense_scores(dense_corpus, dense_q, dense_scale)
-    s_scores = jnp.dot(
-        sketch_q.astype(sketch_corpus.dtype),
-        sketch_corpus.T,
-        preferred_element_type=jnp.float32,
-    )
+    s_scores = dense_scores(sketch_corpus, sketch_q, sketch_scale)
     if mask is not None:
         d_scores = jnp.where(mask[None, :], d_scores, NEG_INF)
         s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)

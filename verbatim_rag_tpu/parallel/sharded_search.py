@@ -104,6 +104,7 @@ def sharded_projected_sparse_topk(
     mask: jax.Array,  # [N] row-sharded
     mesh: Mesh,
     exact_topk: bool = True,
+    sketch_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 sketches
 ) -> tuple[jax.Array, jax.Array]:
     """Distributed projected sparse search: per-shard sketch candidates +
     per-shard exact rescore, ICI merge of (exact score, global row) pairs.
@@ -115,13 +116,12 @@ def sharded_projected_sparse_topk(
     from verbatim_rag_tpu.ops.hybrid import exact_rescore_device
 
     axis = ("dp", "tp")
+    has_sscale = sketch_scale is not None
 
-    def local(sketch_s, ids_s, w_s, mask_s, qproj, qids, qw):
+    def local(sketch_s, ids_s, w_s, mask_s, qproj, qids, qw, *scales):
         n_local = sketch_s.shape[0]
         offset = jax.lax.axis_index(axis) * n_local
-        s_scores = jnp.dot(
-            qproj.astype(sketch_s.dtype), sketch_s.T, preferred_element_type=jnp.float32
-        )
+        s_scores = dense_scores(sketch_s, qproj, scales[0] if has_sscale else None)
         s_scores = jnp.where(mask_s[None, :], s_scores, NEG_INF)
         local_depth = min(depth, n_local)
         c_top, cand = candidate_select(exact_topk)(s_scores, k=local_depth)
@@ -144,14 +144,19 @@ def sharded_projected_sparse_topk(
 
     from jax import shard_map
 
+    in_specs = (P(axis), P(axis), P(axis), P(axis), P(), P(), P())
+    args = (sketch_corpus, sp_ids, sp_w, mask, sketch_q, q_ids, q_w)
+    if has_sscale:
+        in_specs += (P(axis),)
+        args += (sketch_scale,)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P(), P()),
+        in_specs=in_specs,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(sketch_corpus, sp_ids, sp_w, mask, sketch_q, q_ids, q_w)
+    return fn(*args)
 
 
 @partial(jax.jit, static_argnames=("k", "fetch_k", "depth", "rrf_k", "mesh", "exact_topk"))
@@ -174,6 +179,7 @@ def sharded_hybrid_topk(
     rrf_k: int = 60,
     exact_topk: bool = True,
     dense_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 corpus
+    sketch_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 sketches
 ) -> tuple[jax.Array, jax.Array]:
     """The full hybrid query distributed over the mesh, still ONE program:
     per-shard dense + sketch candidates, per-shard exact sparse rescore,
@@ -186,8 +192,12 @@ def sharded_hybrid_topk(
     from verbatim_rag_tpu.ops.hybrid import exact_rescore_device
 
     axis = ("dp", "tp")
+    has_dscale = dense_scale is not None
+    has_sscale = sketch_scale is not None
 
-    def local(dense_s, sketch_s, ids_s, w_s, mask_s, dq, qproj, qids, qw, scale_s=None):
+    def local(dense_s, sketch_s, ids_s, w_s, mask_s, dq, qproj, qids, qw, *scales):
+        scale_s = scales[0] if has_dscale else None
+        sscale_s = scales[1 if has_dscale else 0] if has_sscale else None
         n_local = dense_s.shape[0]
         offset = jax.lax.axis_index(axis) * n_local
 
@@ -206,9 +216,7 @@ def sharded_hybrid_topk(
 
         # Sparse: local sketch candidates → local exact rescore → global merge
         # by exact score.
-        s_scores = jnp.dot(
-            qproj.astype(sketch_s.dtype), sketch_s.T, preferred_element_type=jnp.float32
-        )
+        s_scores = dense_scores(sketch_s, qproj, sscale_s)
         s_scores = jnp.where(mask_s[None, :], s_scores, NEG_INF)
         local_depth = min(depth, n_local)
         c_top, cand = candidate_select(exact_topk)(s_scores, k=local_depth)
@@ -243,6 +251,9 @@ def sharded_hybrid_topk(
     if dense_scale is not None:
         in_specs += (P(axis),)
         args += (dense_scale,)
+    if sketch_scale is not None:
+        in_specs += (P(axis),)
+        args += (sketch_scale,)
     fn = shard_map(
         local,
         mesh=mesh,
