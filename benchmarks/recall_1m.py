@@ -171,8 +171,15 @@ def main() -> None:
             ])), 4
         )
 
+    def _flag_value(name: str) -> str | None:
+        """Value following `name` in argv (None if absent) — a bare substring
+        test would let one flag's 'int8' trigger the other section."""
+        if name in sys.argv[:-1]:
+            return sys.argv[sys.argv.index(name) + 1]
+        return None
+
     # --- 5 (optional): int8 capacity mode at the same operating point ---
-    if "--dense-dtype" in sys.argv and "int8" in sys.argv:
+    if _flag_value("--dense-dtype") == "int8":
         from verbatim_rag_tpu.ops.dense import quantize_rows_int8
 
         dq8, dscale = quantize_rows_int8(jnp.asarray(dense))
@@ -196,7 +203,7 @@ def main() -> None:
         )
 
     # --- 6 (optional): int8 SKETCHES at the same operating point ---
-    if "--sketch-dtype" in sys.argv and "int8" in sys.argv:
+    if _flag_value("--sketch-dtype") == "int8":
         from verbatim_rag_tpu.ops.dense import quantize_rows_int8
 
         sk8, sscale = quantize_rows_int8(jnp.asarray(sketches))

@@ -290,6 +290,32 @@ class TestVerbatimDocVariants:
         assert rag.single_calls == ["a", "b"]
         assert "span:a" in result.document and "span:b" in result.document
 
+    def test_malformed_k_degrades_per_query(self):
+        """A non-numeric k directive must not take down the document: that
+        query alone degrades (error result via run's try), the rest batch."""
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        rag = self._batch_rag()
+        doc = "[!query=a|k=five] [!query=b] [!query=c]"
+        result = VerbatimDOC(rag).process(doc)
+        assert "span:b" in result.document and "span:c" in result.document
+        # the malformed-k query went through the sequential path (and the
+        # int() inside rag.query's caller may still fail there -> error
+        # result, but never an exception out of process()).
+        assert rag.batch_calls == [["b", "c"]]
+
+    def test_right_length_garbage_falls_back(self):
+        """query_batch returning right-length but wrong-shaped responses
+        must degrade to sequential, not crash _collect."""
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        rag = self._batch_rag()
+        rag.query_batch = lambda questions, **kw: ["not a response"] * len(questions)
+        doc = "[!query=a] [!query=b]"
+        result = VerbatimDOC(rag).process(doc)
+        assert rag.single_calls == ["a", "b"]
+        assert "span:a" in result.document and "span:b" in result.document
+
     def test_mock_rag_still_works_via_fallback(self):
         """A rag whose query_batch returns garbage (e.g. a bare MagicMock)
         must degrade to per-query calls, not crash."""

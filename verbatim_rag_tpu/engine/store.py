@@ -429,7 +429,19 @@ class DeviceVectorStore(VectorStore):
             arr = _write_rows()(arr, jnp.asarray(buf, dtype=dtype), offset)
             return self._place(arr)
 
-        dtype_dense = self._sketch_dtype  # sketch matrices (float in all modes)
+        dtype_dense = self._sketch_dtype  # jnp.int8 when sketch_dtype="int8"
+
+        def _grow_sketch(arr, scale_arr, proj_new):
+            """Grow a sketch matrix (+ its scale column in int8 mode)."""
+            if self._sketch_is_int8:
+                from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+
+                pq, pscale = quantize_rows_int8(proj_new)
+                return (
+                    _grow(arr, pq, self.projection_dim, jnp.int8),
+                    _grow(scale_arr, pscale, 1, jnp.float32),
+                )
+            return _grow(arr, proj_new, self.projection_dim, dtype_dense), scale_arr
         if dense_new is not None:
             if self.dense_dtype == "int8":
                 from verbatim_rag_tpu.ops.dense import quantize_rows_int8
@@ -450,20 +462,9 @@ class DeviceVectorStore(VectorStore):
                 proj_new = project_rows(
                     sp_ids_new, sp_w_new, self._projection(self.sparse_vocab)
                 )
-                if self._sketch_is_int8:
-                    from verbatim_rag_tpu.ops.dense import quantize_rows_int8
-
-                    pq, pscale = quantize_rows_int8(proj_new)
-                    self._sp_proj = _grow(
-                        self._sp_proj, pq, self.projection_dim, jnp.int8
-                    )
-                    self._sp_proj_scale = _grow(
-                        self._sp_proj_scale, pscale, 1, jnp.float32
-                    )
-                else:
-                    self._sp_proj = _grow(
-                        self._sp_proj, proj_new, self.projection_dim, dtype_dense
-                    )
+                self._sp_proj, self._sp_proj_scale = _grow_sketch(
+                    self._sp_proj, self._sp_proj_scale, proj_new
+                )
         if self.enable_full_text:
             self._ft_ids = _grow(self._ft_ids, ft_ids_new, self.full_text_max_nnz, jnp.int32)
             self._ft_tf = _grow(self._ft_tf, ft_tf_new, self.full_text_max_nnz, jnp.int32)
@@ -488,20 +489,9 @@ class DeviceVectorStore(VectorStore):
                 proj_new = project_rows(
                     ft_ids_new, sat_new, self._projection(self.full_text_vocab)
                 )
-                if self._sketch_is_int8:
-                    from verbatim_rag_tpu.ops.dense import quantize_rows_int8
-
-                    pq, pscale = quantize_rows_int8(proj_new)
-                    self._ft_proj = _grow(
-                        self._ft_proj, pq, self.projection_dim, jnp.int8
-                    )
-                    self._ft_proj_scale = _grow(
-                        self._ft_proj_scale, pscale, 1, jnp.float32
-                    )
-                else:
-                    self._ft_proj = _grow(
-                        self._ft_proj, proj_new, self.projection_dim, dtype_dense
-                    )
+                self._ft_proj, self._ft_proj_scale = _grow_sketch(
+                    self._ft_proj, self._ft_proj_scale, proj_new
+                )
 
         valid_padded = np.zeros(new_cap, bool)
         valid_padded[: self._valid.size] = self._valid

@@ -96,7 +96,11 @@ class HashTokenizer(Tokenizer):
     _TEXT_CACHE_MAX = 8192
     #: don't cache very long docs (highlighter whole-document scans) — they
     #: would evict the high-hit-rate chunk entries and blow the memory bound.
+    #: BOTH bounds matter: the token bound caps the cached arrays, the char
+    #: bound caps the key string itself (a huge text encoded at a small
+    #: max_length yields a tiny array but would retain the whole string).
     _TEXT_CACHE_MAX_TOKENS = 4096
+    _TEXT_CACHE_MAX_CHARS = 16384
 
     def _tokenize_arrays(
         self, text: str, max_tokens: int | None
@@ -133,7 +137,10 @@ class HashTokenizer(Tokenizer):
                 np.asarray(ids_l, np.int32),
                 np.asarray(offs_l, np.int32).reshape(len(offs_l), 2),
             )
-        if out[0].size <= self._TEXT_CACHE_MAX_TOKENS:
+        if (
+            out[0].size <= self._TEXT_CACHE_MAX_TOKENS
+            and len(text) <= self._TEXT_CACHE_MAX_CHARS
+        ):
             if len(cache) >= self._TEXT_CACHE_MAX:
                 cache.clear()
             cache[key] = out

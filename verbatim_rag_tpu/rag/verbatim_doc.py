@@ -116,7 +116,15 @@ class Processor:
         out: list[QueryResult | None] = [None] * len(queries)
         by_k: dict[int, list[int]] = {}
         for i, q in enumerate(queries):
-            by_k.setdefault(int(q.params.get("k", self.k)), []).append(i)
+            try:
+                kk = int(q.params.get("k", self.k))
+            except (TypeError, ValueError):
+                # A malformed k directive must not take down the document —
+                # route just this query through run(), whose try produces a
+                # per-query error result (0.3.0 behavior).
+                out[i] = self.run(q)
+                continue
+            by_k.setdefault(kk, []).append(i)
         for k, idxs in by_k.items():
             try:
                 responses = list(
@@ -129,6 +137,11 @@ class Processor:
                         f"query_batch returned {len(responses)} responses "
                         f"for {len(idxs)} questions"
                     )
+                # Collect inside the try: a duck-typed rag whose query_batch
+                # returns right-length garbage must also fall back.
+                collected = [
+                    self._collect(queries[i], r) for i, r in zip(idxs, responses)
+                ]
             except Exception as exc:
                 logger.error(
                     "VerbatimDOC batch of %d failed (%s); retrying sequentially",
@@ -137,8 +150,8 @@ class Processor:
                 for i in idxs:
                     out[i] = self.run(queries[i])
                 continue
-            for i, response in zip(idxs, responses):
-                out[i] = self._collect(queries[i], response)
+            for i, result in zip(idxs, collected):
+                out[i] = result
         return [r for r in out if r is not None]
 
     def _question(self, query: DocQuery) -> str:
