@@ -1,0 +1,164 @@
+"""Live API server under concurrent load: full RAG per request.
+
+Reproduces the round-2 serving measurement as a committed benchmark: build a
+neural hybrid index (dense + SPLADE, random weights), launch the real
+aiohttp server (`api/app.py`) as a subprocess with micro-batching on, then
+fire concurrent HTTP /api/query requests — each one is retrieve (fused
+hybrid) + neural span extraction (k docs through the highlighter) +
+template + citations.
+
+Prints one JSON line:
+  {"metric": "serving_qps_concurrent", "value": <best window>, "p50": ...,
+   "requests": N, "concurrency": C, "n_chunks": ...}
+
+Run: python benchmarks/bench_serving.py [--requests 512 --concurrency 128]
+(first server start pays warmup compiles; windows are measured warm)
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+import urllib.request
+from pathlib import Path
+
+PORT = int(os.environ.get("BENCH_SERVING_PORT", "8933"))
+
+
+def build_index(tmp: str, repeat: int) -> tuple[str, int]:
+    from verbatim_rag_tpu.engine.index import VerbatimIndex
+    from verbatim_rag_tpu.ingestion.schema import DocumentSchema
+    from verbatim_rag_tpu.models.providers import JaxDenseProvider, JaxSpladeProvider
+
+    root = Path(__file__).parent.parent
+    docs = []
+    for i in range(repeat):
+        for path in sorted(root.rglob("*.md"))[:40]:
+            text = path.read_text(encoding="utf-8", errors="ignore")
+            if text.strip():
+                docs.append(
+                    DocumentSchema(content=text, title=f"{path.name}#{i}", source=str(path))
+                )
+    dense = JaxDenseProvider(max_length=256, batch_size=64)
+    sparse = JaxSpladeProvider(max_length=256, batch_size=32, max_nnz=64)
+    index = VerbatimIndex(dense_provider=dense, sparse_provider=sparse)
+    index.add_documents_bulk(docs, chunk_batch_size=2000)
+    path = os.path.join(tmp, "idx")
+    index.save(path)
+    return path, index.inspect()["num_chunks"]
+
+
+def wait_ready(timeout_s: float = 600.0) -> None:
+    """Poll /api/status, then one real query (absorbs warmup compiles)."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{PORT}/api/status", timeout=10
+            ) as r:
+                if r.status == 200:
+                    break
+        except Exception:
+            time.sleep(2)
+    else:
+        raise RuntimeError("server never became ready")
+    probe = json.dumps({"question": "what is this repository about?", "k": 5}).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{PORT}/api/query",
+        data=probe,
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=timeout_s) as r:
+        assert r.status == 200, r.status
+
+
+async def fire(n: int, concurrency: int) -> float:
+    import aiohttp
+
+    questions = [
+        f"how does component number {i} handle retrieval and scaling?" for i in range(n)
+    ]
+    sem = asyncio.Semaphore(concurrency)
+    async with aiohttp.ClientSession() as session:
+
+        async def one(q: str) -> None:
+            async with sem:
+                async with session.post(
+                    f"http://127.0.0.1:{PORT}/api/query",
+                    json={"question": q, "k": 5},
+                    timeout=aiohttp.ClientTimeout(total=600),
+                ) as resp:
+                    assert resp.status == 200, resp.status
+                    body = await resp.json()
+                    assert body.get("answer") is not None
+
+        start = time.perf_counter()
+        await asyncio.gather(*[one(q) for q in questions])
+        return time.perf_counter() - start
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--requests", type=int, default=512)
+    parser.add_argument("--concurrency", type=int, default=128)
+    parser.add_argument("--repeat", type=int, default=16, help="corpus multiplier")
+    parser.add_argument("--windows", type=int, default=3)
+    args = parser.parse_args()
+
+    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    tmp = tempfile.mkdtemp(prefix="bench_serving_")
+    index_path, n_chunks = build_index(tmp, args.repeat)
+
+    env = dict(
+        os.environ,
+        INDEX_PATH=index_path,
+        API_PORT=str(PORT),
+        API_HOST="127.0.0.1",
+        LOG_LEVEL="WARNING",
+    )
+    server = subprocess.Popen(
+        [sys.executable, "-m", "verbatim_rag_tpu.api.app"],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        wait_ready()
+        times = [
+            asyncio.run(fire(args.requests, args.concurrency))
+            for _ in range(args.windows)
+        ]
+        qps = sorted(args.requests / t for t in times)
+        print(
+            json.dumps(
+                {
+                    "metric": "serving_qps_concurrent",
+                    "value": round(qps[-1], 1),
+                    "p50": round(qps[len(qps) // 2], 1),
+                    "unit": "qps",
+                    "requests": args.requests,
+                    "concurrency": args.concurrency,
+                    "n_chunks": n_chunks,
+                }
+            )
+        )
+    finally:
+        server.send_signal(signal.SIGTERM)
+        try:
+            server.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            server.kill()
+
+
+if __name__ == "__main__":
+    main()
