@@ -26,6 +26,44 @@ def index():
     return idx
 
 
+class TestSparseArrayFastPath:
+    def test_array_and_dict_ingest_agree(self):
+        """The provider→store array fast path (no per-chunk dict round-trip)
+        must index the same forward rows as the dict path: identical query
+        results with identical exact scores."""
+        config = tiny_test_config()
+        sparse = JaxSpladeProvider(config=config, max_length=64, max_nnz=16)
+
+        fast = VerbatimIndex(sparse_provider=sparse)
+        assert fast.store.accepts_sparse_arrays
+        fast.add_documents(DOCS)
+
+        slow = VerbatimIndex(sparse_provider=sparse)
+        slow.store.accepts_sparse_arrays = False  # force the dict path
+        slow.add_documents(DOCS)
+
+        for q in ("solar electricity", "wind turbines", "boiling pasta"):
+            hf = fast.query(q, k=3, search_type="sparse")
+            hs = slow.query(q, k=3, search_type="sparse")
+            assert [h.text for h in hf] == [h.text for h in hs]
+            assert [h.score for h in hf] == pytest.approx(
+                [h.score for h in hs], abs=1e-6
+            )
+
+    def test_provider_arrays_match_dicts(self):
+        config = tiny_test_config()
+        sparse = JaxSpladeProvider(config=config, max_length=64, max_nnz=16)
+        texts = [d["content"] for d in DOCS] + [""]
+        ids, w = sparse.embed_batch_arrays(texts)
+        dicts = sparse.embed_batch(texts)
+        assert ids.shape == (len(texts), 16) and w.shape == ids.shape
+        for row_ids, row_w, d in zip(ids, w, dicts):
+            got = {int(t): float(x) for t, x in zip(row_ids, row_w) if x > 0.0}
+            assert got == pytest.approx(d)
+            # pad slots are sanitized to id 0
+            assert (row_ids[row_w == 0.0] == 0).all()
+
+
 class TestNeuralEndToEnd:
     def test_hybrid_query_runs(self, index):
         hits = index.query("solar electricity", k=2)

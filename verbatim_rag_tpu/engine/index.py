@@ -183,8 +183,21 @@ class VerbatimIndex:
             for rec, vec in zip(records, dense):
                 rec["dense"] = vec
         if self.sparse_provider is not None:
-            for rec, sparse in zip(records, self.sparse_provider.embed_batch(enhanced)):
-                rec["sparse"] = sparse
+            if getattr(self.store, "accepts_sparse_arrays", False) and hasattr(
+                self.sparse_provider, "embed_batch_arrays"
+            ):
+                # Fast path: padded top-nnz arrays straight from the device
+                # into the store's forward index — no per-chunk dict
+                # round-trip (embed_batch → _pad_sparse costs ~10% of
+                # steady-state ingest).
+                sp_ids, sp_w = self.sparse_provider.embed_batch_arrays(enhanced)
+                for rec, row_ids, row_w in zip(records, sp_ids, sp_w):
+                    rec["sparse_arrays"] = (row_ids, row_w)
+            else:
+                for rec, sparse in zip(
+                    records, self.sparse_provider.embed_batch(enhanced)
+                ):
+                    rec["sparse"] = sparse
         self.store.add_vectors(records)
 
     # -- query ----------------------------------------------------------------------

@@ -141,6 +141,11 @@ def _pad_sparse(
 class DeviceVectorStore(VectorStore):
     """The HBM-resident hybrid index."""
 
+    #: records may carry ``sparse_arrays`` = (ids int32 [m], weights f32 [m])
+    #: instead of a ``sparse`` dict — the provider→store ingest fast path
+    #: (padded top-nnz rows go straight into the forward index).
+    accepts_sparse_arrays = True
+
     def __init__(
         self,
         dense_dim: int | None = 384,
@@ -380,7 +385,15 @@ class DeviceVectorStore(VectorStore):
                 vec = np.asarray(rec["dense"], np.float32)
                 norm = np.linalg.norm(vec)
                 dense_new[i] = vec / norm if norm > 0 else vec
-            if sp_ids_new is not None and rec.get("sparse") is not None:
+            if sp_ids_new is not None and rec.get("sparse_arrays") is not None:
+                row_ids, row_w = rec["sparse_arrays"]
+                m = min(len(row_ids), self.sparse_max_nnz)
+                # Provider rows are top-nnz by weight, so truncation at the
+                # store's width keeps the heaviest terms (same policy as
+                # _pad_sparse on dicts).
+                sp_ids_new[i, :m] = row_ids[:m]
+                sp_w_new[i, :m] = row_w[:m]
+            elif sp_ids_new is not None and rec.get("sparse") is not None:
                 sp_ids_new[i], sp_w_new[i] = _pad_sparse(rec["sparse"], self.sparse_max_nnz)
             if self.enable_full_text:
                 terms, tfs, dl = _analyze(rec.get("text", ""), self.full_text_vocab)

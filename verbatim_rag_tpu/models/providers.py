@@ -154,8 +154,26 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         """Pipelined like the dense provider: dispatch every chunk's forward
         before materializing any of them, then fetch everything in TWO
         readbacks (device-side concat of ids and weights)."""
+        ids_np, w_np = self.embed_batch_arrays(texts)
+        return [
+            {int(t): float(w) for t, w in zip(ids_np[i], w_np[i]) if w > 0.0}
+            for i in range(len(texts))
+        ]
+
+    def embed_batch_arrays(
+        self, texts: Sequence[str]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Array form of :meth:`embed_batch`: ``(ids int32 [n, max_nnz],
+        weights f32 [n, max_nnz])``, zero-weight slots id 0.
+
+        The ingest fast path: the device already produces padded top-nnz
+        arrays, and the store consumes padded arrays — round-tripping
+        through per-chunk Python dicts (``embed_batch`` → ``_pad_sparse``)
+        only costs host time. `VerbatimIndex` uses this when the store can
+        accept rows directly."""
         if not texts:
-            return []
+            z = np.zeros((0, self.max_nnz))
+            return z.astype(np.int32), z.astype(np.float32)
         pending, idx_groups = [], []
         for idx, chunk in _length_sorted_chunks(texts, self.batch_size):
             idx_groups.append(idx)
@@ -177,16 +195,19 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         else:
             ids_np = np.asarray(jnp.concatenate([p[0] for p in pending], axis=0))
             w_np = np.asarray(jnp.concatenate([p[1] for p in pending], axis=0))
-        out: list[dict[int, float] | None] = [None] * len(texts)
+        # Restore caller order and sanitize pad slots (id 0 where weight<=0,
+        # the store's forward-index convention).
+        ids_out = np.zeros((len(texts), self.max_nnz), np.int32)
+        w_out = np.zeros((len(texts), self.max_nnz), np.float32)
         for i, idx in enumerate(idx_groups):
             base = i * self.batch_size
             for j, orig in enumerate(idx):
-                out[orig] = {
-                    int(t): float(w)
-                    for t, w in zip(ids_np[base + j], w_np[base + j])
-                    if w > 0.0
-                }
-        return out
+                row_ids = ids_np[base + j]
+                row_w = w_np[base + j].astype(np.float32)
+                live = row_w > 0.0
+                ids_out[orig] = np.where(live, row_ids, 0)
+                w_out[orig] = np.where(live, row_w, 0.0)
+        return ids_out, w_out
 
     def get_dimension(self) -> int:
         return self.config.vocab_size
