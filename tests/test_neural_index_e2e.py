@@ -50,6 +50,32 @@ class TestSparseArrayFastPath:
                 [h.score for h in hs], abs=1e-6
             )
 
+    def test_mesh_int8_sketch_fast_path_integration(self):
+        """Everything at once through the facade: neural providers feeding
+        the array fast path into a mesh-sharded, int8-sketch store — results
+        must match the plain bf16 single-device index (same provider seed)."""
+        from verbatim_rag_tpu.parallel.mesh import make_mesh
+
+        config = tiny_test_config()
+
+        def build(**kw):
+            idx = VerbatimIndex(
+                dense_provider=JaxDenseProvider(config=config, max_length=64),
+                sparse_provider=JaxSpladeProvider(
+                    config=config, max_length=64, max_nnz=16
+                ),
+                **kw,
+            )
+            idx.add_documents(DOCS)
+            return idx
+
+        plain = build()
+        sharded = build(mesh=make_mesh(dp=4, tp=2), sketch_dtype="int8")
+        for q in ("solar electricity", "wind turbines"):
+            hp = plain.query(q, k=3)
+            hs = sharded.query(q, k=3)
+            assert [h.text for h in hp] == [h.text for h in hs]
+
     def test_provider_arrays_match_dicts(self):
         config = tiny_test_config()
         sparse = JaxSpladeProvider(config=config, max_length=64, max_nnz=16)
