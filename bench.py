@@ -46,6 +46,32 @@ BASELINE_PER_CHIP_QPS = 10_000 / 8  # BASELINE.md target split across v5e-8
 
 
 def main() -> None:
+    # Watchdog: the tunneled TPU backend has been observed to wedge
+    # (FAILED_PRECONDITION, then calls that never return). A hung bench
+    # would stall whatever harness invoked it — fail fast with a
+    # diagnostic JSON line instead. Normal runs finish in ~4 minutes warm.
+    import os
+    import threading
+
+    def _watchdog() -> None:
+        print(
+            json.dumps(
+                {
+                    "metric": "hybrid_qps_1m_per_chip",
+                    "value": 0.0,
+                    "unit": "qps",
+                    "vs_baseline": 0.0,
+                    "error": "watchdog: device backend unresponsive for 30 min",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    timer = threading.Timer(1800.0, _watchdog)
+    timer.daemon = True
+    timer.start()
+
     import jax
 
     from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
@@ -131,6 +157,7 @@ def main() -> None:
             }
         )
     )
+    timer.cancel()
 
 
 if __name__ == "__main__":
