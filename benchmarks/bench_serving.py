@@ -38,14 +38,16 @@ def build_index(tmp: str, repeat: int) -> tuple[str, int]:
     from verbatim_rag_tpu.models.providers import JaxDenseProvider, JaxSpladeProvider
 
     root = Path(__file__).parent.parent
-    docs = []
-    for i in range(repeat):
-        for path in sorted(root.rglob("*.md"))[:40]:
-            text = path.read_text(encoding="utf-8", errors="ignore")
-            if text.strip():
-                docs.append(
-                    DocumentSchema(content=text, title=f"{path.name}#{i}", source=str(path))
-                )
+    sources = []
+    for path in sorted(root.rglob("*.md"))[:40]:
+        text = path.read_text(encoding="utf-8", errors="ignore")
+        if text.strip():
+            sources.append((path, text))
+    docs = [
+        DocumentSchema(content=text, title=f"{path.name}#{i}", source=str(path))
+        for i in range(repeat)
+        for path, text in sources
+    ]
     dense = JaxDenseProvider(max_length=256, batch_size=64)
     sparse = JaxSpladeProvider(max_length=256, batch_size=32, max_nnz=64)
     index = VerbatimIndex(dense_provider=dense, sparse_provider=sparse)
@@ -55,10 +57,22 @@ def build_index(tmp: str, repeat: int) -> tuple[str, int]:
     return path, index.inspect()["num_chunks"]
 
 
-def wait_ready(timeout_s: float = 600.0) -> None:
+def wait_ready(server, log_path: str, timeout_s: float = 600.0) -> None:
     """Poll /api/status, then one real query (absorbs warmup compiles)."""
+
+    def die(reason: str):
+        tail = ""
+        try:
+            with open(log_path) as f:
+                tail = "".join(f.readlines()[-30:])
+        except OSError:
+            pass
+        raise RuntimeError(f"{reason}\n--- server log tail ---\n{tail}")
+
     deadline = time.time() + timeout_s
     while time.time() < deadline:
+        if server.poll() is not None:
+            die(f"server exited early (rc={server.returncode})")
         try:
             with urllib.request.urlopen(
                 f"http://127.0.0.1:{PORT}/api/status", timeout=10
@@ -68,7 +82,7 @@ def wait_ready(timeout_s: float = 600.0) -> None:
         except Exception:
             time.sleep(2)
     else:
-        raise RuntimeError("server never became ready")
+        die("server never became ready")
     probe = json.dumps({"question": "what is this repository about?", "k": 5}).encode()
     req = urllib.request.Request(
         f"http://127.0.0.1:{PORT}/api/query",
@@ -110,14 +124,42 @@ def main() -> None:
     parser.add_argument("--concurrency", type=int, default=128)
     parser.add_argument("--repeat", type=int, default=16, help="corpus multiplier")
     parser.add_argument("--windows", type=int, default=3)
+    parser.add_argument(
+        "--build-only",
+        metavar="DIR",
+        default=None,
+        help="internal: build+save the index into DIR and exit",
+    )
     args = parser.parse_args()
 
-    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+    if args.build_only:
+        platform = os.environ.get("VERBATIM_FORCE_PLATFORM")
+        if platform:
+            import jax
 
-    enable_persistent_compilation_cache()
+            jax.config.update("jax_platforms", platform)
 
+        from verbatim_rag_tpu.utils.jax_cache import (
+            enable_persistent_compilation_cache,
+        )
+
+        enable_persistent_compilation_cache()
+        index_path, n_chunks = build_index(args.build_only, args.repeat)
+        print(json.dumps({"index_path": index_path, "n_chunks": n_chunks}))
+        return
+
+    # Index build runs in a CHILD that exits before the server starts: on
+    # single-process device backends (standard TPU VMs) whichever process
+    # initializes the chip holds it exclusively, and it must be the server.
     tmp = tempfile.mkdtemp(prefix="bench_serving_")
-    index_path, n_chunks = build_index(tmp, args.repeat)
+    built = subprocess.run(
+        [sys.executable, __file__, "--build-only", tmp, "--repeat", str(args.repeat)],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    info = json.loads(built.stdout.strip().splitlines()[-1])
+    index_path, n_chunks = info["index_path"], info["n_chunks"]
 
     env = dict(
         os.environ,
@@ -126,14 +168,16 @@ def main() -> None:
         API_HOST="127.0.0.1",
         LOG_LEVEL="WARNING",
     )
+    log_path = os.path.join(tmp, "server.log")
+    server_log = open(log_path, "w")
     server = subprocess.Popen(
         [sys.executable, "-m", "verbatim_rag_tpu.api.app"],
         env=env,
-        stdout=subprocess.DEVNULL,
-        stderr=subprocess.DEVNULL,
+        stdout=server_log,
+        stderr=subprocess.STDOUT,
     )
     try:
-        wait_ready()
+        wait_ready(server, log_path)
         times = [
             asyncio.run(fire(args.requests, args.concurrency))
             for _ in range(args.windows)
@@ -158,6 +202,7 @@ def main() -> None:
             server.wait(timeout=20)
         except subprocess.TimeoutExpired:
             server.kill()
+        server_log.close()
 
 
 if __name__ == "__main__":

@@ -142,7 +142,9 @@ def main() -> None:
             learning_rate=1e-3,
             num_epochs=args.epochs,
             batch_size=16,
-            warmup_steps=min(500, args.epochs * 4),
+            # The recorded headline run used exactly 500; only shrink the
+            # warmup when a shortened run couldn't fit it.
+            warmup_steps=500 if args.epochs >= 120 else min(500, args.epochs * 4),
         ),
         output_dir="/tmp/quality_synth_ckpt",
         loss_fn=token_loss,

@@ -278,6 +278,15 @@ def create_app(static_dir: str | None = None, warmup: bool = True) -> web.Applic
 def main() -> None:
     import os
 
+    # Honor an explicit backend choice before any device init. Plugin
+    # backends (e.g. a tunneled TPU) override the plain JAX_PLATFORMS env
+    # var, so an in-process config update is the only reliable pin.
+    platform = os.environ.get("VERBATIM_FORCE_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
