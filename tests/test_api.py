@@ -117,6 +117,28 @@ class TestRoutes:
         types = [json.loads(ln)["type"] for ln in body.splitlines() if ln.strip()]
         assert types[-1] == "answer"
 
+    async def test_query_string_filter(self, client_factory):
+        """Milvus filter-string syntax rides the wire (reference parity:
+        `index.py:734-739` emits 'document_id == "..."' strings)."""
+        status, body, _ = await _request(
+            client_factory(),
+            "POST",
+            "/api/query",
+            {"question": "how do panels work", "filter": 'title == "Solar"'},
+        )
+        assert status == 200
+        assert "Solar panels convert sunlight" in json.loads(body)["answer"]
+
+    async def test_query_bad_filter_string_is_400(self, client_factory):
+        status, body, _ = await _request(
+            client_factory(),
+            "POST",
+            "/api/query",
+            {"question": "how do panels work", "filter": 'title === "Solar"'},
+        )
+        assert status == 400
+        assert "filter" in json.loads(body)["detail"]
+
     async def test_query_async_alias(self, client_factory):
         status, body, _ = await _request(
             client_factory(), "POST", "/api/query/async", {"question": "panels?"}

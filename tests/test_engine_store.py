@@ -61,6 +61,36 @@ class TestIngest:
         assert any(h.id == "late" for h in hits)
 
 
+class TestIngestFastPathTruncation:
+    def test_unsorted_provider_rows_keep_heaviest_terms(self):
+        """sparse_arrays rows wider than sparse_max_nnz are truncated by
+        |weight|, not provider row order (advisor r2 finding)."""
+        store = make_store()  # sparse_max_nnz=4
+        ids = np.array([10, 11, 12, 13, 14, 15], np.int32)
+        w = np.array([0.1, 0.2, 5.0, 0.3, 4.0, 3.0], np.float32)  # unsorted
+        store.add_vectors(
+            [{"id": "x", "text": "t", "metadata": {}, "sparse_arrays": (ids, w)}]
+        )
+        store.flush()
+        kept = set(np.asarray(store._sp_ids[0]).tolist())
+        assert {12, 14, 15} <= kept  # the three heaviest survived
+        assert 10 not in kept and 11 not in kept
+
+
+class TestRescoreDepthQuantization:
+    def test_override_bucketed_and_clamped(self):
+        """Client rescore_depth values are bucketed to powers of two in
+        [64, 4096] so hostile depth-cycling cannot force compile churn."""
+        store = fill(make_store())
+        for raw in (1, 100, 129, 10**9):
+            hits = store.query_batch(
+                dense_queries=_unit(2)[None],
+                top_k=3,
+                search_params={"rescore_depth": raw},
+            )
+            assert hits[0] and hits[0][0].id in ("c2", "c10")
+
+
 class TestSearch:
     def test_dense_exact_neighbor(self):
         store = fill(make_store())
@@ -420,6 +450,28 @@ class TestInt8DenseMode:
         assert store.compact() > 0
         hits = store.query(dense_query=_unit(1), top_k=2)
         assert all(h.id != "c1" for h in hits)
+
+    def test_save_load_codes_roundtrip_stable(self, tmp_path):
+        """int8 codes + scales persist verbatim: repeated save/load cycles
+        must not drift quantization (advisor r2 finding)."""
+        store = fill(make_store(dense_dtype="int8"))
+        p1 = str(tmp_path / "a")
+        store.save(p1)
+        loaded = DeviceVectorStore.load(p1)
+        n = len(store._ids)
+        np.testing.assert_array_equal(
+            np.asarray(store._dense[:n]), np.asarray(loaded._dense[:n])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(store._dense_scale[:n]), np.asarray(loaded._dense_scale[:n])
+        )
+        # Second cycle: still byte-identical.
+        p2 = str(tmp_path / "b")
+        loaded.save(p2)
+        again = DeviceVectorStore.load(p2)
+        np.testing.assert_array_equal(
+            np.asarray(loaded._dense[:n]), np.asarray(again._dense[:n])
+        )
 
 
 class TestInt8SketchMode:

@@ -142,3 +142,16 @@ def test_encode_batch_pair_framing():
     assert row[3] == tok.sep_id
     assert row[-1] == tok.sep_id
     assert len(row) == 6
+
+
+def test_native_tokenize_returns_owned_arrays():
+    """hash_tokenize_native must copy, not return views of its cap-sized
+    buffers — cached results would otherwise pin ~4x the intended memory
+    for low-token, long-char texts (advisor r2 finding)."""
+    from verbatim_rag_tpu.engine.native import hash_tokenize_native
+
+    out = hash_tokenize_native("a " + " " * 1000 + "b", 30522, 10, 10**6)
+    if out is None:  # native lib unavailable on this host
+        return
+    ids, offsets = out
+    assert ids.base is None and offsets.base is None

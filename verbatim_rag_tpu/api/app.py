@@ -18,6 +18,7 @@ import logging
 from aiohttp import web
 
 from . import dependencies as deps
+from ..engine.filters import FilterExpressionError
 
 logger = logging.getLogger(__name__)
 
@@ -94,6 +95,8 @@ async def handle_query(request: web.Request) -> web.Response:
                 params["rrf_k"],
                 params["search_params"],
             )
+    except FilterExpressionError as exc:
+        return _json_error(f"invalid filter expression: {exc}", status=400)
     except Exception as exc:
         logger.exception("Query failed")
         return _json_error(f"query failed: {exc}", status=500)
@@ -119,6 +122,8 @@ async def handle_query_async(request: web.Request) -> web.Response:
             rrf_k=data.get("rrf_k", 60),
             search_params=data.get("search_params"),
         )
+    except FilterExpressionError as exc:
+        return _json_error(f"invalid filter expression: {exc}", status=400)
     except Exception as exc:
         logger.exception("Async query failed")
         return _json_error(f"query failed: {exc}", status=500)

@@ -140,7 +140,10 @@ def hash_tokenize_native(
     )
     if n < 0:  # non-ASCII byte seen mid-scan (defensive; isascii covers it)
         return None
-    return ids[:n], offsets[:n]
+    # Copy: callers (HashTokenizer._text_cache) may retain the result, and a
+    # view would pin the full cap-sized buffers — breaking the cache's
+    # per-entry memory bound for low-token, long-char texts.
+    return ids[:n].copy(), offsets[:n].copy()
 
 
 def exact_rescore_native(

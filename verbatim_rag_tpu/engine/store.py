@@ -387,12 +387,17 @@ class DeviceVectorStore(VectorStore):
                 dense_new[i] = vec / norm if norm > 0 else vec
             if sp_ids_new is not None and rec.get("sparse_arrays") is not None:
                 row_ids, row_w = rec["sparse_arrays"]
-                m = min(len(row_ids), self.sparse_max_nnz)
-                # Provider rows are top-nnz by weight, so truncation at the
-                # store's width keeps the heaviest terms (same policy as
-                # _pad_sparse on dicts).
-                sp_ids_new[i, :m] = row_ids[:m]
-                sp_w_new[i, :m] = row_w[:m]
+                if len(row_ids) > self.sparse_max_nnz:
+                    # Keep the heaviest terms regardless of provider row
+                    # order (same policy as _pad_sparse on dicts) — do not
+                    # assume embed_batch_arrays emits descending weights.
+                    top = np.argpartition(-np.abs(row_w), self.sparse_max_nnz - 1)[
+                        : self.sparse_max_nnz
+                    ]
+                    row_ids, row_w = row_ids[top], row_w[top]
+                m = len(row_ids)
+                sp_ids_new[i, :m] = row_ids
+                sp_w_new[i, :m] = row_w
             elif sp_ids_new is not None and rec.get("sparse") is not None:
                 sp_ids_new[i], sp_w_new[i] = _pad_sparse(rec["sparse"], self.sparse_max_nnz)
             if self.enable_full_text:
@@ -792,7 +797,15 @@ class DeviceVectorStore(VectorStore):
         approx_override = params.pop("approx_topk", None)
         if params:
             logger.warning("Ignoring unknown search_params keys: %s", sorted(params))
-        depth_override = int(depth_override) if depth_override else None
+        # Quantize the client-supplied depth to power-of-two buckets in
+        # [64, 4096]: `depth` is jit-static, so each distinct value compiles
+        # a fresh XLA executable — an unauthenticated client cycling values
+        # must not be able to force unbounded compile churn.
+        if depth_override:
+            d = max(64, min(int(depth_override), 4096))
+            depth_override = 1 << (d - 1).bit_length()
+        else:
+            depth_override = None
         exact_topk = not (
             self.approx_topk if approx_override is None else bool(approx_override)
         )
@@ -1195,6 +1208,12 @@ class DeviceVectorStore(VectorStore):
         arrays: dict[str, np.ndarray] = {"valid": self._valid[:n]}
         if self._dense is not None:
             arrays["dense"] = self._dense_rows_f32(n)
+            if self.dense_dtype == "int8":
+                # Persist the codes + scales verbatim so save→load cycles are
+                # round-trip stable (re-quantizing the dequantized f32 rows
+                # would drift codes and scores slightly on every cycle).
+                arrays["dense_i8"] = np.asarray(self._dense[:n], np.int8)
+                arrays["dense_scale"] = np.asarray(self._dense_scale[:n], np.float32)
         if self._sp_ids is not None:
             arrays["sp_ids"] = np.asarray(self._sp_ids[:n])
             arrays["sp_w"] = np.asarray(self._sp_w[:n])
@@ -1279,6 +1298,21 @@ class DeviceVectorStore(VectorStore):
             records.append(rec)
         store.add_vectors(records)
         store.flush()
+        if (
+            store.dense_dtype == "int8"
+            and "dense_i8" in arrays
+            and store._dense is not None
+        ):
+            # Restore the persisted codes verbatim (legacy files without the
+            # codes fall back to the re-quantization the flush just did).
+            import jax.numpy as jnp
+
+            codes = jnp.asarray(arrays["dense_i8"], jnp.int8)
+            scales = jnp.asarray(arrays["dense_scale"], jnp.float32)
+            store._dense = store._place(_write_rows()(store._dense, codes, 0))
+            store._dense_scale = store._place(
+                _write_rows()(store._dense_scale, scales, 0)
+            )
         dead = [rid for i, rid in enumerate(meta["ids"]) if not bool(arrays["valid"][i])]
         if dead:
             store.delete(dead)

@@ -235,6 +235,14 @@ def load_highlighter_checkpoint(model_dir: str):
     else:
         params = convert_bert_state_dict(sd, config, prefix=prefix)
 
+    if "head.dense.weight" in sd and "head.norm.weight" in sd:
+        # `ModernBertForTokenClassification` inserts a prediction head
+        # (dense → GELU → LayerNorm) between the backbone and the classifier;
+        # skipping it would silently corrupt logits on published checkpoints.
+        params["cls_head"] = {
+            "dense": _linear(sd, "head.dense", use_bias="head.dense.bias" in sd),
+            "norm": _norm(sd, "head.norm"),
+        }
     cls_key = next(
         (k for k in ("classifier.weight", "token_classifier.weight") if k in sd), None
     )

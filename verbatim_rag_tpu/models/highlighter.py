@@ -27,7 +27,7 @@ import numpy as np
 from verbatim_rag_tpu.core.extractors import SpanExtractor
 
 from .config import EncoderConfig, demo_highlighter_config
-from .encoder import _dense, encoder_forward, init_encoder_params
+from .encoder import _dense, _layer_norm, encoder_forward, init_encoder_params
 from .tokenizer import HashTokenizer, Tokenizer
 
 logger = logging.getLogger(__name__)
@@ -45,6 +45,19 @@ def init_highlighter_params(key: jax.Array, config: EncoderConfig) -> Params:
     return params
 
 
+def _classifier_logits(params: Params, config: EncoderConfig, hidden, dtype):
+    """Token-classification head: optional ModernBERT prediction head
+    (dense → GELU → LayerNorm, `ModernBertPredictionHead` in HF
+    transformers — present in `ModernBertForTokenClassification`
+    checkpoints) followed by the 2-label classifier."""
+    head = params.get("cls_head")
+    if head is not None:
+        hidden = _dense(head["dense"], hidden, dtype)
+        hidden = jax.nn.gelu(hidden.astype(jnp.float32), approximate=False)
+        hidden = _layer_norm(head["norm"], hidden, config.layer_norm_eps)
+    return _dense(params["classifier"], hidden, dtype)  # [B, S, 2]
+
+
 @partial(jax.jit, static_argnames=("config",))
 def token_relevance_probs(
     params: Params,
@@ -55,7 +68,7 @@ def token_relevance_probs(
     """P(token is part of an answer span) per token — [B, S] float32."""
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     hidden = encoder_forward(params, config, input_ids, attention_mask)
-    logits = _dense(params["classifier"], hidden, dtype)  # [B, S, 2]
+    logits = _classifier_logits(params, config, hidden, dtype)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
     return probs * attention_mask.astype(jnp.float32)
 
@@ -76,7 +89,7 @@ def token_relevance_probs_sp(
 
     dtype = jnp.bfloat16 if config.compute_dtype == "bfloat16" else jnp.float32
     hidden = encoder_forward_sp(params, config, input_ids, attention_mask, mesh, axis=axis)
-    logits = _dense(params["classifier"], hidden, dtype)
+    logits = _classifier_logits(params, config, hidden, dtype)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[..., 1]
     return probs * attention_mask.astype(jnp.float32)
 
