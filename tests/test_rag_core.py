@@ -283,3 +283,74 @@ class TestQueryBatchParity:
         assert out[2].answer == "Hi there!"
         assert "Hi there" not in out[1].answer
         assert out[1].question == "solar panels?"
+
+
+class TestJinaV3Reranker:
+    """Local listwise reranker adapter (ref `rerankers.py:137-164`): the
+    model's own `.rerank(query, texts, top_n)` drives the order."""
+
+    class _FakeJinaModel:
+        def rerank(self, query, texts, top_n):
+            # Reverse order, and (like the real model with top_n) may
+            # return fewer items than it was given.
+            order = list(range(len(texts)))[::-1]
+            return [{"index": i, "relevance_score": 1.0} for i in order[:top_n]]
+
+    def _results(self, n):
+        from types import SimpleNamespace
+
+        return [SimpleNamespace(text=f"t{i}", enhanced_text=f"e{i}") for i in range(n)]
+
+    def test_reorders_head_keeps_tail(self):
+        from verbatim_rag_tpu.rag.rerankers import JinaV3Reranker
+
+        rr = JinaV3Reranker(rerank_k=3, _model_obj=self._FakeJinaModel())
+        out = rr.rerank("q", self._results(5))
+        assert [r.text for r in out] == ["t2", "t1", "t0", "t3", "t4"]
+
+    def test_partial_model_output_preserves_all_results(self):
+        from verbatim_rag_tpu.rag.rerankers import JinaV3Reranker
+
+        class Partial:
+            def rerank(self, query, texts, top_n):
+                return [{"index": 1}]  # model ranked only one item
+
+        rr = JinaV3Reranker(rerank_k=4, _model_obj=Partial())
+        out = rr.rerank("q", self._results(4))
+        assert [r.text for r in out] == ["t1", "t0", "t2", "t3"]
+
+    def test_empty_results_passthrough(self):
+        from verbatim_rag_tpu.rag.rerankers import JinaV3Reranker
+
+        rr = JinaV3Reranker(rerank_k=3, _model_obj=self._FakeJinaModel())
+        assert rr.rerank("q", []) == []
+
+    def test_text_field_selects_enhanced(self):
+        from verbatim_rag_tpu.rag.rerankers import JinaV3Reranker
+
+        seen = {}
+
+        class Spy:
+            def rerank(self, query, texts, top_n):
+                seen["texts"] = texts
+                return [{"index": i} for i in range(len(texts))]
+
+        rr = JinaV3Reranker(rerank_k=3, text_field="enhanced_text", _model_obj=Spy())
+        rr.rerank("q", self._results(2))
+        assert seen["texts"] == ["e0", "e1"]
+
+
+class TestBaseRerankerTextField:
+    def test_score_receives_selected_field(self):
+        from types import SimpleNamespace
+
+        seen = {}
+
+        class R(BaseReranker):
+            def score(self, question, texts):
+                seen["texts"] = list(texts)
+                return [0.0] * len(texts)
+
+        r = R(rerank_k=5, text_field="enhanced_text")
+        r.rerank("q", [SimpleNamespace(text="t", enhanced_text="e")])
+        assert seen["texts"] == ["e"]

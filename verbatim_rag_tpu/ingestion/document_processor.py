@@ -54,10 +54,17 @@ def _json_to_markdown(text: str) -> str:
 
 
 class DocumentProcessor:
-    """source → markdown → chunked Document."""
+    """source → markdown → chunked Document.
 
-    def __init__(self, chunker: ChunkerProvider | None = None):
+    ``converter`` is the pluggable source→markdown function used for
+    formats without a native path (PDF/HTML/URLs). Defaults to docling
+    when importable; inject a callable to use another converter (or to
+    exercise the conversion path offline in tests).
+    """
+
+    def __init__(self, chunker: ChunkerProvider | None = None, converter=None):
         self.chunker = chunker or MarkdownChunkerProvider(split_level=2, min_chunk_size=64)
+        self.converter = converter or _docling_convert
 
     # -- conversion --------------------------------------------------------------
 
@@ -69,10 +76,10 @@ class DocumentProcessor:
             return _csv_to_markdown(Path(path).read_text(encoding="utf-8"))
         if doc_type == DocumentType.JSON:
             return _json_to_markdown(Path(path).read_text(encoding="utf-8"))
-        return _docling_convert(path)
+        return self.converter(path)
 
     def extract_content_from_url(self, url: str) -> str:
-        return _docling_convert(url)
+        return self.converter(url)
 
     # -- processing ---------------------------------------------------------------
 

@@ -3,7 +3,14 @@
 from .core import VerbatimRAG
 from .intent import IntentDecision, IntentDetector, IntentSpec, LLMIntentDetector
 from .providers import IndexProvider, VerbatimRAGProvider
-from .rerankers import BaseReranker, CohereReranker, JaxReranker, JinaReranker, Reranker
+from .rerankers import (
+    BaseReranker,
+    CohereReranker,
+    JaxReranker,
+    JinaReranker,
+    JinaV3Reranker,
+    Reranker,
+)
 from .streaming import StreamingRAG
 from .verbatim_doc import VerbatimDOC
 
@@ -16,6 +23,7 @@ __all__ = [
     "IntentSpec",
     "JaxReranker",
     "JinaReranker",
+    "JinaV3Reranker",
     "LLMIntentDetector",
     "Reranker",
     "StreamingRAG",

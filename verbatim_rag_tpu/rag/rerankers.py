@@ -28,21 +28,29 @@ class Reranker(ABC):
 
 
 class BaseReranker(Reranker):
-    """Rerank only the head of the list; the tail keeps retrieval order."""
+    """Rerank only the head of the list; the tail keeps retrieval order.
 
-    def __init__(self, rerank_k: int = 50):
+    ``text_field`` selects which result attribute is scored (parity:
+    ref `rerankers.py:25-41` — "text" or "enhanced_text").
+    """
+
+    def __init__(self, rerank_k: int = 50, text_field: str = "text"):
         self.rerank_k = rerank_k
+        self.text_field = text_field
 
     @abstractmethod
     def score(self, question: str, texts: Sequence[str]) -> list[float]:
         """Relevance score per text (higher = more relevant)."""
+
+    def _get_texts(self, results: list[Any]) -> list[str]:
+        return [getattr(r, self.text_field, None) or getattr(r, "text", "") for r in results]
 
     def rerank(self, question: str, results: list[Any]) -> list[Any]:
         if not results:
             return results
         head = results[: self.rerank_k]
         tail = results[self.rerank_k :]
-        scores = self.score(question, [getattr(r, "text", "") for r in head])
+        scores = self.score(question, self._get_texts(head))
         order = sorted(range(len(head)), key=lambda i: -scores[i])
         return [head[i] for i in order] + tail
 
@@ -60,6 +68,49 @@ class JaxReranker(BaseReranker):
 
     def score(self, question: str, texts: Sequence[str]) -> list[float]:
         return [float(s) for s in self.cross_encoder.score(question, list(texts))]
+
+
+class JinaV3Reranker(Reranker):
+    """Local Jina V3 reranker via transformers remote-code ``.rerank()``.
+
+    Parity: ref `rerankers.py:137-164` — loads
+    ``jinaai/jina-reranker-v3`` with ``AutoModel.from_pretrained(...,
+    trust_remote_code=True)`` and delegates ordering to the model's own
+    ``rerank(query, texts, top_n)`` API (listwise; returns index order, not
+    per-text scores — hence a direct `Reranker`, not a `BaseReranker`).
+    """
+
+    def __init__(
+        self,
+        model: str = "jinaai/jina-reranker-v3",
+        rerank_k: int = 50,
+        text_field: str = "text",
+        _model_obj=None,
+    ):
+        self.rerank_k = rerank_k
+        self.text_field = text_field
+        if _model_obj is not None:  # injection seam for offline tests
+            self.model = _model_obj
+            return
+        try:
+            from transformers import AutoModel
+        except ImportError as exc:  # pragma: no cover
+            raise ImportError("JinaV3Reranker requires transformers") from exc
+        self.model = AutoModel.from_pretrained(model, dtype="auto", trust_remote_code=True)
+        self.model.eval()
+
+    def rerank(self, question: str, results: list[Any]) -> list[Any]:
+        if not results:
+            return results
+        head = results[: self.rerank_k]
+        tail = results[self.rerank_k :]
+        texts = [getattr(r, self.text_field, None) or getattr(r, "text", "") for r in head]
+        ranked = self.model.rerank(question, texts, top_n=self.rerank_k)
+        order = [item["index"] for item in ranked]
+        # The model may return fewer than len(head) items (top_n cut);
+        # preserve every result — unranked head entries keep retrieval order.
+        rest = [i for i in range(len(head)) if i not in set(order)]
+        return [head[i] for i in order + rest] + tail
 
 
 class CohereReranker(BaseReranker):
