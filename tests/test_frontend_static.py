@@ -144,3 +144,30 @@ def test_stream_event_types_covered(script):
     (documents/progress/highlights/answer/error — rag/streaming.py)."""
     for event in ("documents", "progress", "highlights", "answer", "error"):
         assert f'"{event}"' in script, f"stream consumer ignores {event!r} events"
+
+
+def test_new_interactions_wired(html, script):
+    """Round-3 surface (CleanFactInterface facts view, retry UX, stream
+    progress): the elements exist AND the script binds them."""
+    for el_id in ("view-chat", "view-facts", "facts-list"):
+        assert f'id="{el_id}"' in html, f"missing element #{el_id}"
+    for fn in ("renderFactsView", "setView", "setProgress", "failAssistantMessage"):
+        assert f"function {fn}" in script, f"missing function {fn}"
+    assert 'el("view-facts").addEventListener' in script
+    assert 'class="retry"' in script and ".retry" in script
+    assert "progress-fill" in script
+
+
+def test_only_real_api_endpoints_referenced(script):
+    """Every fetch() target in the UI must be a route the server registers
+    (api/app.py) — a renamed route would silently 404 in the browser."""
+    import re as _re
+
+    from verbatim_rag_tpu.api.app import create_app
+
+    app = create_app()
+    routes = {r.resource.canonical for r in app.router.routes() if r.resource}
+    fetched = set(_re.findall(r'fetch\("(/api/[^"]+)"', script))
+    assert fetched, "no API calls found in the script?"
+    for path in fetched:
+        assert path in routes, f"UI fetches {path} but server routes are {sorted(routes)}"
