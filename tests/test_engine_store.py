@@ -534,3 +534,32 @@ class TestInt8SketchMode:
         assert store.sketch_dtype == "int8"
         hits = store.query(sparse_query={2: 1.0}, top_k=2)
         assert all(h.id != "c1" for h in hits)
+
+
+class TestExactScanRefusal:
+    """VERDICT r2 weak #4: the exact XLA-gather scan must refuse to serve at
+    scale instead of limping orders-of-magnitude slow."""
+
+    def test_refuses_above_threshold(self, monkeypatch):
+        monkeypatch.setattr(DeviceVectorStore, "EXACT_SCAN_MAX_ROWS", 5)
+        store = fill(make_store(sparse_mode="exact"))  # 10 rows > 5
+        with pytest.raises(RuntimeError, match="allow_exact_at_scale"):
+            store.query(sparse_query={3: 1.0}, top_k=3)
+
+    def test_opt_in_allows_it(self, monkeypatch):
+        monkeypatch.setattr(DeviceVectorStore, "EXACT_SCAN_MAX_ROWS", 5)
+        store = fill(make_store(sparse_mode="exact", allow_exact_at_scale=True))
+        hits = store.query(sparse_query={3: 1.0}, top_k=3)
+        assert hits and hits[0].id == "c3"
+
+    def test_small_corpus_unaffected(self):
+        store = fill(make_store(sparse_mode="exact"))
+        hits = store.query(sparse_query={3: 1.0}, top_k=3)
+        assert hits and hits[0].id == "c3"
+
+    def test_flag_survives_save_load(self, tmp_path, monkeypatch):
+        store = fill(make_store(sparse_mode="exact", allow_exact_at_scale=True))
+        path = str(tmp_path / "idx")
+        store.save(path)
+        loaded = DeviceVectorStore.load(path)
+        assert loaded.allow_exact_at_scale is True
