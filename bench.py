@@ -81,6 +81,10 @@ def main() -> None:
 
     from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk
 
+    import sys
+
+    int8_mode = "--int8" in sys.argv  # A/B knob: int8 dense + int8 sketches
+
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     k_dense, k_proj, k_ids, k_w = jax.random.split(key, 4)
@@ -92,6 +96,12 @@ def main() -> None:
         dense.astype(jnp.float32), axis=1, keepdims=True
     ).astype(jnp.bfloat16)
     sp_proj = jax.random.normal(k_proj, (N_CHUNKS, PROJ_DIM), jnp.bfloat16)
+    dense_scale = sketch_scale = None
+    if int8_mode:
+        from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+
+        dense, dense_scale = jax.jit(quantize_rows_int8)(dense)
+        sp_proj, sketch_scale = jax.jit(quantize_rows_int8)(sp_proj)
     sp_ids = jax.random.randint(k_ids, (N_CHUNKS, MAX_NNZ), 1, VOCAB, jnp.int32)
     sp_w = jax.random.uniform(k_w, (N_CHUNKS, MAX_NNZ), jnp.float32)
     mask = jnp.ones((N_CHUNKS,), bool)
@@ -113,6 +123,7 @@ def main() -> None:
             dense, sp_proj, sp_ids, sp_w, dq, q_proj, q_ids, q_w,
             k=TOP_K, fetch_k=fetch_k, depth=RESCORE_DEPTH, mask=mask,
             rrf_k=RRF_K, exact_topk=False,  # serving default: hardware MIPS
+            dense_scale=dense_scale, sketch_scale=sketch_scale,
         )
 
     def host_phase(inflight):

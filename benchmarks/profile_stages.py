@@ -1,0 +1,163 @@
+"""Decompose the hybrid serving program into stage timings on real hardware.
+
+The headline device program (`ops/hybrid.py::hybrid_fused_topk`) has four
+cost centers; this profiler times each in isolation at the serving shapes so
+optimization effort goes where the milliseconds are:
+
+  dense_mm+select    [B,d]x[d,N] matmul + approx_max_k(fetch_k)
+  sketch_mm+select   [B,dp]x[dp,N] matmul + approx_max_k(depth)
+  rescore            exact forward-index rescore of [B, depth] candidates
+  fuse               top_k over rescored + weighted RRF
+
+Each stage runs as its own jitted program with a host readback (honest sync
+on tunneled backends). The full fused program is timed too — the gap
+between sum-of-stages and fused is XLA's inter-stage fusion profit.
+
+Run: python benchmarks/profile_stages.py [--n 999424 --batch 512 --int8]
+Prints one JSON line per timing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, warmup=2, reps=8):
+    for _ in range(warmup):
+        np.asarray(fn(*args)[0] if isinstance(fn(*args), tuple) else fn(*args))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(out[0] if isinstance(out, tuple) else out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times) * 1000)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=999_424)  # 1M rounded to 8192
+    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--dim", type=int, default=384)
+    parser.add_argument("--proj", type=int, default=768)
+    parser.add_argument("--nnz", type=int, default=128)
+    parser.add_argument("--qnnz", type=int, default=32)
+    parser.add_argument("--depth", type=int, default=256)
+    parser.add_argument("--fetch-k", type=int, default=20)
+    parser.add_argument("--int8", action="store_true", help="int8 dense + int8 sketches")
+    args = parser.parse_args()
+
+    import os
+
+    import jax
+
+    # The env var alone does not override a plugin backend (tunneled TPU);
+    # pin explicitly when the caller asked for CPU.
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from functools import partial
+
+    from verbatim_rag_tpu.ops.dense import (
+        candidate_select,
+        dense_scores,
+        normalize_rows,
+        quantize_rows_int8,
+    )
+    from verbatim_rag_tpu.ops.fusion import rrf_fuse_device
+    from verbatim_rag_tpu.ops.hybrid import (
+        NEG_INF,
+        exact_rescore_device,
+        hybrid_fused_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    n, b = args.n, args.batch
+    dense = normalize_rows(jnp.asarray(rng.normal(size=(n, args.dim)), jnp.float32))
+    sketch = normalize_rows(jnp.asarray(rng.normal(size=(n, args.proj)), jnp.float32))
+    dense_scale = sketch_scale = None
+    if args.int8:
+        dense, dense_scale = quantize_rows_int8(dense)
+        sketch, sketch_scale = quantize_rows_int8(sketch)
+    else:
+        dense = dense.astype(jnp.bfloat16)
+        sketch = sketch.astype(jnp.bfloat16)
+    sp_ids = jnp.asarray(
+        rng.integers(1, 30522, size=(n, args.nnz)), jnp.int32
+    )
+    sp_w = jnp.asarray(rng.random(size=(n, args.nnz)), jnp.float32)
+    dq = normalize_rows(jnp.asarray(rng.normal(size=(b, args.dim)), jnp.float32))
+    sq = normalize_rows(jnp.asarray(rng.normal(size=(b, args.proj)), jnp.float32))
+    q_ids = jnp.asarray(rng.integers(1, 30522, size=(b, args.qnnz)), jnp.int32)
+    q_w = jnp.asarray(rng.random(size=(b, args.qnnz)), jnp.float32)
+
+    sel = candidate_select(False)
+
+    @jax.jit
+    def stage_dense(dq):
+        s = dense_scores(dense, dq, dense_scale)
+        return sel(s, k=args.fetch_k)
+
+    @jax.jit
+    def stage_sketch(sq):
+        s = dense_scores(sketch, sq, sketch_scale)
+        return sel(s, k=args.depth)
+
+    cand = np.asarray(stage_sketch(sq)[1])
+    cand_dev = jnp.asarray(cand)
+
+    @jax.jit
+    def stage_rescore(cand_dev, q_ids, q_w):
+        return exact_rescore_device(cand_dev, sp_ids, sp_w, q_ids, q_w)
+
+    @jax.jit
+    def stage_fuse(exact, cand_dev, d_rows):
+        r_top, r_pos = jax.lax.top_k(exact, args.fetch_k)
+        s_rows = jnp.take_along_axis(cand_dev, r_pos, axis=1)
+        s_rows = jnp.where(r_top > NEG_INF / 2, s_rows, -1)
+        stacked = jnp.stack([d_rows, s_rows])
+        w = jnp.asarray([0.5, 0.5], jnp.float32)
+        return rrf_fuse_device(stacked, w, k=10, rrf_k=60)
+
+    d_rows = stage_dense(dq)[1]
+    exact = stage_rescore(cand_dev, q_ids, q_w)
+
+    fused = partial(
+        hybrid_fused_topk,
+        dense, sketch, sp_ids, sp_w,
+        k=10, fetch_k=args.fetch_k, depth=args.depth, exact_topk=False,
+        dense_scale=dense_scale, sketch_scale=sketch_scale,
+    )
+
+    results = {
+        "dense_mm_select_ms": timeit(stage_dense, dq),
+        "sketch_mm_select_ms": timeit(stage_sketch, sq),
+        "rescore_ms": timeit(stage_rescore, cand_dev, q_ids, q_w),
+        "fuse_ms": timeit(stage_fuse, exact, cand_dev, d_rows),
+        "fused_full_ms": timeit(lambda: fused(dq, sq, q_ids, q_w)),
+    }
+    results["sum_of_stages_ms"] = round(
+        sum(v for k, v in results.items() if k != "fused_full_ms"), 3
+    )
+    for key, val in results.items():
+        print(
+            json.dumps(
+                {
+                    "metric": f"stage_{key}",
+                    "value": round(val, 3),
+                    "unit": "ms",
+                    "config": {
+                        "n": n, "batch": b, "int8": bool(args.int8),
+                        "depth": args.depth, "fetch_k": args.fetch_k,
+                    },
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
