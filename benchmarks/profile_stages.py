@@ -26,14 +26,17 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, warmup=2, reps=8):
+def timeit(fn, *args, warmup=2, reps=6):
+    def run():
+        out = fn(*args)
+        np.asarray(out[0] if isinstance(out, tuple) else out)
+
     for _ in range(warmup):
-        np.asarray(fn(*args)[0] if isinstance(fn(*args), tuple) else fn(*args))
+        run()
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        np.asarray(out[0] if isinstance(out, tuple) else out)
+        run()
         times.append(time.perf_counter() - t0)
     return float(np.median(times) * 1000)
 
@@ -77,19 +80,22 @@ def main() -> None:
 
     rng = np.random.default_rng(5)
     n, b = args.n, args.batch
-    dense = normalize_rows(jnp.asarray(rng.normal(size=(n, args.dim)), jnp.float32))
-    sketch = normalize_rows(jnp.asarray(rng.normal(size=(n, args.proj)), jnp.float32))
+    # Corpus arrays generated ON DEVICE (same rule as bench.py): a [1M, 768]
+    # f32 host array is ~3 GB — shipping it through the tunnel hangs for
+    # longer than the whole benchmark.
+    key = jax.random.PRNGKey(5)
+    k_dense, k_sketch, k_ids, k_w = jax.random.split(key, 4)
+    dense = jax.jit(normalize_rows)(jax.random.normal(k_dense, (n, args.dim), jnp.float32))
+    sketch = jax.jit(normalize_rows)(jax.random.normal(k_sketch, (n, args.proj), jnp.float32))
     dense_scale = sketch_scale = None
     if args.int8:
-        dense, dense_scale = quantize_rows_int8(dense)
-        sketch, sketch_scale = quantize_rows_int8(sketch)
+        dense, dense_scale = jax.jit(quantize_rows_int8)(dense)
+        sketch, sketch_scale = jax.jit(quantize_rows_int8)(sketch)
     else:
         dense = dense.astype(jnp.bfloat16)
         sketch = sketch.astype(jnp.bfloat16)
-    sp_ids = jnp.asarray(
-        rng.integers(1, 30522, size=(n, args.nnz)), jnp.int32
-    )
-    sp_w = jnp.asarray(rng.random(size=(n, args.nnz)), jnp.float32)
+    sp_ids = jax.random.randint(k_ids, (n, args.nnz), 1, 30522, jnp.int32)
+    sp_w = jax.random.uniform(k_w, (n, args.nnz), dtype=jnp.float32)
     dq = normalize_rows(jnp.asarray(rng.normal(size=(b, args.dim)), jnp.float32))
     sq = normalize_rows(jnp.asarray(rng.normal(size=(b, args.proj)), jnp.float32))
     q_ids = jnp.asarray(rng.integers(1, 30522, size=(b, args.qnnz)), jnp.int32)
@@ -133,30 +139,32 @@ def main() -> None:
         dense_scale=dense_scale, sketch_scale=sketch_scale,
     )
 
-    results = {
-        "dense_mm_select_ms": timeit(stage_dense, dq),
-        "sketch_mm_select_ms": timeit(stage_sketch, sq),
-        "rescore_ms": timeit(stage_rescore, cand_dev, q_ids, q_w),
-        "fuse_ms": timeit(stage_fuse, exact, cand_dev, d_rows),
-        "fused_full_ms": timeit(lambda: fused(dq, sq, q_ids, q_w)),
+    config = {
+        "n": n, "batch": b, "int8": bool(args.int8),
+        "depth": args.depth, "fetch_k": args.fetch_k,
     }
-    results["sum_of_stages_ms"] = round(
-        sum(v for k, v in results.items() if k != "fused_full_ms"), 3
-    )
-    for key, val in results.items():
+
+    def report(key, val):
         print(
             json.dumps(
-                {
-                    "metric": f"stage_{key}",
-                    "value": round(val, 3),
-                    "unit": "ms",
-                    "config": {
-                        "n": n, "batch": b, "int8": bool(args.int8),
-                        "depth": args.depth, "fetch_k": args.fetch_k,
-                    },
-                }
-            )
+                {"metric": f"stage_{key}", "value": round(val, 3), "unit": "ms",
+                 "config": config}
+            ),
+            flush=True,  # piped runs must not lose results on timeout
         )
+
+    total = 0.0
+    for key, fn, fargs in (
+        ("dense_mm_select_ms", stage_dense, (dq,)),
+        ("sketch_mm_select_ms", stage_sketch, (sq,)),
+        ("rescore_ms", stage_rescore, (cand_dev, q_ids, q_w)),
+        ("fuse_ms", stage_fuse, (exact, cand_dev, d_rows)),
+    ):
+        val = timeit(fn, *fargs)
+        total += val
+        report(key, val)
+    report("sum_of_stages_ms", total)
+    report("fused_full_ms", timeit(lambda: fused(dq, sq, q_ids, q_w)))
 
 
 if __name__ == "__main__":
