@@ -127,7 +127,9 @@ def main() -> None:
     parser.add_argument("--epochs", type=int, default=4)
     parser.add_argument("--batch-size", type=int, default=16)
     parser.add_argument("--lr", type=float, default=1e-3)
-    parser.add_argument("--task", default="marker", choices=["marker", "conditioned"])
+    parser.add_argument(
+        "--task", default="marker", choices=["marker", "conditioned", "v2"]
+    )
     parser.add_argument(
         "--device",
         default="cpu",
@@ -162,6 +164,16 @@ def main() -> None:
 
         data = make_synthetic_token_data(3000, seed=7)
         max_length, min_span = 256, 20
+    elif args.task == "v2":
+        # The discriminative benchmark's task (near-duplicate negation
+        # distractors, lexical traps, clause-level gold, OCR noise) —
+        # parity at a NON-ceiling score is the evidence VERDICT r2 asked
+        # for. Same data/seed and decode parameters as
+        # quality_synthetic_v2.py's own scoring.
+        from quality_synthetic_v2 import make_dataset as make_dataset_v2
+
+        data = make_dataset_v2(6000, seed=11)
+        max_length, min_span = 384, 20
     else:
         data = make_dataset(6000, seed=7)
         max_length, min_span = 320, 30
