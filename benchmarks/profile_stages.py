@@ -26,12 +26,37 @@ import time
 import numpy as np
 
 
+def _retry_compile(fn, *args, attempts=6, sleep_s=45):
+    """First call of a jitted stage, retried on tunnel compile failures.
+
+    The tunneled backend's remote-compile service drops large fresh
+    programs intermittently (`UNAVAILABLE .../remote_compile: Broken
+    pipe`) while cached executables keep running. Each successful compile
+    lands in the persistent XLA cache, so retries — even across process
+    restarts — make monotonic progress through the stage programs.
+    """
+    for attempt in range(attempts):
+        try:
+            return fn(*args)
+        except Exception as exc:  # jax.errors.JaxRuntimeError on tunnel drop
+            if "remote_compile" not in str(exc) and "UNAVAILABLE" not in str(exc):
+                raise
+            print(
+                f"# compile attempt {attempt + 1}/{attempts} failed "
+                f"({str(exc).splitlines()[0][:120]}); retrying in {sleep_s}s",
+                flush=True,
+            )
+            time.sleep(sleep_s)
+    raise RuntimeError(f"stage never compiled after {attempts} attempts")
+
+
 def timeit(fn, *args, warmup=2, reps=6):
     def run():
         out = fn(*args)
         np.asarray(out[0] if isinstance(out, tuple) else out)
 
-    for _ in range(warmup):
+    _retry_compile(run)
+    for _ in range(max(warmup - 1, 0)):
         run()
     times = []
     for _ in range(reps):
@@ -113,7 +138,7 @@ def main() -> None:
         s = dense_scores(sketch, sq, sketch_scale)
         return sel(s, k=args.depth)
 
-    cand = np.asarray(stage_sketch(sq)[1])
+    cand = np.asarray(_retry_compile(stage_sketch, sq)[1])
     cand_dev = jnp.asarray(cand)
 
     @jax.jit
@@ -129,8 +154,8 @@ def main() -> None:
         w = jnp.asarray([0.5, 0.5], jnp.float32)
         return rrf_fuse_device(stacked, w, k=10, rrf_k=60)
 
-    d_rows = stage_dense(dq)[1]
-    exact = stage_rescore(cand_dev, q_ids, q_w)
+    d_rows = _retry_compile(stage_dense, dq)[1]
+    exact = _retry_compile(stage_rescore, cand_dev, q_ids, q_w)
 
     fused = partial(
         hybrid_fused_topk,

@@ -230,3 +230,66 @@ class TestSearchParams:
             hits = idx.query("solar", k=1, search_params={"nprobe": 7})
         assert hits
         assert "nprobe" in caplog.text
+
+
+class TestDeviceHandoff:
+    """Encode→search device handoff: JAX providers return device arrays and
+    the index passes them to the store with no host materialization; results
+    must match the legacy host path exactly."""
+
+    @staticmethod
+    def _jax_index():
+        pytest.importorskip("jax")
+        from verbatim_rag_tpu.engine.index import VerbatimIndex
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.providers import (
+            JaxDenseProvider,
+            JaxSpladeProvider,
+        )
+
+        cfg = tiny_test_config()
+        idx = VerbatimIndex(
+            dense_provider=JaxDenseProvider(config=cfg, seed=1, batch_size=4),
+            sparse_provider=JaxSpladeProvider(
+                config=cfg, seed=2, batch_size=4, max_nnz=8
+            ),
+        )
+        idx.add_documents(
+            [
+                {"content": "solar panels convert sunlight", "title": "solar"},
+                {"content": "wind turbines spin in the breeze", "title": "wind"},
+                {"content": "rivers carve deltas to the sea", "title": "rivers"},
+            ]
+        )
+        return idx
+
+    def test_provider_device_methods_match_host(self):
+        import numpy as np
+
+        idx = self._jax_index()
+        texts = ["sunlight on panels", "turbine blades", "estuary"]
+        np.testing.assert_allclose(
+            np.asarray(idx.dense_provider.embed_batch_device(texts)),
+            idx.dense_provider.embed_batch(texts),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+        ids_d, w_d = idx.sparse_provider.embed_query_arrays_device(texts)
+        ids_h, w_h = idx.sparse_provider.embed_batch_arrays(texts)
+        np.testing.assert_array_equal(np.asarray(ids_d), ids_h)
+        np.testing.assert_allclose(np.asarray(w_d), w_h, rtol=1e-5, atol=1e-6)
+
+    def test_query_results_match_host_path(self, monkeypatch):
+        idx = self._jax_index()
+        queries = ["what converts sunlight?", "spinning blades"]
+        dev = idx.query_batch(queries, k=3)
+        monkeypatch.setenv("VERBATIM_DEVICE_HANDOFF", "0")
+        host = idx.query_batch(queries, k=3)
+        assert [[(h.id, round(h.score, 5)) for h in hits] for hits in dev] == [
+            [(h.id, round(h.score, 5)) for h in hits] for hits in host
+        ]
+
+    def test_single_query_uses_handoff(self):
+        idx = self._jax_index()
+        hits = idx.query("sunlight", k=2)
+        assert hits and all(h.score != 0 for h in hits)

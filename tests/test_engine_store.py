@@ -563,3 +563,85 @@ class TestExactScanRefusal:
         store.save(path)
         loaded = DeviceVectorStore.load(path)
         assert loaded.allow_exact_at_scale is True
+
+
+class TestDeviceQueryHandoff:
+    """query_batch accepts device arrays (jax dense, (ids, w) sparse pairs) —
+    the encode→search handoff — and returns results identical to the legacy
+    host-dict path."""
+
+    @staticmethod
+    def _queries(n_q=3, m=4):
+        dense = np.stack([_unit(i + 1) for i in range(n_q)])
+        dicts = [{(i + 3) % 50: 1.0, (i + 4) % 50: 0.5} for i in range(n_q)]
+        ids = np.zeros((n_q, m), np.int32)
+        w = np.zeros((n_q, m), np.float32)
+        for i, row in enumerate(dicts):
+            ids[i], w[i] = _pad_sparse(row, m)
+        return dense, dicts, ids, w
+
+    @staticmethod
+    def _flat(results):
+        return [[(h.id, round(h.score, 5)) for h in hits] for hits in results]
+
+    def test_hybrid_arrays_match_dicts(self):
+        store = fill(make_store())
+        dense, dicts, ids, w = self._queries()
+        host = store.query_batch(dense_queries=dense, sparse_queries=dicts, top_k=4)
+        dev = store.query_batch(
+            dense_queries=jnp.asarray(dense),
+            sparse_queries=(jnp.asarray(ids), jnp.asarray(w)),
+            top_k=4,
+        )
+        assert self._flat(host) == self._flat(dev)
+
+    def test_sparse_only_arrays_match_dicts(self):
+        store = fill(make_store())
+        _, dicts, ids, w = self._queries()
+        host = store.query_batch(sparse_queries=dicts, top_k=4, search_type="sparse")
+        dev = store.query_batch(
+            sparse_queries=(jnp.asarray(ids), jnp.asarray(w)),
+            top_k=4,
+            search_type="sparse",
+        )
+        assert self._flat(host) == self._flat(dev)
+
+    def test_exact_mode_converts_arrays(self):
+        store = fill(make_store(sparse_mode="exact"))
+        _, dicts, ids, w = self._queries()
+        host = store.query_batch(sparse_queries=dicts, top_k=4, search_type="sparse")
+        dev = store.query_batch(
+            sparse_queries=(ids, w), top_k=4, search_type="sparse"
+        )
+        assert self._flat(host) == self._flat(dev)
+
+    def test_batch_size_with_array_pair(self):
+        _, _, ids, w = self._queries(n_q=3)
+        assert DeviceVectorStore._batch_size(None, (ids, w), None) == 3
+
+    def test_nway_hybrid_with_arrays(self):
+        store = fill(make_store(enable_full_text=True))
+        dense, dicts, ids, w = self._queries()
+        texts = [f"chunk {i} text" for i in range(3)]
+        host = store.query_batch(
+            dense_queries=dense, sparse_queries=dicts, text_queries=texts,
+            top_k=4, hybrid_weights={"dense": 0.4, "sparse": 0.3, "full_text": 0.3},
+        )
+        dev = store.query_batch(
+            dense_queries=jnp.asarray(dense),
+            sparse_queries=(jnp.asarray(ids), jnp.asarray(w)),
+            text_queries=texts,
+            top_k=4, hybrid_weights={"dense": 0.4, "sparse": 0.3, "full_text": 0.3},
+        )
+        assert self._flat(host) == self._flat(dev)
+
+    def test_int8_modes_accept_arrays(self):
+        store = fill(make_store(dense_dtype="int8", sketch_dtype="int8"))
+        dense, dicts, ids, w = self._queries()
+        host = store.query_batch(dense_queries=dense, sparse_queries=dicts, top_k=4)
+        dev = store.query_batch(
+            dense_queries=jnp.asarray(dense),
+            sparse_queries=(jnp.asarray(ids), jnp.asarray(w)),
+            top_k=4,
+        )
+        assert self._flat(host) == self._flat(dev)

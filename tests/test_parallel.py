@@ -453,3 +453,33 @@ class TestMeshStoreLifecycle:
         want = sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=8)
         self._assert_same(want, back_mesh.query_batch(dense_queries=q, sparse_queries=qs, top_k=8))
         self._assert_same(want, back_single.query_batch(dense_queries=q, sparse_queries=qs, top_k=8))
+
+
+class TestMeshDeviceHandoff:
+    """Array-pair query payloads (the encode→search device handoff) through
+    the mesh-sharded store must match both the plain store and the dict
+    payload path."""
+
+    def test_hybrid_array_queries_parity(self, mesh):
+        import jax.numpy as jnp
+
+        from verbatim_rag_tpu.engine.store import _pad_sparse
+
+        helper = TestMeshStore()
+        plain, sharded = helper._stores(mesh)
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        qs = [{3: 1.0, 9: 0.5}, {40: 2.0, 5: 0.1}, {1: 1.0, 2: 1.0, 4: 1.0}]
+        m = 4
+        ids = np.zeros((3, m), np.int32)
+        w = np.zeros((3, m), np.float32)
+        for i, row in enumerate(qs):
+            ids[i], w[i] = _pad_sparse(row, m)
+        TestMeshStore._assert_same(
+            plain.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+            sharded.query_batch(
+                dense_queries=jnp.asarray(q),
+                sparse_queries=(jnp.asarray(ids), jnp.asarray(w)),
+                top_k=6,
+            ),
+        )

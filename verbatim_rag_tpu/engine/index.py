@@ -15,6 +15,7 @@ index append pipeline (default flush every 2000 chunks, parity L340-411).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Iterable, Mapping, Sequence
 
 import numpy as np
@@ -258,12 +259,29 @@ class VerbatimIndex:
             else {resolved}
         )
 
+        # Device handoff (on by default): JAX providers return device arrays
+        # that the store composes straight into the fused search program —
+        # the encode→search chain then has no intermediate host readback.
+        # VERBATIM_DEVICE_HANDOFF=0 restores the host materialization path
+        # (A/B knob; also the path non-JAX providers always take).
+        handoff = (
+            os.environ.get("VERBATIM_DEVICE_HANDOFF", "1") != "0"
+            and getattr(self.store, "accepts_query_arrays", False)
+        )
         dense_q = None
         if "dense" in methods and self.dense_provider is not None:
-            dense_q = np.asarray(self.dense_provider.embed_batch(list(texts)), np.float32)
+            if handoff and hasattr(self.dense_provider, "embed_batch_device"):
+                dense_q = self.dense_provider.embed_batch_device(list(texts))
+            else:
+                dense_q = np.asarray(
+                    self.dense_provider.embed_batch(list(texts)), np.float32
+                )
         sparse_q = None
         if "sparse" in methods and self.sparse_provider is not None:
-            sparse_q = self.sparse_provider.embed_batch(list(texts))
+            if handoff and hasattr(self.sparse_provider, "embed_query_arrays_device"):
+                sparse_q = self.sparse_provider.embed_query_arrays_device(list(texts))
+            else:
+                sparse_q = self.sparse_provider.embed_batch(list(texts))
         text_q = list(texts) if "full_text" in methods and self.enable_full_text else None
 
         return self.store.query_batch(

@@ -138,6 +138,24 @@ def _pad_sparse(
     return ids, weights
 
 
+def _is_device_array(x) -> bool:
+    """True for jax.Array inputs (the device query handoff)."""
+    import jax
+
+    return isinstance(x, jax.Array)
+
+
+def _is_sparse_arrays(payload) -> bool:
+    """True when a sparse query payload is an ``(ids, weights)`` array pair
+    rather than a sequence of term→weight mappings."""
+    return (
+        isinstance(payload, tuple)
+        and len(payload) == 2
+        and not isinstance(payload[0], Mapping)
+        and getattr(payload[0], "ndim", None) == 2
+    )
+
+
 class DeviceVectorStore(VectorStore):
     """The HBM-resident hybrid index."""
 
@@ -145,6 +163,10 @@ class DeviceVectorStore(VectorStore):
     #: instead of a ``sparse`` dict — the provider→store ingest fast path
     #: (padded top-nnz rows go straight into the forward index).
     accepts_sparse_arrays = True
+    #: query_batch accepts jax.Array dense queries and (ids, w) sparse query
+    #: array pairs — the encode→search device handoff (`VerbatimIndex`
+    #: checks this before passing device arrays through).
+    accepts_query_arrays = True
 
     def __init__(
         self,
@@ -591,6 +613,21 @@ class DeviceVectorStore(VectorStore):
             )
         return DeviceVectorStore._projection_cache[key]
 
+    _projection_dev_cache: dict = {}
+
+    def _projection_dev(self, vocab: int):
+        """Device copy of the projection matrix (for on-device query
+        sketching in the handoff path). ~90 MB HBM at [30522, 768] — shared
+        process-wide per (vocab, d_p, seed), like the host cache above."""
+        key = (vocab, self.projection_dim, self.projection_seed)
+        if key not in DeviceVectorStore._projection_dev_cache:
+            import jax.numpy as jnp
+
+            DeviceVectorStore._projection_dev_cache[key] = jnp.asarray(
+                self._projection(vocab)
+            )
+        return DeviceVectorStore._projection_dev_cache[key]
+
     # -- deletes -----------------------------------------------------------------
 
     def delete(self, ids: list[str]) -> None:
@@ -771,8 +808,8 @@ class DeviceVectorStore(VectorStore):
 
     def query_batch(
         self,
-        dense_queries: np.ndarray | None = None,  # [B, d]
-        sparse_queries: Sequence[Mapping[int, float]] | None = None,
+        dense_queries=None,  # [B, d] np.ndarray or jax.Array (device handoff)
+        sparse_queries=None,  # Sequence[Mapping[int, float]] or (ids, w) arrays
         text_queries: Sequence[str] | None = None,
         top_k: int = 10,
         filter: FilterSpec = None,
@@ -788,6 +825,13 @@ class DeviceVectorStore(VectorStore):
         - a single method runs alone;
         - multiple methods (or explicit ``hybrid_weights``) run per-method
           top_k*2 searches fused on device with weighted RRF.
+
+        Device handoff: ``dense_queries`` may be a jax.Array and
+        ``sparse_queries`` a ``(ids [B, m] int32, weights [B, m] f32)``
+        array pair (np or jax, pad slots id 0 / weight 0) — the forms the
+        JAX providers produce on device. The search then composes encode
+        output straight into the fused query program with no host readback
+        between encode and search.
 
         ``search_params`` (parity with the Milvus per-search knobs the
         reference forwards): ``rescore_depth`` — sketch candidates rescored
@@ -821,7 +865,11 @@ class DeviceVectorStore(VectorStore):
 
         methods: dict[str, Any] = {}
         if dense_queries is not None and self._dense is not None:
-            methods["dense"] = np.asarray(dense_queries, np.float32)
+            methods["dense"] = (
+                dense_queries
+                if _is_device_array(dense_queries)
+                else np.asarray(dense_queries, np.float32)
+            )
         if sparse_queries is not None and self._sp_ids is not None:
             methods["sparse"] = sparse_queries
         if text_queries is not None and self.enable_full_text:
@@ -856,7 +904,7 @@ class DeviceVectorStore(VectorStore):
         ):
             # Serving fast path: both candidate matmuls in one device program.
             scores, rows = self._hybrid_projected(
-                methods["dense"], list(methods["sparse"]), top_k, fetch_k, mask,
+                methods["dense"], methods["sparse"], top_k, fetch_k, mask,
                 weights, rrf_k, exact_topk=exact_topk, depth_override=depth_override,
             )
             return self._materialize(scores, rows)
@@ -882,10 +930,48 @@ class DeviceVectorStore(VectorStore):
         if dense is not None:
             return len(dense)
         if sparse is not None:
-            return len(sparse)
+            return len(sparse[0]) if _is_sparse_arrays(sparse) else len(sparse)
         if text is not None:
             return len(text)
         return 1
+
+    @staticmethod
+    def _sparse_payload_dicts(payload) -> list[dict[int, float]]:
+        """Sparse query payload → list of {term: weight} dicts.
+
+        The host-dict form is needed only off the projected serving path
+        (exact-scan validation mode); an array payload pays one readback
+        here — exactly what the legacy dict path paid up front."""
+        if not _is_sparse_arrays(payload):
+            return list(payload)
+        ids, w = np.asarray(payload[0]), np.asarray(payload[1])
+        return [
+            {int(t): float(x) for t, x in zip(ids[i], w[i]) if x != 0.0}
+            for i in range(len(ids))
+        ]
+
+    def _sparse_query_device(self, payload, vocab: int):
+        """Sparse query payload → device ``(q_ids, q_w, q_proj)``.
+
+        Array payloads (the device handoff) sketch on device via
+        `project_query_arrays` — no host sync anywhere on the path. Dict
+        payloads keep the legacy host sketch + pad, then upload."""
+        import jax.numpy as jnp
+
+        from verbatim_rag_tpu.ops.sparse_projected import (
+            project_query_arrays,
+            project_sparse_queries,
+        )
+
+        if _is_sparse_arrays(payload):
+            q_ids = jnp.asarray(payload[0], jnp.int32)
+            q_w = jnp.asarray(payload[1], jnp.float32)
+            q_proj = project_query_arrays(q_ids, q_w, self._projection_dev(vocab))
+            return q_ids, q_w, q_proj
+        rows = list(payload)
+        q_proj = jnp.asarray(project_sparse_queries(rows, self._projection(vocab)))
+        q_ids, q_w = self._pad_sparse_queries(rows)
+        return jnp.asarray(q_ids), jnp.asarray(q_w), q_proj
 
     def _build_mask(self, filter: FilterSpec):
         import jax.numpy as jnp
@@ -931,12 +1017,14 @@ class DeviceVectorStore(VectorStore):
         if name == "sparse":
             if self.sparse_mode == "projected":
                 return self._projected_search(
-                    list(payload), self._sp_proj, self._sp_ids, self._sp_w,
+                    payload, self._sp_proj, self._sp_ids, self._sp_w,
                     self.sparse_vocab, k, mask,
                     exact_topk=exact_topk, depth_override=depth_override,
                     scale_dev=self._sp_proj_scale,
                 )
-            q_dense = self._densify_host(payload, self.sparse_vocab)
+            q_dense = self._densify_host(
+                self._sparse_payload_dicts(payload), self.sparse_vocab
+            )
             scores, rows = self._exact_sparse_topk(
                 self._sp_ids, self._sp_w, jnp.asarray(q_dense), k, mask
             )
@@ -1015,8 +1103,8 @@ class DeviceVectorStore(VectorStore):
 
     def _hybrid_projected(
         self,
-        dense_q: np.ndarray,
-        sparse_q: list[Mapping[int, float]],
+        dense_q,  # [B, d] np.ndarray or jax.Array
+        sparse_q,  # list of term→weight dicts, or (ids, w) arrays
         top_k: int,
         fetch_k: int,
         mask,
@@ -1028,17 +1116,21 @@ class DeviceVectorStore(VectorStore):
         """The hybrid serving fast path: candidate matmuls, exact sparse
         rescore, and weighted RRF all in ONE device program — a single sync
         per batch and no host-side fusion loop (`ops/hybrid.py`
-        hybrid_fused_topk)."""
+        hybrid_fused_topk). With device-handoff inputs the whole
+        encode→search chain has exactly one host sync: the final [B, k]
+        readback."""
         import jax.numpy as jnp
 
+        from verbatim_rag_tpu.ops.dense import normalize_rows
         from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk
-        from verbatim_rag_tpu.ops.sparse_projected import project_sparse_queries
 
         depth = min(max(depth_override or self.rescore_depth, fetch_k), self._capacity)
-        q = np.asarray(dense_q, np.float32)
-        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        q_proj = project_sparse_queries(sparse_q, self._projection(self.sparse_vocab))
-        q_ids, q_w = self._pad_sparse_queries(sparse_q)
+        if _is_device_array(dense_q):
+            q = normalize_rows(dense_q.astype(jnp.float32))
+        else:
+            q = np.asarray(dense_q, np.float32)
+            q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        q_ids, q_w, q_proj = self._sparse_query_device(sparse_q, self.sparse_vocab)
 
         if self.mesh is not None:
             from verbatim_rag_tpu.parallel.sharded_search import (
@@ -1052,9 +1144,9 @@ class DeviceVectorStore(VectorStore):
                 self._sp_ids,
                 self._sp_w,
                 replicate(jnp.asarray(q), self.mesh),
-                replicate(jnp.asarray(q_proj), self.mesh),
-                replicate(jnp.asarray(q_ids), self.mesh),
-                replicate(jnp.asarray(q_w), self.mesh),
+                replicate(q_proj, self.mesh),
+                replicate(q_ids, self.mesh),
+                replicate(q_w, self.mesh),
                 k=min(top_k, fetch_k),
                 fetch_k=fetch_k,
                 depth=depth,
@@ -1074,9 +1166,9 @@ class DeviceVectorStore(VectorStore):
                 self._sp_ids,
                 self._sp_w,
                 jnp.asarray(q),
-                jnp.asarray(q_proj),
-                jnp.asarray(q_ids),
-                jnp.asarray(q_w),
+                q_proj,
+                q_ids,
+                q_w,
                 k=min(top_k, fetch_k),
                 fetch_k=fetch_k,
                 depth=depth,
@@ -1103,7 +1195,7 @@ class DeviceVectorStore(VectorStore):
 
     def _projected_search(
         self,
-        q_sparse: list[Mapping[int, float]],
+        q_sparse,  # list of term→weight dicts, or (ids, w) arrays
         proj_corpus,  # device [cap, d_p]
         ids_dev,  # device [cap, m] forward-index term ids
         weights_dev,  # device [cap, m] term weights
@@ -1117,14 +1209,10 @@ class DeviceVectorStore(VectorStore):
         """Two-phase sparse search entirely on device: MXU sketch-matmul
         candidates + exact forward-index rescore + final top-k in one program
         (see `ops/hybrid.py` projected_sparse_topk)."""
-        import jax.numpy as jnp
-
         from verbatim_rag_tpu.ops.hybrid import projected_sparse_topk
-        from verbatim_rag_tpu.ops.sparse_projected import project_sparse_queries
 
         depth = min(max(depth_override or self.rescore_depth, 2 * k), self._capacity)
-        q_proj = jnp.asarray(project_sparse_queries(list(q_sparse), self._projection(vocab)))
-        q_ids, q_w = self._pad_sparse_queries(list(q_sparse))
+        q_ids, q_w, q_proj = self._sparse_query_device(q_sparse, vocab)
         if self.mesh is not None:
             from verbatim_rag_tpu.parallel.sharded_search import (
                 replicate,
@@ -1136,8 +1224,8 @@ class DeviceVectorStore(VectorStore):
                 ids_dev,
                 weights_dev,
                 replicate(q_proj, self.mesh),
-                replicate(jnp.asarray(q_ids), self.mesh),
-                replicate(jnp.asarray(q_w), self.mesh),
+                replicate(q_ids, self.mesh),
+                replicate(q_w, self.mesh),
                 min(k, self._capacity),
                 depth,
                 mask,
@@ -1151,8 +1239,8 @@ class DeviceVectorStore(VectorStore):
                 ids_dev,
                 weights_dev,
                 q_proj,
-                jnp.asarray(q_ids),
-                jnp.asarray(q_w),
+                q_ids,
+                q_w,
                 min(k, self._capacity),
                 depth,
                 mask,

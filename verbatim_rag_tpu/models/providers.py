@@ -110,6 +110,35 @@ class JaxDenseProvider(DenseEmbeddingProvider):
             out[idx] = full[i * self.batch_size : i * self.batch_size + len(idx)]
         return out
 
+    def embed_batch_device(self, texts: Sequence[str]) -> jax.Array:
+        """Like :meth:`embed_batch` but the embeddings STAY on device.
+
+        The query serving path hands these straight to
+        `DeviceVectorStore.query_batch`, which composes them into the fused
+        search program — no host readback between encode and search. On a
+        tunneled backend that readback is a full round-trip (~31 ms); on any
+        TPU it is an HBM→host→HBM copy for nothing. Caller order is restored
+        on device with a tiny permutation gather.
+        """
+        if not texts:
+            return jnp.zeros((0, self.get_dimension()), jnp.float32)
+        pending, perm = [], np.empty(len(texts), np.int32)
+        for g, (idx, chunk) in enumerate(_length_sorted_chunks(texts, self.batch_size)):
+            perm[idx] = g * self.batch_size + np.arange(len(idx), dtype=np.int32)
+            if len(chunk) < self.batch_size:
+                chunk += [""] * (self.batch_size - len(chunk))
+            enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
+            pending.append(
+                embed_texts(
+                    self.params,
+                    self.config,
+                    jnp.asarray(enc.input_ids),
+                    jnp.asarray(enc.attention_mask),
+                )
+            )
+        full = pending[0] if len(pending) == 1 else jnp.concatenate(pending, axis=0)
+        return jnp.take(full, jnp.asarray(perm), axis=0)
+
     def get_dimension(self) -> int:
         return self.config.hidden_size
 
@@ -208,6 +237,48 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
                 ids_out[orig] = np.where(live, row_ids, 0)
                 w_out[orig] = np.where(live, row_w, 0.0)
         return ids_out, w_out
+
+    def embed_query_arrays_device(
+        self, texts: Sequence[str]
+    ) -> tuple[jax.Array, jax.Array]:
+        """Device-resident query encode: ``(ids int32 [B, max_nnz], weights
+        f32 [B, max_nnz])`` as jax arrays, pad slots id 0 / weight 0.
+
+        Counterpart of :meth:`embed_batch_arrays` for the SEARCH side: the
+        store consumes these directly in its fused hybrid program, so query
+        term selection never round-trips the host (see
+        `JaxDenseProvider.embed_batch_device`).
+        """
+        if not texts:
+            z = jnp.zeros((0, self.max_nnz))
+            return z.astype(jnp.int32), z.astype(jnp.float32)
+        pending, perm = [], np.empty(len(texts), np.int32)
+        for g, (idx, chunk) in enumerate(_length_sorted_chunks(texts, self.batch_size)):
+            perm[idx] = g * self.batch_size + np.arange(len(idx), dtype=np.int32)
+            if len(chunk) < self.batch_size:
+                chunk += [""] * (self.batch_size - len(chunk))
+            enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
+            pending.append(
+                splade_topk_terms(
+                    self.params,
+                    self.config,
+                    jnp.asarray(enc.input_ids),
+                    jnp.asarray(enc.attention_mask),
+                    max_nnz=self.max_nnz,
+                )
+            )
+        if len(pending) == 1:
+            ids, w = pending[0]
+        else:
+            ids = jnp.concatenate([p[0] for p in pending], axis=0)
+            w = jnp.concatenate([p[1] for p in pending], axis=0)
+        p = jnp.asarray(perm)
+        ids, w = jnp.take(ids, p, axis=0), jnp.take(w, p, axis=0)
+        live = w > 0.0
+        return (
+            jnp.where(live, ids, 0).astype(jnp.int32),
+            jnp.where(live, w, 0.0).astype(jnp.float32),
+        )
 
     def get_dimension(self) -> int:
         return self.config.vocab_size

@@ -85,6 +85,24 @@ def project_sparse_queries(
     return out
 
 
+def project_query_arrays(q_ids, q_w, projection_dev):
+    """Device-side query sketches [B, d_p] from padded id/weight arrays.
+
+    The device-resident query handoff: when term ids/weights are already on
+    device (SPLADE top-k runs there), sketching via a [B, m] row gather +
+    weighted sum keeps the encode→search chain free of host syncs. Pad
+    slots (id 0, weight 0) gather row 0 but contribute nothing. m is tens
+    of terms, so the gather is trivially small next to the candidate matmul.
+    """
+    import jax.numpy as jnp
+
+    gathered = jnp.take(projection_dev, q_ids, axis=0)  # [B, m, d_p]
+    return jnp.einsum(
+        "bmd,bm->bd", gathered, q_w.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def exact_rescore(
     candidate_rows: np.ndarray,  # [B, C] row indices (may contain -1)
     sp_ids: np.ndarray,  # [N, m] host forward index
