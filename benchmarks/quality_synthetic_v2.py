@@ -22,6 +22,22 @@ discriminative four ways:
    e→3, l→1) hit 35% of sentences, so some tokens of the eval rows were
    never seen in training.
 
+Two properties make the eval rows irreducibly out-of-distribution, so the
+score band is set by TASK design rather than by how long you train (a
+fully-converged model still cannot saturate):
+
+5. **Held-out keyword forms** — each topic's keyword list is split: train
+   rows draw subjects/tails from keywords 0–2, dev rows ONLY from keywords
+   3–4, which never appear in training (HashTokenizer gives them ids the
+   model has never weighted).
+6. **Dev-only noise alphabet** — a second length-preserving corruption
+   pass (a→4, s→5, t→7, u→v; disjoint from the train-time table) hits 60%
+   of dev sentences at a 35% word rate, corrupting salience markers and
+   subjects into token forms no training step ever produced.
+
+Both are rng-stream-neutral: train rows are byte-identical to the pre-5/6
+dataset, so checkpoints trained before the hardening rescore comparably.
+
 Reported: trained F1 (target band: 60–90), random-init floor, and the
 decode-sensitivity probe — F1 at threshold ±0.1 and with span filters off.
 A decode regression (wrong threshold semantics, off-by-one merge, dropped
@@ -48,6 +64,9 @@ TOPICS = {
 FILLER = ["report", "figure", "chapter", "survey", "appendix", "archive"]
 
 _OCR = str.maketrans({"o": "0", "i": "1", "e": "3", "l": "1"})
+# Dev-only corruption alphabet — disjoint from _OCR so every corrupted form
+# is a token the model never saw during training (docstring property 6).
+_OCR_DEV = str.maketrans({"a": "4", "s": "5", "t": "7", "u": "v"})
 
 
 def _ocr_noise(sentence: str, rng) -> str:
@@ -59,7 +78,18 @@ def _ocr_noise(sentence: str, rng) -> str:
     return " ".join(words)
 
 
-def _sentence(kind: str, q_topic: str, other: str, rng) -> tuple[str, tuple[int, int] | None]:
+def _dev_noise(sentence: str, rng) -> str:
+    """Length-preserving dev-only corruption: unseen char forms (35% words)."""
+    words = sentence.split(" ")
+    for j in range(len(words)):
+        if rng.random() < 0.35:
+            words[j] = words[j].translate(_OCR_DEV)
+    return " ".join(words)
+
+
+def _sentence(
+    kind: str, q_topic: str, other: str, rng, dev: bool = False
+) -> tuple[str, tuple[int, int] | None]:
     """Build one sentence; returns (text, gold-clause char span or None).
 
     Kinds:
@@ -70,8 +100,13 @@ def _sentence(kind: str, q_topic: str, other: str, rng) -> tuple[str, tuple[int,
                  keyword in the comparison tail, salient marker present
       filler   — unrelated topic, weak marker
     """
-    word_q = TOPICS[q_topic][int(rng.integers(len(TOPICS[q_topic])))]
-    word_o = TOPICS[other][int(rng.integers(len(TOPICS[other])))]
+    # One rng draw per keyword regardless of split (stream-neutral); the
+    # VALUE is remapped so train rows only ever see keywords 0-2 and dev
+    # rows only ever see the held-out keywords 3-4 (docstring property 5).
+    kq = int(rng.integers(len(TOPICS[q_topic])))
+    ko = int(rng.integers(len(TOPICS[other])))
+    word_q = TOPICS[q_topic][3 + kq % 2 if dev else kq % 3]
+    word_o = TOPICS[other][3 + ko % 2 if dev else ko % 3]
     filler = FILLER[int(rng.integers(len(FILLER)))]
     n = int(rng.integers(100))
 
@@ -102,6 +137,10 @@ def make_dataset(n: int, seed: int):
     kinds = ["gold", "neardup", "weak", "trap", "filler"]
     out = []
     for i in range(n):
+        is_dev = i % 13 == 0
+        # Side rng for dev-only corruption: keeps the main stream identical
+        # to the pre-hardening dataset so train rows are byte-stable.
+        side = np.random.default_rng(seed * 100003 + i) if is_dev else None
         ctx_topics = list(rng.choice(names, size=3, replace=False))
         q_topic = ctx_topics[0]
         parts, spans, pos = [], [], 0
@@ -112,9 +151,11 @@ def make_dataset(n: int, seed: int):
         rng.shuffle(order)
         for kind in order:
             other = ctx_topics[1 + int(rng.integers(2))]
-            text, gold = _sentence(kind, q_topic, other, rng)
+            text, gold = _sentence(kind, q_topic, other, rng, dev=is_dev)
             if rng.random() < 0.35:
                 text = _ocr_noise(text, rng)  # length-preserving: spans hold
+            if is_dev and side.random() < 0.6:
+                text = _dev_noise(text, side)  # unseen alphabet: spans hold
             if gold is not None:
                 spans.append((pos + gold[0], pos + gold[1]))
             parts.append(text)
@@ -137,6 +178,14 @@ def main() -> None:
 
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=60)
+    parser.add_argument(
+        "--score-checkpoint",
+        default=None,
+        metavar="DIR",
+        help="Skip training; score the params.npz under DIR (e.g. the "
+        "best-F1 checkpoint of an interrupted run) through the same "
+        "dataset/decode pipeline.",
+    )
     args = parser.parse_args()
 
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
@@ -170,26 +219,30 @@ def main() -> None:
     encoder = TokenDatasetEncoder(tokenizer, max_length=384, doc_stride=64)
 
     params = init_highlighter_params(jax.random.PRNGKey(0), config)
-    trainer = Trainer(
-        params,
-        config,
-        TrainingConfig(
-            learning_rate=1e-3,
-            num_epochs=args.epochs,
-            batch_size=16,
-            warmup_steps=min(500, args.epochs * 4),
-        ),
-        output_dir="/tmp/quality_synth_v2_ckpt",
-        loss_fn=token_loss,
-        total_steps=args.epochs * (len(train) // 16 + 1),
-    )
-    trainer.train(
-        [],
-        dev_batches=list(encoder.iter_batches(dev, 16)),
-        make_train_iter=lambda epoch: encoder.iter_batches(
-            train, 16, shuffle=True, seed=epoch
-        ),
-    )
+    if args.score_checkpoint:
+        trained_params = Trainer.load_checkpoint(args.score_checkpoint, params)
+    else:
+        trainer = Trainer(
+            params,
+            config,
+            TrainingConfig(
+                learning_rate=1e-3,
+                num_epochs=args.epochs,
+                batch_size=16,
+                warmup_steps=min(500, args.epochs * 4),
+            ),
+            output_dir="/tmp/quality_synth_v2_ckpt",
+            loss_fn=token_loss,
+            total_steps=args.epochs * (len(train) // 16 + 1),
+        )
+        trainer.train(
+            [],
+            dev_batches=list(encoder.iter_batches(dev, 16)),
+            make_train_iter=lambda epoch: encoder.iter_batches(
+                train, 16, shuffle=True, seed=epoch
+            ),
+        )
+        trained_params = trainer.params
 
     examples = [
         {
@@ -223,7 +276,7 @@ def main() -> None:
 
         return round(evaluate_extractor(extract, examples)["micro_word_f1"], 4)
 
-    f1 = score(trainer.params)
+    f1 = score(trained_params)
     result = {
         "metric": "micro_word_f1_synthetic_v2_100row",
         "trained": f1,
@@ -232,10 +285,10 @@ def main() -> None:
         # healthy pipeline; a flat profile means the decode path regressed
         # into insensitivity (or the task saturated again).
         "sensitivity": {
-            "threshold_0.3": score(trainer.params, threshold=0.3),
-            "threshold_0.7": score(trainer.params, threshold=0.7),
-            "no_min_span": score(trainer.params, min_span_chars=1),
-            "merge_gap_40": score(trainer.params, merge_gap_chars=40),
+            "threshold_0.3": score(trained_params, threshold=0.3),
+            "threshold_0.7": score(trained_params, threshold=0.7),
+            "no_min_span": score(trained_params, min_span_chars=1),
+            "merge_gap_40": score(trained_params, merge_gap_chars=40),
         },
         "examples": len(examples),
     }
