@@ -103,6 +103,12 @@ def main() -> None:
         hybrid_fused_topk,
     )
 
+    def mark(msg):
+        # Progress markers: on a wedged tunnel the useful diagnostic is
+        # WHERE the run stopped, not just that it produced no timings.
+        print(f"# {msg} t={time.perf_counter() - t_start:.1f}s", flush=True)
+
+    t_start = time.perf_counter()
     rng = np.random.default_rng(5)
     n, b = args.n, args.batch
     # Corpus arrays generated ON DEVICE (same rule as bench.py): a [1M, 768]
@@ -111,7 +117,11 @@ def main() -> None:
     key = jax.random.PRNGKey(5)
     k_dense, k_sketch, k_ids, k_w = jax.random.split(key, 4)
     dense = jax.jit(normalize_rows)(jax.random.normal(k_dense, (n, args.dim), jnp.float32))
+    dense.block_until_ready()
+    mark("dense corpus on device")
     sketch = jax.jit(normalize_rows)(jax.random.normal(k_sketch, (n, args.proj), jnp.float32))
+    sketch.block_until_ready()
+    mark("sketch corpus on device")
     dense_scale = sketch_scale = None
     if args.int8:
         dense, dense_scale = jax.jit(quantize_rows_int8)(dense)
@@ -126,6 +136,9 @@ def main() -> None:
     q_ids = jnp.asarray(rng.integers(1, 30522, size=(b, args.qnnz)), jnp.int32)
     q_w = jnp.asarray(rng.random(size=(b, args.qnnz)), jnp.float32)
 
+    jnp.asarray(sp_w).block_until_ready()
+    mark("sparse corpus + queries on device")
+
     sel = candidate_select(False)
 
     @jax.jit
@@ -138,8 +151,10 @@ def main() -> None:
         s = dense_scores(sketch, sq, sketch_scale)
         return sel(s, k=args.depth)
 
+    mark("compiling stage_sketch")
     cand = np.asarray(_retry_compile(stage_sketch, sq)[1])
     cand_dev = jnp.asarray(cand)
+    mark("stage_sketch compiled")
 
     @jax.jit
     def stage_rescore(cand_dev, q_ids, q_w):
@@ -154,8 +169,11 @@ def main() -> None:
         w = jnp.asarray([0.5, 0.5], jnp.float32)
         return rrf_fuse_device(stacked, w, k=10, rrf_k=60)
 
+    mark("compiling stage_dense")
     d_rows = _retry_compile(stage_dense, dq)[1]
+    mark("compiling stage_rescore")
     exact = _retry_compile(stage_rescore, cand_dev, q_ids, q_w)
+    mark("precomputes done; timing stages")
 
     fused = partial(
         hybrid_fused_topk,
