@@ -15,7 +15,7 @@ handoff ON vs OFF, same process, same arrays, interleaved runs. Corpus
 size is kept small on purpose: the device programs are then cheap, so the
 delta isolates the sync structure — exactly what the handoff changes.
 
-Run: python benchmarks/bench_handoff.py [--rows 20000 --iters 30]
+Run: python benchmarks/bench_handoff.py [--rows 5000 --iters 30]
 Prints one JSON line per configuration.
 """
 
@@ -31,7 +31,9 @@ import numpy as np
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--rows", type=int, default=20_000)
+    # Default matches the corpus size the recorded A/B actually ran at
+    # (the old code built --rows//4 docs from a 20k default).
+    parser.add_argument("--rows", type=int, default=5_000)
     parser.add_argument("--iters", type=int, default=30)
     parser.add_argument("--batch", type=int, default=8)
     args = parser.parse_args()
@@ -53,7 +55,7 @@ def main() -> None:
             "content": " ".join(rng.choice(words, size=60)),
             "title": f"doc {i}",
         }
-        for i in range(args.rows // 4)  # ~4 chunks/doc is irrelevant; 1 chunk each
+        for i in range(args.rows)  # 60-word docs chunk 1:1 — rows == --rows
     ]
     t0 = time.perf_counter()
     idx.add_documents_bulk(docs)

@@ -139,6 +139,18 @@ class TestRoutes:
         assert status == 400
         assert "filter" in json.loads(body)["detail"]
 
+    async def test_stream_bad_filter_string_is_400(self, client_factory):
+        """A bad filter must fail BEFORE the stream starts — same 400 as the
+        non-streaming routes, not a mid-stream error event."""
+        status, body, _ = await _request(
+            client_factory(),
+            "POST",
+            "/api/query/stream",
+            {"question": "how do panels work", "filter": 'title === "Solar"'},
+        )
+        assert status == 400
+        assert "filter" in json.loads(body)["detail"]
+
     async def test_query_async_alias(self, client_factory):
         status, body, _ = await _request(
             client_factory(), "POST", "/api/query/async", {"question": "panels?"}

@@ -473,6 +473,26 @@ class TestInt8DenseMode:
             np.asarray(loaded._dense[:n]), np.asarray(again._dense[:n])
         )
 
+    def test_load_with_dead_rows_keeps_codes_verbatim(self, tmp_path):
+        """load() must not auto-compact while replaying tombstones: compact()
+        rebuilds from dequantized f32 rows and re-quantizes, which would undo
+        the verbatim code restoration on the very same load() call."""
+        store = fill(make_store(dense_dtype="int8", auto_compact_threshold=0.2))
+        store.auto_compact_threshold = None  # tombstone without compacting
+        store.delete(["c1", "c2", "c3"])  # 30% dead > threshold
+        store.auto_compact_threshold = 0.2
+        n = len(store._ids)
+        codes = np.asarray(store._dense[:n])
+        path = str(tmp_path / "idx")
+        store.save(path)
+        loaded = DeviceVectorStore.load(path)
+        assert len(loaded._ids) == n, "load() compacted despite verbatim codes"
+        np.testing.assert_array_equal(np.asarray(loaded._dense[:n]), codes)
+        assert loaded.auto_compact_threshold == 0.2  # policy survives the load
+        # The next real mutation re-applies the policy.
+        loaded.delete(["c4"])
+        assert len(loaded._ids) < n
+
 
 class TestInt8SketchMode:
     """sketch_dtype='int8': per-row quantized sketch matrices — at serving

@@ -112,6 +112,26 @@ class TestMaskEvaluation:
         np.testing.assert_array_equal(_mask("year >= 2021"), [False, True, True, False])
         np.testing.assert_array_equal(_mask("missing > 1"), [False] * 4)
 
+    def test_neq_excludes_rows_lacking_the_field(self):
+        """Milvus null semantics: a row without the field matches neither a
+        comparison nor its negation (row 2 has no `flag`)."""
+        np.testing.assert_array_equal(_mask("flag != true"), [False, True, False, False])
+        np.testing.assert_array_equal(
+            _mask('not (topic == "solar")'), [False, True, False, True]
+        )
+        np.testing.assert_array_equal(_mask("missing != 7"), [False] * 4)
+        np.testing.assert_array_equal(_mask("not (missing == 7)"), [False] * 4)
+
+    def test_eq_null_selects_missing_rows(self):
+        np.testing.assert_array_equal(_mask("flag == null"), [False, False, True, True])
+
+    def test_in_tolerates_unhashable_row_values(self):
+        """List/dict-valued metadata must evaluate as a non-match, not raise
+        (the Mapping branch uses list membership; parity)."""
+        rows = [{"tags": ["a", "b"]}, {"tags": "a"}, {"tags": {"k": 1}}]
+        mask = compile_filter('tags in ["a", "b"]', len(rows), {}, rows)
+        np.testing.assert_array_equal(mask, [False, True, False])
+
     def test_and_or_not(self):
         np.testing.assert_array_equal(
             _mask('topic == "solar" and year >= 2021'), [False, False, True, False]

@@ -175,6 +175,16 @@ async def handle_query_stream(request: web.Request) -> web.StreamResponse:
     question = _validate_question(data, config.max_question_length)
     if question is None:
         return _json_error("invalid question")
+    # Parse string filters BEFORE the stream starts: a client mistake must
+    # surface as the same 400 the non-streaming routes return, not as a
+    # mid-stream error event that a Retry would resubmit verbatim.
+    if isinstance(data.get("filter"), str):
+        from verbatim_rag_tpu.engine.filters import parse_filter_expr
+
+        try:
+            parse_filter_expr(data["filter"])
+        except FilterExpressionError as exc:
+            return _json_error(f"invalid filter expression: {exc}", status=400)
 
     from verbatim_rag_tpu.rag.streaming import StreamingRAG
 

@@ -231,6 +231,23 @@ _NUM_OPS = {
 }
 
 
+def _defined_mask(
+    field: str,
+    n_rows: int,
+    promoted_columns: Mapping[str, np.ndarray],
+    metadata_rows: Sequence[dict],
+) -> np.ndarray:
+    """Rows whose metadata has a non-null value for ``field``."""
+    if field in promoted_columns:
+        # The ingest-time hash column stores sentinel 0 for missing/None.
+        return promoted_columns[field][:n_rows] != 0
+    return np.fromiter(
+        (metadata_rows[i].get(field) is not None for i in range(n_rows)),
+        dtype=bool,
+        count=n_rows,
+    )
+
+
 def _eval_expr_mask(
     node,
     n_rows: int,
@@ -247,13 +264,26 @@ def _eval_expr_mask(
             _eval_expr_mask(node[2], n_rows, promoted_columns, metadata_rows)
         )
     if kind == "not":
-        return ~_eval_expr_mask(node[1], n_rows, promoted_columns, metadata_rows)
+        inner = _eval_expr_mask(node[1], n_rows, promoted_columns, metadata_rows)
+        if node[1][0] == "cmp":
+            # Null semantics (matching Milvus scalar filtering): a row
+            # lacking the field matches neither a comparison nor its
+            # negation — `not (year == 2020)` must not return year-less rows.
+            return ~inner & _defined_mask(
+                node[1][1], n_rows, promoted_columns, metadata_rows
+            )
+        return ~inner
     _, field, op, rhs = node
     if field in promoted_columns and op in ("==", "in"):
         # Vectorized over the ingest-time hash columns — no metadata scan.
         values = rhs if op == "in" else [rhs]
         column = promoted_columns[field][:n_rows]
-        wanted = np.array([stable_hash64(v) for v in values], dtype=np.int64)
+        # None maps to the ingest sentinel (0), so `field == null` selects
+        # rows missing the field — same result as the metadata-scan branch.
+        wanted = np.array(
+            [np.int64(0) if v is None else stable_hash64(v) for v in values],
+            dtype=np.int64,
+        )
         return np.isin(column, wanted)
     if op in ("==", "!="):
         eq = np.fromiter(
@@ -261,9 +291,17 @@ def _eval_expr_mask(
             dtype=bool,
             count=n_rows,
         )
-        return eq if op == "==" else ~eq
+        if op == "==":
+            return eq
+        # `!=` must not match rows that lack the field (Milvus excludes
+        # null/missing from != matches; `field == null` stays the explicit
+        # way to select them).
+        return ~eq & _defined_mask(field, n_rows, promoted_columns, metadata_rows)
     if op == "in":
-        allowed = set(rhs) if not any(isinstance(v, float) for v in rhs) else rhs
+        # List membership (not a set): row values may be unhashable
+        # (list/dict metadata), and `x in list` compares by equality
+        # without hashing x — same contract as the Mapping filter branch.
+        allowed = list(rhs)
         return np.fromiter(
             (metadata_rows[i].get(field) in allowed for i in range(n_rows)),
             dtype=bool,

@@ -1423,5 +1423,15 @@ class DeviceVectorStore(VectorStore):
             )
         dead = [rid for i, rid in enumerate(meta["ids"]) if not bool(arrays["valid"][i])]
         if dead:
-            store.delete(dead)
+            # Tombstone only: auto-compaction is suppressed during load so
+            # the verbatim int8 codes restored above survive — compact()
+            # rebuilds from dequantized f32 rows and re-quantizing would
+            # reintroduce exactly the save/load drift the restoration
+            # prevents. The policy re-applies on the next real mutation.
+            threshold = store.auto_compact_threshold
+            store.auto_compact_threshold = None
+            try:
+                store.delete(dead)
+            finally:
+                store.auto_compact_threshold = threshold
         return store

@@ -44,6 +44,35 @@ def _length_sorted_chunks(texts: Sequence[str], batch_size: int):
         yield idx, [texts[i] for i in idx]
 
 
+def _dispatch_chunks(texts, batch_size, tokenizer, max_length, forward):
+    """Length-sorted, pad-to-full-batch dispatch of ``forward`` per chunk.
+
+    The shared core of every provider encode path (host- and device-
+    resident, dense and sparse): chunk in length order, pad partial chunks
+    to the fixed batch shape (a fresh shape would recompile), tokenize,
+    and dispatch the device forward WITHOUT materializing — callers decide
+    how to concatenate/reorder. Returns ``(pending, idx_groups, perm)``:
+
+    - ``pending``: per-chunk device outputs, device (length-sorted) order;
+    - ``idx_groups``: the original caller indices per chunk, for host-side
+      order restore after a single readback;
+    - ``perm``: flat ``perm[original_row] = device_row`` permutation, for
+      device-side order restore (``jnp.take(..., perm, axis=0)``).
+    """
+    pending, idx_groups = [], []
+    perm = np.empty(len(texts), np.int32)
+    for g, (idx, chunk) in enumerate(_length_sorted_chunks(texts, batch_size)):
+        idx_groups.append(idx)
+        perm[idx] = g * batch_size + np.arange(len(idx), dtype=np.int32)
+        if len(chunk) < batch_size:
+            chunk += [""] * (batch_size - len(chunk))
+        enc = tokenizer.encode_batch(chunk, max_length=max_length)
+        pending.append(
+            forward(jnp.asarray(enc.input_ids), jnp.asarray(enc.attention_mask))
+        )
+    return pending, idx_groups, perm
+
+
 class JaxDenseProvider(DenseEmbeddingProvider):
     """Dense sentence embeddings: encoder → masked mean-pool → L2 norm."""
 
@@ -88,20 +117,9 @@ class JaxDenseProvider(DenseEmbeddingProvider):
         """
         if not texts:
             return np.zeros((0, self.get_dimension()), np.float32)
-        pending, idx_groups = [], []
-        for idx, chunk in _length_sorted_chunks(texts, self.batch_size):
-            idx_groups.append(idx)
-            if len(chunk) < self.batch_size:
-                chunk += [""] * (self.batch_size - len(chunk))
-            enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
-            pending.append(
-                embed_texts(
-                    self.params,
-                    self.config,
-                    jnp.asarray(enc.input_ids),
-                    jnp.asarray(enc.attention_mask),
-                )
-            )
+        pending, idx_groups, _ = _dispatch_chunks(
+            texts, self.batch_size, self.tokenizer, self.max_length, self._forward
+        )
         full = np.asarray(
             pending[0] if len(pending) == 1 else jnp.concatenate(pending, axis=0)
         )  # one sync
@@ -122,22 +140,14 @@ class JaxDenseProvider(DenseEmbeddingProvider):
         """
         if not texts:
             return jnp.zeros((0, self.get_dimension()), jnp.float32)
-        pending, perm = [], np.empty(len(texts), np.int32)
-        for g, (idx, chunk) in enumerate(_length_sorted_chunks(texts, self.batch_size)):
-            perm[idx] = g * self.batch_size + np.arange(len(idx), dtype=np.int32)
-            if len(chunk) < self.batch_size:
-                chunk += [""] * (self.batch_size - len(chunk))
-            enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
-            pending.append(
-                embed_texts(
-                    self.params,
-                    self.config,
-                    jnp.asarray(enc.input_ids),
-                    jnp.asarray(enc.attention_mask),
-                )
-            )
+        pending, _, perm = _dispatch_chunks(
+            texts, self.batch_size, self.tokenizer, self.max_length, self._forward
+        )
         full = pending[0] if len(pending) == 1 else jnp.concatenate(pending, axis=0)
         return jnp.take(full, jnp.asarray(perm), axis=0)
+
+    def _forward(self, input_ids: jax.Array, attention_mask: jax.Array) -> jax.Array:
+        return embed_texts(self.params, self.config, input_ids, attention_mask)
 
     def get_dimension(self) -> int:
         return self.config.hidden_size
@@ -203,21 +213,9 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         if not texts:
             z = np.zeros((0, self.max_nnz))
             return z.astype(np.int32), z.astype(np.float32)
-        pending, idx_groups = [], []
-        for idx, chunk in _length_sorted_chunks(texts, self.batch_size):
-            idx_groups.append(idx)
-            if len(chunk) < self.batch_size:
-                chunk += [""] * (self.batch_size - len(chunk))  # fixed batch shape
-            enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
-            pending.append(
-                splade_topk_terms(
-                    self.params,
-                    self.config,
-                    jnp.asarray(enc.input_ids),
-                    jnp.asarray(enc.attention_mask),
-                    max_nnz=self.max_nnz,
-                )
-            )
+        pending, idx_groups, _ = _dispatch_chunks(
+            texts, self.batch_size, self.tokenizer, self.max_length, self._forward
+        )
         if len(pending) == 1:
             ids_np = np.asarray(pending[0][0])
             w_np = np.asarray(pending[0][1])
@@ -252,21 +250,9 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         if not texts:
             z = jnp.zeros((0, self.max_nnz))
             return z.astype(jnp.int32), z.astype(jnp.float32)
-        pending, perm = [], np.empty(len(texts), np.int32)
-        for g, (idx, chunk) in enumerate(_length_sorted_chunks(texts, self.batch_size)):
-            perm[idx] = g * self.batch_size + np.arange(len(idx), dtype=np.int32)
-            if len(chunk) < self.batch_size:
-                chunk += [""] * (self.batch_size - len(chunk))
-            enc = self.tokenizer.encode_batch(chunk, max_length=self.max_length)
-            pending.append(
-                splade_topk_terms(
-                    self.params,
-                    self.config,
-                    jnp.asarray(enc.input_ids),
-                    jnp.asarray(enc.attention_mask),
-                    max_nnz=self.max_nnz,
-                )
-            )
+        pending, _, perm = _dispatch_chunks(
+            texts, self.batch_size, self.tokenizer, self.max_length, self._forward
+        )
         if len(pending) == 1:
             ids, w = pending[0]
         else:
@@ -278,6 +264,13 @@ class JaxSpladeProvider(SparseEmbeddingProvider):
         return (
             jnp.where(live, ids, 0).astype(jnp.int32),
             jnp.where(live, w, 0.0).astype(jnp.float32),
+        )
+
+    def _forward(
+        self, input_ids: jax.Array, attention_mask: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        return splade_topk_terms(
+            self.params, self.config, input_ids, attention_mask, max_nnz=self.max_nnz
         )
 
     def get_dimension(self) -> int:

@@ -18,6 +18,11 @@ from typing import Any, Sequence
 logger = logging.getLogger(__name__)
 
 
+def _texts_for(results: list[Any], text_field: str) -> list[str]:
+    """The scored attribute per result, falling back to ``.text``."""
+    return [getattr(r, text_field, None) or getattr(r, "text", "") for r in results]
+
+
 class Reranker(ABC):
     @abstractmethod
     def rerank(self, question: str, results: list[Any]) -> list[Any]:
@@ -43,7 +48,7 @@ class BaseReranker(Reranker):
         """Relevance score per text (higher = more relevant)."""
 
     def _get_texts(self, results: list[Any]) -> list[str]:
-        return [getattr(r, self.text_field, None) or getattr(r, "text", "") for r in results]
+        return _texts_for(results, self.text_field)
 
     def rerank(self, question: str, results: list[Any]) -> list[Any]:
         if not results:
@@ -104,12 +109,14 @@ class JinaV3Reranker(Reranker):
             return results
         head = results[: self.rerank_k]
         tail = results[self.rerank_k :]
-        texts = [getattr(r, self.text_field, None) or getattr(r, "text", "") for r in head]
-        ranked = self.model.rerank(question, texts, top_n=self.rerank_k)
+        ranked = self.model.rerank(
+            question, _texts_for(head, self.text_field), top_n=self.rerank_k
+        )
         order = [item["index"] for item in ranked]
         # The model may return fewer than len(head) items (top_n cut);
         # preserve every result — unranked head entries keep retrieval order.
-        rest = [i for i in range(len(head)) if i not in set(order)]
+        seen = set(order)
+        rest = [i for i in range(len(head)) if i not in seen]
         return [head[i] for i in order + rest] + tail
 
 
