@@ -141,23 +141,31 @@ def main() -> None:
 
     sel = candidate_select(False)
 
+    # The corpus arrays are jit ARGUMENTS, never closure captures: a
+    # closed-over concrete array lowers as a dense constant inside the HLO
+    # module, so the [1M, 768] sketch matrix alone inflated the module to
+    # ~3 GB — the serving programs (`ops/hybrid.py`) compile these shapes
+    # fine over the same tunnel precisely because they take the corpus as
+    # runtime parameters. (Observed live: the closure version wedged the
+    # remote-compile RPC at 10 GB client RSS; this version compiles in
+    # seconds.)
     @jax.jit
-    def stage_dense(dq):
+    def stage_dense(dense, dense_scale, dq):
         s = dense_scores(dense, dq, dense_scale)
         return sel(s, k=args.fetch_k)
 
     @jax.jit
-    def stage_sketch(sq):
+    def stage_sketch(sketch, sketch_scale, sq):
         s = dense_scores(sketch, sq, sketch_scale)
         return sel(s, k=args.depth)
 
     mark("compiling stage_sketch")
-    cand = np.asarray(_retry_compile(stage_sketch, sq)[1])
+    cand = np.asarray(_retry_compile(stage_sketch, sketch, sketch_scale, sq)[1])
     cand_dev = jnp.asarray(cand)
     mark("stage_sketch compiled")
 
     @jax.jit
-    def stage_rescore(cand_dev, q_ids, q_w):
+    def stage_rescore(sp_ids, sp_w, cand_dev, q_ids, q_w):
         return exact_rescore_device(cand_dev, sp_ids, sp_w, q_ids, q_w)
 
     @jax.jit
@@ -170,9 +178,9 @@ def main() -> None:
         return rrf_fuse_device(stacked, w, k=10, rrf_k=60)
 
     mark("compiling stage_dense")
-    d_rows = _retry_compile(stage_dense, dq)[1]
+    d_rows = _retry_compile(stage_dense, dense, dense_scale, dq)[1]
     mark("compiling stage_rescore")
-    exact = _retry_compile(stage_rescore, cand_dev, q_ids, q_w)
+    exact = _retry_compile(stage_rescore, sp_ids, sp_w, cand_dev, q_ids, q_w)
     mark("precomputes done; timing stages")
 
     fused = partial(
@@ -198,9 +206,9 @@ def main() -> None:
 
     total = 0.0
     for key, fn, fargs in (
-        ("dense_mm_select_ms", stage_dense, (dq,)),
-        ("sketch_mm_select_ms", stage_sketch, (sq,)),
-        ("rescore_ms", stage_rescore, (cand_dev, q_ids, q_w)),
+        ("dense_mm_select_ms", stage_dense, (dense, dense_scale, dq)),
+        ("sketch_mm_select_ms", stage_sketch, (sketch, sketch_scale, sq)),
+        ("rescore_ms", stage_rescore, (sp_ids, sp_w, cand_dev, q_ids, q_w)),
         ("fuse_ms", stage_fuse, (exact, cand_dev, d_rows)),
     ):
         val = timeit(fn, *fargs)
