@@ -51,6 +51,15 @@ def _retry_compile(fn, *args, attempts=6, sleep_s=45):
 
 
 def timeit(fn, *args, warmup=2, reps=6):
+    """Returns (sync_ms, pipelined_ms).
+
+    sync_ms: median of per-call host-synchronous timings — includes one
+    tunnel round-trip (~31 ms on this setup) per call, which distorts
+    per-stage attribution. pipelined_ms: dispatch `reps` calls async and
+    sync once at the end — the device executes them back to back, so
+    (total − one readback) / reps is an honest per-call DEVICE time.
+    """
+
     def run():
         out = fn(*args)
         np.asarray(out[0] if isinstance(out, tuple) else out)
@@ -63,7 +72,13 @@ def timeit(fn, *args, warmup=2, reps=6):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
-    return float(np.median(times) * 1000)
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn(*args)
+    np.asarray(out[0] if isinstance(out, tuple) else out)
+    pipelined = (time.perf_counter() - t0) / reps
+    return float(np.median(times) * 1000), float(pipelined * 1000)
 
 
 def main() -> None:
@@ -195,27 +210,29 @@ def main() -> None:
         "depth": args.depth, "fetch_k": args.fetch_k,
     }
 
-    def report(key, val):
+    def report(key, sync_ms, device_ms):
         print(
             json.dumps(
-                {"metric": f"stage_{key}", "value": round(val, 3), "unit": "ms",
+                {"metric": f"stage_{key}", "value": round(sync_ms, 3),
+                 "device_ms": round(device_ms, 3), "unit": "ms",
                  "config": config}
             ),
             flush=True,  # piped runs must not lose results on timeout
         )
 
-    total = 0.0
+    total_sync = total_dev = 0.0
     for key, fn, fargs in (
         ("dense_mm_select_ms", stage_dense, (dense, dense_scale, dq)),
         ("sketch_mm_select_ms", stage_sketch, (sketch, sketch_scale, sq)),
         ("rescore_ms", stage_rescore, (sp_ids, sp_w, cand_dev, q_ids, q_w)),
         ("fuse_ms", stage_fuse, (exact, cand_dev, d_rows)),
     ):
-        val = timeit(fn, *fargs)
-        total += val
-        report(key, val)
-    report("sum_of_stages_ms", total)
-    report("fused_full_ms", timeit(lambda: fused(dq, sq, q_ids, q_w)))
+        sync_ms, device_ms = timeit(fn, *fargs)
+        total_sync += sync_ms
+        total_dev += device_ms
+        report(key, sync_ms, device_ms)
+    report("sum_of_stages_ms", total_sync, total_dev)
+    report("fused_full_ms", *timeit(lambda: fused(dq, sq, q_ids, q_w)))
 
 
 if __name__ == "__main__":
