@@ -293,3 +293,39 @@ class TestDeviceHandoff:
         idx = self._jax_index()
         hits = idx.query("sunlight", k=2)
         assert hits and all(h.score != 0 for h in hits)
+
+
+class TestDocsJsonSafety:
+    def test_save_with_non_json_metadata_survives(self, tmp_path):
+        """Document metadata with datetime/enum/set must not crash docs.json
+        (the store had already been written — a crash there leaves partial
+        state on disk)."""
+        import datetime
+        import enum
+
+        class Kind(enum.Enum):
+            REPORT = "report"
+
+        idx = VerbatimIndex(
+            dense_provider=HashedBowDenseProvider(dim=64),
+            sparse_provider=None,
+        )
+        idx.add_documents(
+            [
+                DocumentSchema(
+                    content="# T\n\nSome content body for chunking purposes.",
+                    title="T",
+                    source="t.md",
+                    created=datetime.datetime(2026, 8, 17, 12, 0, 0),
+                    kind=Kind.REPORT,
+                    tags={"a", "b"},
+                )
+            ]
+        )
+        path = str(tmp_path / "idx")
+        idx.save(path)
+        import json as _json
+
+        with open(path + ".docs.json") as f:
+            docs = _json.load(f)
+        assert docs  # round-trips as plain JSON

@@ -665,3 +665,129 @@ class TestDeviceQueryHandoff:
             top_k=4,
         )
         assert self._flat(host) == self._flat(dev)
+
+
+class TestReviewRound3Fixes:
+    """Regressions for the round-3 serving-path review findings."""
+
+    def test_batch_with_mid_batch_duplicate_queues_nothing(self):
+        store = fill(make_store())
+        batch = [
+            {"id": "new1", "text": "a", "metadata": {}, "dense": _unit(1)},
+            {"id": "c0", "text": "dup", "metadata": {}, "dense": _unit(2)},
+            {"id": "new2", "text": "b", "metadata": {}, "dense": _unit(3)},
+        ]
+        with pytest.raises(ValueError, match="Duplicate id"):
+            store.add_vectors(batch)
+        # Atomicity: NOTHING from the rejected batch may have been queued.
+        store.flush()
+        assert store.count() == 10
+        assert "new1" not in store._row_of
+
+    def test_in_batch_duplicate_rejected(self):
+        store = make_store()
+        batch = [
+            {"id": "x", "text": "a", "metadata": {}, "dense": _unit(1)},
+            {"id": "x", "text": "b", "metadata": {}, "dense": _unit(2)},
+        ]
+        with pytest.raises(ValueError, match="Duplicate id"):
+            store.add_vectors(batch)
+        assert store.count() == 0
+
+    def test_unavailable_search_type_raises(self):
+        store = fill(make_store())  # no full_text index
+        with pytest.raises(ValueError, match="full_text"):
+            store.query(text_query="topic", search_type="full_text")
+
+    def test_query_against_missing_index_raises_not_browses(self):
+        # Dense-only store, sparse query: must raise, not return arbitrary
+        # rows with score 0.0 dressed up as results.
+        store = DeviceVectorStore(dense_dim=8, sparse_vocab=None, block=16)
+        store.add_vectors(
+            [{"id": f"r{i}", "text": "t", "metadata": {}, "dense": _unit(i)} for i in range(4)]
+        )
+        with pytest.raises(ValueError, match="no matching"):
+            store.query(sparse_query={1: 1.0})
+
+    def test_unknown_search_type_raises(self):
+        store = fill(make_store())
+        with pytest.raises(ValueError, match="fulltext"):
+            store.query(search_type="fulltext")  # typo'd name
+
+    def test_filter_only_browse_still_works(self):
+        store = fill(make_store())
+        hits = store.query(filter={"document_id": "d1"}, top_k=5)
+        assert hits and all(h.metadata["document_id"] == "d1" for h in hits)
+
+    def test_save_empty_full_text_store(self, tmp_path):
+        store = DeviceVectorStore(
+            dense_dim=8, sparse_vocab=None, enable_full_text=True, block=16
+        )
+        path = str(tmp_path / "empty_ft")
+        store.save(path)  # must not crash on the never-flushed ft arrays
+        loaded = DeviceVectorStore.load(path)
+        assert loaded.count() == 0
+
+    def test_promoted_none_dict_filter_matches_missing_field(self):
+        store = make_store()
+        store.add_vectors(
+            [
+                {"id": "with", "text": "t", "metadata": {"document_id": "d9"},
+                 "dense": _unit(0)},
+                {"id": "without", "text": "t", "metadata": {}, "dense": _unit(1)},
+            ]
+        )
+        store.flush()
+        hits = store.query(filter={"document_id": None}, top_k=5)
+        assert [h.id for h in hits] == ["without"]
+
+    def test_bm25_idf_stable_under_delete(self):
+        """df/N must track live rows: idf after delete == idf after compact."""
+        store = DeviceVectorStore(
+            dense_dim=None, sparse_vocab=None, enable_full_text=True, block=16
+        )
+        recs = [
+            {"id": "a", "text": "apple banana", "metadata": {}},
+            {"id": "b", "text": "apple cherry", "metadata": {}},
+            {"id": "c", "text": "banana cherry durian", "metadata": {}},
+        ]
+        store.add_vectors(recs)
+        store.flush()
+        store.delete(["b"])
+        idf_tombstoned = store._bm25_query_sparse(["apple banana cherry durian"])[0]
+        store.compact()
+        idf_compacted = store._bm25_query_sparse(["apple banana cherry durian"])[0]
+        assert idf_tombstoned.keys() == idf_compacted.keys()
+        for t in idf_tombstoned:
+            assert idf_tombstoned[t] == pytest.approx(idf_compacted[t], rel=1e-6)
+
+    def test_bm25_delete_is_idempotent_on_stats(self):
+        store = DeviceVectorStore(
+            dense_dim=None, sparse_vocab=None, enable_full_text=True, block=16
+        )
+        store.add_vectors(
+            [
+                {"id": "a", "text": "apple banana", "metadata": {}},
+                {"id": "b", "text": "apple", "metadata": {}},
+            ]
+        )
+        store.flush()
+        store.delete(["a"])
+        df_after = store._doc_freq.copy()
+        store.delete(["a"])  # second delete of the same id: no double-decrement
+        np.testing.assert_array_equal(store._doc_freq, df_after)
+        assert (store._doc_freq >= 0).all()
+
+    def test_unfiltered_mask_reuses_device_validity(self):
+        store = fill(make_store())
+        mask = store._build_mask(None)
+        assert mask is store._valid_dev  # no per-query host rebuild/upload
+        store.delete(["c3"])
+        hits = store.query(dense_query=_unit(3), top_k=3)
+        assert all(h.id != "c3" for h in hits)
+
+    def test_filtered_mask_still_excludes_tombstones(self):
+        store = fill(make_store())
+        store.delete(["c1"])  # c1 has document_id d1
+        hits = store.query(filter={"document_id": "d1"}, top_k=10)
+        assert hits and all(h.id != "c1" for h in hits)

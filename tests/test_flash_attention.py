@@ -79,3 +79,26 @@ class TestFlashGradient:
         lengths = jnp.asarray([32], jnp.int32)
         g = jax.grad(lambda x: flash_attention(x, q, q, lengths, 8).sum())(q)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestNonDividingBlocks:
+    def test_k_block_not_dividing_q_block_padding(self):
+        """q_block=128, k_block=96: padding must go to lcm=384, not max=128 —
+        a max-padded length leaves the final K pl.ds slice clamping OOB and
+        silently double-counting keys."""
+        q, k, v = _qkv(batch=1, seq=200)
+        lengths = jnp.asarray([200], jnp.int32)
+        expected = np.asarray(attention_reference(q, k, v, lengths))
+        got = np.asarray(
+            flash_attention_tpu(q, k, v, lengths, q_block=128, k_block=96, interpret=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)
+
+    def test_q_block_not_dividing_k_block_padding(self):
+        q, k, v = _qkv(batch=1, seq=150)
+        lengths = jnp.asarray([150], jnp.int32)
+        expected = np.asarray(attention_reference(q, k, v, lengths))
+        got = np.asarray(
+            flash_attention_tpu(q, k, v, lengths, q_block=96, k_block=128, interpret=True)
+        )
+        np.testing.assert_allclose(got, expected, rtol=2e-4, atol=2e-4)

@@ -140,3 +140,48 @@ class TestRingGradient:
         g_jnp = np.asarray(jax.grad(lambda x: loss(x, False))(q))
         np.testing.assert_allclose(g_flash, g_jnp, rtol=2e-4, atol=2e-5)
         assert np.abs(g_flash).max() > 0
+
+
+class TestHaloPrecondition:
+    def test_halo_matches_reference(self, mesh):
+        from verbatim_rag_tpu.ops.ring_attention import halo_attention
+
+        batch, seq, heads, head_dim = 2, 64, 2, 16
+        shape = (batch, seq, heads, head_dim)
+        q = jnp.asarray(RNG.normal(size=shape), jnp.float32)
+        k = jnp.asarray(RNG.normal(size=shape), jnp.float32)
+        v = jnp.asarray(RNG.normal(size=shape), jnp.float32)
+        lengths = jnp.asarray([64, 50], jnp.int32)
+        window = 16  # halo 8 == shard_len 8: boundary-legal
+        expected = np.asarray(attention_reference(q, k, v, lengths, window=window))
+        got = np.asarray(
+            halo_attention(
+                shard_sequence(q, mesh), shard_sequence(k, mesh),
+                shard_sequence(v, mesh), lengths, window, mesh,
+            )
+        )
+        np.testing.assert_allclose(got[0], expected[0], rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(got[1, :50], expected[1, :50], rtol=2e-4, atol=2e-4)
+
+    def test_oversized_window_raises_clear_error(self, mesh):
+        """window//2 > shard length: must raise up front with a readable
+        message, not crash deep inside shard_map on a slice shape."""
+        from verbatim_rag_tpu.ops.ring_attention import halo_attention
+
+        shape = (1, 64, 1, 8)  # shard_len 8 over 8 devices
+        q = jnp.asarray(RNG.normal(size=shape), jnp.float32)
+        lengths = jnp.asarray([64], jnp.int32)
+        with pytest.raises(ValueError, match="halo_attention requires"):
+            halo_attention(
+                shard_sequence(q, mesh), shard_sequence(q, mesh),
+                shard_sequence(q, mesh), lengths, 32, mesh,
+            )
+
+    def test_uneven_shard_raises(self, mesh):
+        from verbatim_rag_tpu.ops.ring_attention import halo_attention
+
+        shape = (1, 60, 1, 8)  # 60 does not divide over 8 devices
+        q = jnp.zeros(shape, jnp.float32)
+        lengths = jnp.asarray([60], jnp.int32)
+        with pytest.raises(ValueError, match="divide evenly"):
+            halo_attention(q, q, q, lengths, 8, mesh)

@@ -353,7 +353,13 @@ def compile_filter(
         )
         if fieldname in promoted_columns:
             column = promoted_columns[fieldname][:n_rows]
-            wanted = np.array([stable_hash64(v) for v in values], dtype=np.int64)
+            # None maps to the ingest sentinel (0) so {'document_id': None}
+            # selects rows missing the field — matching the non-promoted
+            # dict branch (None in [None]) and the expression path.
+            wanted = np.array(
+                [np.int64(0) if v is None else stable_hash64(v) for v in values],
+                dtype=np.int64,
+            )
             mask &= np.isin(column, wanted)
         else:
             row_ok = np.fromiter(

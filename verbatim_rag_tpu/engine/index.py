@@ -354,8 +354,13 @@ class VerbatimIndex:
         if not path:
             raise ValueError("No path given and no db_path configured")
         self.store.save(path)
+        # json_safe: document metadata may hold datetimes/enums/sets — the
+        # store's own dump already tolerates them; docs.json must too, or a
+        # save crashes AFTER the store files were written (partial state).
+        from .store import json_safe
+
         with open(path + ".docs.json", "w") as f:
-            json.dump(self.documents, f)
+            json.dump(self.documents, f, default=json_safe)
         # Provider identity: an index is only meaningful in the vector space
         # of the providers that built it (ADVICE round 1) — persist who they
         # were so `load` reconstructs the same space or fails loudly.

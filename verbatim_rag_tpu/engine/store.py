@@ -85,6 +85,27 @@ class VectorStore(ABC):
         """Remove records by id."""
 
 
+def json_safe(value):
+    """``json.dump`` default for metadata payloads.
+
+    Parity: `vector_stores/utils.py:10-29` json_serialize_safe —
+    datetimes/enums/sets in metadata must not break persistence. Shared by
+    the store's own state dump and ``VerbatimIndex.save``'s docs.json.
+    """
+    import datetime
+    import enum
+
+    if isinstance(value, (datetime.date, datetime.datetime)):
+        return value.isoformat()
+    if isinstance(value, enum.Enum):
+        return value.value
+    if isinstance(value, (set, frozenset)):
+        return sorted(value)
+    if isinstance(value, np.generic):
+        return value.item()
+    return str(value)
+
+
 def _fnv1a(token: str) -> int:
     """FNV-1a 32-bit — identical to the C++ analyzer so an index built with
     either implementation is queryable with the other."""
@@ -355,11 +376,17 @@ class DeviceVectorStore(VectorStore):
         or None). Full-text stats are derived from ``text`` automatically
         when enabled.
         """
+        # Validate the WHOLE batch before queueing any of it: a mid-loop
+        # raise would leave earlier records in _pending, silently half-
+        # ingesting a batch the caller believes was rejected. Checks cover
+        # flushed rows, the unflushed pending buffer, and in-batch dups.
+        seen: set[str] = set()
         for rec in records:
-            # Check flushed rows AND the unflushed pending buffer — a dup
-            # queued before a flush would otherwise materialize twice.
-            if rec["id"] in self._row_of or rec["id"] in self._pending_ids:
-                raise ValueError(f"Duplicate id: {rec['id']}")
+            rid = rec["id"]
+            if rid in self._row_of or rid in self._pending_ids or rid in seen:
+                raise ValueError(f"Duplicate id: {rid}")
+            seen.add(rid)
+        for rec in records:
             self._pending.append(rec)
             self._pending_ids.add(rec["id"])
 
@@ -637,6 +664,20 @@ class DeviceVectorStore(VectorStore):
         rows = [self._row_of[i] for i in ids if i in self._row_of]
         if not rows:
             return
+        if self.enable_full_text and self._doc_freq is not None:
+            # Keep BM25 corpus stats honest under tombstones: re-derive each
+            # deleted row's terms from its host-side text (same analyzer +
+            # same truncation policy as ingest, so the decrement mirrors the
+            # increment exactly) and drop them from the document frequencies.
+            # Without this, idf drifts after deletes until a compact().
+            for r in rows:
+                if not self._valid[r]:
+                    continue  # already tombstoned; don't double-decrement
+                terms, tfs, _dl = _analyze(self._texts[r], self.full_text_vocab)
+                if len(terms) > self.full_text_max_nnz:
+                    top = np.argsort(-tfs)[: self.full_text_max_nnz]
+                    terms = terms[top]
+                self._doc_freq[terms] -= 1
         self._valid[rows] = False
         if self._valid_dev is not None:
             self._valid_dev = self._place(
@@ -875,10 +916,39 @@ class DeviceVectorStore(VectorStore):
         if text_queries is not None and self.enable_full_text:
             methods["full_text"] = text_queries
 
-        if search_type in ("dense", "sparse", "full_text") and search_type in methods:
+        if search_type in ("dense", "sparse", "full_text"):
+            if search_type not in methods:
+                raise ValueError(
+                    f"search_type={search_type!r} requested but that method is "
+                    f"unavailable here (available: {sorted(methods) or 'none'})"
+                )
             methods = {search_type: methods[search_type]}
 
         if not methods:
+            # Filter-only browse is only legitimate when the caller supplied
+            # NO query payload. A query that can't be served (provider/index
+            # mismatch, or an unknown search_type string) must raise — not
+            # degrade into arbitrary rows presented as results with score 0.
+            asked = [
+                name
+                for name, q in (
+                    ("dense", dense_queries),
+                    ("sparse", sparse_queries),
+                    ("full_text", text_queries),
+                )
+                if q is not None
+            ]
+            if asked:
+                raise ValueError(
+                    f"Query supplied for {asked} but the store has no matching "
+                    "index (dense requires dense vectors at ingest; sparse a "
+                    "sparse index; full_text enable_full_text=True)"
+                )
+            if search_type not in (None, "filter"):
+                raise ValueError(
+                    f"Unknown or unavailable search_type {search_type!r} "
+                    "(expected 'dense', 'sparse', 'full_text', or None)"
+                )
             return self._filter_only(mask, top_k, dense_queries, sparse_queries, text_queries)
 
         if len(methods) == 1 and not hybrid_weights:
@@ -976,6 +1046,12 @@ class DeviceVectorStore(VectorStore):
     def _build_mask(self, filter: FilterSpec):
         import jax.numpy as jnp
 
+        if filter is None and self._valid_dev is not None:
+            # Unfiltered serving path: the device validity mask is kept
+            # current by flush/delete/reserve/compact, so reuse it — the
+            # host rebuild below costs O(capacity) CPU work plus a [cap]
+            # H2D upload per query, on a path that otherwise syncs once.
+            return self._valid_dev
         n = len(self._ids)
         filter_mask = compile_filter(filter, n, self._promoted, self._metadata)
         host = np.zeros(self._capacity, bool)
@@ -1184,8 +1260,12 @@ class DeviceVectorStore(VectorStore):
 
     def _bm25_query_sparse(self, texts: Sequence[str]) -> list[dict[int, float]]:
         """BM25 query side: {term: idf(term)} per text."""
-        n = max(len(self._ids), 1)
-        df = self._doc_freq.astype(np.float64)
+        # N = live documents only — tombstoned rows are excluded from both
+        # df (decremented in delete()) and N, so idf matches a compacted
+        # store bit-for-bit in df and to rounding in N.
+        n_rows = len(self._ids)
+        n = max(int(self._valid[:n_rows].sum()), 1)
+        df = np.maximum(self._doc_freq.astype(np.float64), 0.0)
         idf = np.log1p((n - df + 0.5) / (df + 0.5)).astype(np.float32)
         out = []
         for text in texts:
@@ -1324,28 +1404,14 @@ class DeviceVectorStore(VectorStore):
         if self._sp_ids is not None:
             arrays["sp_ids"] = np.asarray(self._sp_ids[:n])
             arrays["sp_w"] = np.asarray(self._sp_w[:n])
-        if self.enable_full_text:
+        if self.enable_full_text and self._ft_ids is not None:
+            # (guarded like dense/sparse: an empty never-flushed store has
+            # no full-text arrays yet)
             arrays["ft_ids"] = np.asarray(self._ft_ids[:n])
             arrays["ft_tf"] = np.asarray(self._ft_tf[:n])
             arrays["doc_len"] = self._doc_len[:n]
             arrays["doc_freq"] = self._doc_freq
         np.savez_compressed(path + ".npz", **arrays)
-
-        def _json_safe(value):
-            # Parity: `vector_stores/utils.py:10-29` json_serialize_safe —
-            # datetimes/enums/sets in metadata must not break persistence.
-            import datetime
-            import enum
-
-            if isinstance(value, (datetime.date, datetime.datetime)):
-                return value.isoformat()
-            if isinstance(value, enum.Enum):
-                return value.value
-            if isinstance(value, (set, frozenset)):
-                return sorted(value)
-            if isinstance(value, np.generic):
-                return value.item()
-            return str(value)
 
         with open(path + ".json", "w") as f:
             json.dump(
@@ -1374,7 +1440,7 @@ class DeviceVectorStore(VectorStore):
                     "metadata": self._metadata,
                 },
                 f,
-                default=_json_safe,
+                default=json_safe,
             )
 
     @classmethod

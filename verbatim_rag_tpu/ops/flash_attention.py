@@ -20,6 +20,7 @@ against the reference).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -134,8 +135,9 @@ def flash_attention_tpu(
 
     # Pad the sequence to a common block multiple: the in-kernel `pl.ds`
     # K-slices must never run off the array (OOB dynamic slices clamp and
-    # would silently misalign the mask).
-    unit = max(q_block, k_block)
+    # would silently misalign the mask). lcm, not max: with q_block=512,
+    # k_block=384, max would pad to 512 and the second K-slice would clamp.
+    unit = math.lcm(q_block, k_block)
     seq = ((orig_seq + unit - 1) // unit) * unit
     if seq != orig_seq:
         pad = ((0, 0), (0, seq - orig_seq), (0, 0), (0, 0))

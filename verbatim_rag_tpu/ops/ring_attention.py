@@ -158,6 +158,22 @@ def halo_attention(
     """
     halo = window // 2
     seq_len = q.shape[1]
+    n_dev = mesh.shape[axis]
+    if seq_len % n_dev != 0:
+        raise ValueError(
+            f"halo_attention: sequence length {seq_len} must divide evenly "
+            f"over {n_dev} devices on mesh axis {axis!r}"
+        )
+    if seq_len // n_dev < halo:
+        # Validate the documented precondition up front — violating it
+        # would otherwise surface as a cryptic shape mismatch inside
+        # shard_map (the k_s[:, -halo:] slice spans a whole shard).
+        raise ValueError(
+            f"halo_attention requires shard length (S/n_devices = "
+            f"{seq_len // n_dev}) >= window//2 = {halo}; shorten the window, "
+            "use fewer devices on the sequence axis, or fall back to "
+            "ring_attention for this layer"
+        )
 
     def local_fn(q_s, k_s, v_s, lengths_rep):
         n_dev = jax.lax.axis_size(axis)
