@@ -385,3 +385,48 @@ class TestBatcherWorkerDeath:
         # Worker died — but deregistered, so a later submit spawns a new one.
         result = await aio.wait_for(b.submit("second", {"k": 1}), timeout=5)
         assert result == "second"
+
+
+class TestReviewRound3ApiFixes:
+    """Regressions for the round-3 extraction/serving-layer review."""
+
+    async def test_stream_response_carries_cors_headers(self, client_factory):
+        """CORS must be on the NDJSON stream's ACTUAL headers — the
+        middleware's post-handler update is a no-op once the stream is
+        prepared, so a cross-origin frontend would block the body."""
+        from aiohttp.test_utils import TestClient, TestServer
+
+        async with TestClient(TestServer(client_factory())) as client:
+            resp = await client.post(
+                "/api/query/stream",
+                json={"question": "how do panels work"},
+                headers={"Origin": "https://example.com"},
+            )
+            assert resp.status == 200
+            assert resp.headers.get("Access-Control-Allow-Origin") == "*"
+            await resp.text()
+
+    async def test_transform_empty_context_text_is_not_500(self, client_factory):
+        status, body, _ = await _request(
+            client_factory(),
+            "POST",
+            "/api/transform/verbatim",
+            {"question": "x", "context": [""]},
+        )
+        assert status == 200, body
+
+    def test_transform_pipeline_is_cached(self, client_factory):
+        from verbatim_rag_tpu.api import app as app_mod
+
+        client_factory()
+        app_mod._transform_cache = None
+        first = app_mod._get_transform()
+        second = app_mod._get_transform()
+        assert first is second
+
+    def test_cors_origins_env_strips_whitespace(self, monkeypatch):
+        from verbatim_rag_tpu.api.config import APIConfig
+
+        monkeypatch.setenv("CORS_ORIGINS", "https://a.com, https://b.com")
+        cfg = APIConfig.from_env()
+        assert cfg.cors_origins == ["https://a.com", "https://b.com"]

@@ -123,3 +123,30 @@ def test_sp_extractor_no_windowing_matches_windowed():
     spans_w = windowed.process("what is noteworthy?", context)
     spans_sp = sp.process("what is noteworthy?", context)
     assert spans_sp == spans_w
+
+
+def test_sp_long_row_is_not_truncated_in_layout():
+    """SP rows past the last tokenizer bucket used to be clamped to 8192 by
+    bucket_length, truncating `row[:seq]` while the aggregation layout still
+    expected the full context — a numpy broadcast ValueError on exactly the
+    long-context inputs the SP path exists for. The forward is stubbed: this
+    exercises the window/layout/aggregation plumbing only."""
+    from verbatim_rag_tpu.models.config import tiny_test_config
+    from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+
+    class StubForward(ModelSpanExtractor):
+        def _forward_probs(self, ids, mask):
+            return np.ones(ids.shape, np.float32) * mask
+
+    extractor = StubForward(
+        config=tiny_test_config(),
+        threshold=0.5,
+        min_span_chars=3,
+        merge_gap_chars=5,
+        sp_mesh=object(),  # only truthiness is consulted before the stub
+    )
+    context = "word " * 9000 + "needle."
+    spans = extractor.process("find the needle", context)
+    # Every token above threshold → one span covering the whole document,
+    # including the region past the old 8192-token clamp.
+    assert spans and spans[-1][1] == len(context)

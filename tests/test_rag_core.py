@@ -354,3 +354,88 @@ class TestBaseRerankerTextField:
         r = R(rerank_k=5, text_field="enhanced_text")
         r.rerank("q", [SimpleNamespace(text="t", enhanced_text="e")])
         assert seen["texts"] == ["e"]
+
+
+class TestExtractorReviewFixes:
+    """Regressions for the round-3 extraction-layer review findings."""
+
+    def _extractor(self, **kwargs):
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+
+        defaults = dict(
+            config=tiny_test_config(),
+            threshold=0.0,
+            min_span_chars=5,
+            max_length=64,
+            doc_stride=8,
+        )
+        defaults.update(kwargs)
+        return ModelSpanExtractor(**defaults)
+
+    def test_make_windows_terminates_when_budget_below_stride(self):
+        from verbatim_rag_tpu.models.highlighter import ModelSpanExtractor
+
+        # budget 16 <= stride 256: step would be negative — must terminate
+        # and still cover all tokens.
+        windows = ModelSpanExtractor._make_windows(100, 16, 256)
+        assert windows[0][0] == 0
+        covered = max(s + ln for s, ln in windows)
+        assert covered >= 100
+        assert len(windows) < 200  # advances at least one token per window
+
+    def test_long_document_tokens_past_8192_are_scored(self):
+        """bucket_length used to clamp at 8192, silently truncating the
+        whole-document tokenize in _plan — spans after ~8k tokens could
+        never be found."""
+        extractor = self._extractor(threshold=-1.0, min_span_chars=3)
+        # ~9000 words → > 8192 tokens; the unique needle lives at the END.
+        context = "word " * 9000 + "needle."
+        plan = extractor._plan("find the needle", context)
+        assert plan["n_tokens"] > 8192
+        # Tokens must reach the very end of the document (the final "." of
+        # "needle." is the last char).
+        assert plan["offsets"][-1][1] == len(context)
+        assert "needle" in context[plan["offsets"][-2][0] : plan["offsets"][-2][1]]
+
+    def test_bucket_length_grows_past_last_bucket(self):
+        from verbatim_rag_tpu.models.tokenizer import bucket_length
+
+        assert bucket_length(8192) == 8192
+        assert bucket_length(8193) == 16384
+        assert bucket_length(20000) == 24576
+
+    def test_sentences_mode_applies_through_extract_spans(self):
+        """mode='sentences' must act via the pipeline entry point
+        (extract_spans → process_batch), not only via direct process()."""
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.highlighter import SemanticHighlightExtractor
+
+        extractor = SemanticHighlightExtractor(
+            config=tiny_test_config(),
+            mode="sentences",
+            threshold=0.0,
+            min_span_chars=5,
+            max_length=64,
+            doc_stride=8,
+        )
+        text = "First sentence here. Second sentence follows. Third one ends."
+        result = MagicMock()
+        result.text = text
+        spans = extractor.extract_spans("anything", [result])[text]
+        assert spans  # random weights + threshold 0: something selected
+        for s in spans:
+            # Sentence snapping: every span starts at a sentence boundary.
+            start = text.find(s)
+            assert start == 0 or text[start - 1] in " \n"
+            assert s.rstrip().endswith(".")
+
+    def test_structured_template_rejects_span_only_placeholders(self):
+        from verbatim_rag_tpu.core.templates.structured import StructuredTemplate
+
+        st = StructuredTemplate()
+        with pytest.raises(ValueError):
+            st.validate_template("Refs: [CITATION_REFS]")
+        with pytest.raises(ValueError):
+            st.validate_template("Only [SPAN_2] here")
+        st.validate_template("[METHODOLOGY] and [DISPLAY_SPANS]")  # fine

@@ -14,6 +14,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+from typing import Any
 
 from aiohttp import web
 
@@ -71,7 +72,10 @@ async def handle_query(request: web.Request) -> web.Response:
             f"question must be a non-empty string of at most "
             f"{config.max_question_length} characters"
         )
-    rag = deps.get_rag()
+    # to_thread: first-time construction (index load + model init) takes
+    # seconds and shares a lock with the warmup thread — calling it inline
+    # would freeze the event loop for every other connection.
+    rag = await asyncio.to_thread(deps.get_rag)
     params = {
         "k": data.get("k"),
         "filter": data.get("filter"),
@@ -112,7 +116,7 @@ async def handle_query_async(request: web.Request) -> web.Response:
     question = _validate_question(data, config.max_question_length)
     if question is None:
         return _json_error("invalid question")
-    rag = deps.get_rag()
+    rag = await asyncio.to_thread(deps.get_rag)
     try:
         response = await rag.query_async(
             question,
@@ -141,10 +145,32 @@ async def handle_transform(request: web.Request) -> web.Response:
     if not question or not context:
         return _json_error("need 'question' and 'context'")
 
+    vt = await asyncio.to_thread(_get_transform)
+    try:
+        response = await vt.transform_async(question=question, context=context)
+    except Exception as exc:
+        logger.exception("Transform failed")
+        return _json_error(f"transform failed: {exc}", status=500)
+    return web.json_response(response.model_dump())
+
+
+_transform_cache: tuple[Any, Any] | None = None  # (llm identity, VerbatimTransform)
+
+
+def _get_transform():
+    """Cached stateless transform pipeline.
+
+    Building it per request re-initializes an entire encoder parameter tree
+    on device (the offline extractor) — cache one instance like the other
+    deps singletons, invalidating only if the LLM client identity changes.
+    """
+    global _transform_cache
     from verbatim_rag_tpu.core.templates import TemplateManager
     from verbatim_rag_tpu.core.transform import VerbatimTransform
 
     llm = deps.get_llm_client()
+    if _transform_cache is not None and _transform_cache[0] is llm:
+        return _transform_cache[1]
     vt = VerbatimTransform(
         llm_client=llm,
         extractor=None if llm else _offline_extractor(),
@@ -152,12 +178,8 @@ async def handle_transform(request: web.Request) -> web.Response:
             llm_client=llm, default_mode="contextual" if llm else "static"
         ),
     )
-    try:
-        response = await vt.transform_async(question=question, context=context)
-    except Exception as exc:
-        logger.exception("Transform failed")
-        return _json_error(f"transform failed: {exc}", status=500)
-    return web.json_response(response.model_dump())
+    _transform_cache = (llm, vt)
+    return vt
 
 
 def _offline_extractor():
@@ -188,7 +210,7 @@ async def handle_query_stream(request: web.Request) -> web.StreamResponse:
 
     from verbatim_rag_tpu.rag.streaming import StreamingRAG
 
-    stream = StreamingRAG(deps.get_rag())
+    stream = StreamingRAG(await asyncio.to_thread(deps.get_rag))
     response = web.StreamResponse(
         status=200,
         headers={
@@ -196,6 +218,10 @@ async def handle_query_stream(request: web.Request) -> web.StreamResponse:
             "Cache-Control": "no-cache",
             "X-Accel-Buffering": "no",  # anti-buffering (parity: api/app.py:352-402)
             "Connection": "keep-alive",
+            # CORS must be set BEFORE prepare() transmits the headers — the
+            # middleware's post-handler update is a no-op on a prepared
+            # stream, and a cross-origin frontend would block the NDJSON.
+            **_cors_headers(request),
         },
     )
     await response.prepare(request)
@@ -256,7 +282,10 @@ async def cors_middleware(request: web.Request, handler):
             # headers too, or browsers mask the real status from clients.
             exc.headers.update(_cors_headers(request))
             raise
-    response.headers.update(_cors_headers(request))
+    if not response.prepared:
+        # Prepared streams set their CORS headers pre-prepare; updating an
+        # already-transmitted header block would be a silent no-op.
+        response.headers.update(_cors_headers(request))
     return response
 
 

@@ -38,7 +38,14 @@ class APIConfig(BaseModel):
             host=env("API_HOST", "0.0.0.0"),
             port=int(env("API_PORT", "8000")),
             debug=env("API_DEBUG", "").lower() in ("1", "true"),
-            cors_origins=(env("CORS_ORIGINS", "*") or "*").split(","),
+            # Strip per-origin whitespace: 'https://a.com, https://b.com'
+            # must match a request Origin of 'https://b.com'.
+            cors_origins=[
+                o.strip()
+                for o in (env("CORS_ORIGINS", "*") or "*").split(",")
+                if o.strip()
+            ]
+            or ["*"],
             index_path=env("INDEX_PATH", "./verbatim_index"),
             templates_path=env("TEMPLATES_PATH", ""),
             max_question_length=int(env("MAX_QUESTION_LENGTH", "1000")),

@@ -59,7 +59,10 @@ class ResponseBuilder:
             metadata = getattr(result, "metadata", {}) or {}
             documents.append(
                 DocumentWithHighlights(
-                    content=content,
+                    # min_length=1 on the model: an empty-text result must
+                    # degrade like the streaming path (" "), not 500 the
+                    # whole response with a ValidationError.
+                    content=content or " ",
                     highlights=highlights,
                     title=getattr(result, "title", "") or metadata.get("title", ""),
                     source=getattr(result, "source", "") or metadata.get("source", ""),

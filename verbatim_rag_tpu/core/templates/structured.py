@@ -77,7 +77,7 @@ class StructuredTemplate(TemplateStrategy):
             raise ValueError("Template cannot be empty")
         has_semantic = any(
             _is_semantic(m.group(1)) for m in PLACEHOLDER_PATTERN.finditer(template)
-        ) or bool(PLACEHOLDER_PATTERN.search(template))
+        )
         has_standard = any(
             p in template
             for p in ("[DISPLAY_SPANS]", "[RELEVANT_SENTENCES]", "[SPAN_1]", "[FACT_1]")

@@ -282,16 +282,24 @@ class ModelSpanExtractor(SpanExtractor):
                 agg[ctx_start : ctx_start + ctx_len] = np.maximum(
                     agg[ctx_start : ctx_start + ctx_len], window
                 )
-            out.append(
-                select_spans_from_token_probs(
-                    agg,
-                    plan["offsets"],
-                    threshold=self.threshold,
-                    min_span_chars=self.min_span_chars,
-                    merge_gap_chars=self.merge_gap_chars,
-                )
+            spans = select_spans_from_token_probs(
+                agg,
+                plan["offsets"],
+                threshold=self.threshold,
+                min_span_chars=self.min_span_chars,
+                merge_gap_chars=self.merge_gap_chars,
             )
+            # Hook point for subclasses (sentence snapping): applied HERE so
+            # every entry path — process / process_batch / extract_spans /
+            # extract_spans_multi — gets the same decode, not just process().
+            out.append(self._postprocess_spans(pairs[len(out)][1], spans))
         return out
+
+    def _postprocess_spans(
+        self, context: str, spans: list[tuple[int, int]]
+    ) -> list[tuple[int, int]]:
+        """Subclass decode hook; the base extractor returns spans unchanged."""
+        return spans
 
     def _forward_probs(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
         """[B, S] padded token ids/mask → [B, S] relevance probabilities.
@@ -362,7 +370,10 @@ class ModelSpanExtractor(SpanExtractor):
         if n_tokens <= budget:
             return [(0, n_tokens)]
         windows = []
-        step = budget - stride
+        # A budget ≤ stride (tiny max_length vs a long question) cannot honor
+        # the requested overlap; clamp the step to keep the loop advancing
+        # instead of walking backwards forever.
+        step = max(budget - stride, 1)
         start = 0
         while start < n_tokens:
             length = min(budget, n_tokens - start)
@@ -388,8 +399,12 @@ class SemanticHighlightExtractor(ModelSpanExtractor):
         super().__init__(*args, **kwargs)
         self.mode = mode
 
-    def process(self, question: str, context: str) -> list[tuple[int, int]]:
-        spans = super().process(question, context)
+    def _postprocess_spans(
+        self, context: str, spans: list[tuple[int, int]]
+    ) -> list[tuple[int, int]]:
+        """Snap spans to sentence boundaries (mode='sentences'). Runs inside
+        `_process_pairs`, so every pipeline entry point — extract_spans,
+        extract_spans_multi, process_batch, process — applies the mode."""
         if self.mode == "spans" or not spans:
             return spans
         import re

@@ -36,10 +36,16 @@ class TokenizedBatch:
 
 
 def bucket_length(n: int, buckets=DEFAULT_BUCKETS) -> int:
+    """Smallest padded length ≥ n: one of `buckets`, or past the last bucket
+    a multiple of it. Growing (not clamping to buckets[-1]) matters: callers
+    cap with their own max_length, and the highlighter's whole-document
+    tokenize + SP long-context pass legitimately exceed the bucket table —
+    a clamp there silently truncated everything past 8192 tokens."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    last = buckets[-1]
+    return -(-n // last) * last
 
 
 class Tokenizer(ABC):
