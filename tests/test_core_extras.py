@@ -354,3 +354,26 @@ class TestSemanticSentenceMode:
 
         with pytest.raises(ValueError):
             SemanticHighlightExtractor(mode="bogus")
+
+
+class TestVerbatimDocMalformedParams(TestVerbatimDocVariants):
+    def test_malformed_max_length_degrades_not_crashes(self):
+        """`[!query=x|max_length=20.5]` must render the query's spans with
+        the directive ignored — not blow up the whole document (the int()
+        lived outside run()'s per-query try)."""
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        doc = "intro [!query=results|max_length=20.5] outro"
+        vd = VerbatimDOC(self._rag())
+        result = vd.process(doc)
+        assert "alpha beta" in result.document
+        assert "[!query" not in result.document
+
+    def test_valid_max_length_still_truncates(self):
+        from verbatim_rag_tpu.rag.verbatim_doc import VerbatimDOC
+
+        doc = "intro [!query=results|max_length=4] outro"
+        vd = VerbatimDOC(self._rag())
+        result = vd.process(doc)
+        assert "alph\u2026" in result.document or "alph…" in result.document
+

@@ -177,3 +177,70 @@ class TestRetryPolicy:
         with pytest.raises(httpx.HTTPStatusError):
             await client.complete_async("hi")
         assert calls["n"] == 1
+
+
+class TestNonDictJsonResponses:
+    def test_top_level_array_degrades_to_empty_spans(self):
+        client = make_client(
+            lambda req: httpx.Response(200, json=_chat_response('["a", "b"]'))
+        )
+        out = client.extract_spans("q", {"doc": "text"})
+        assert out == {"doc": []}
+        # The single-doc convenience path must not crash either.
+        assert client.extract_relevant_spans("q", "text") == []
+
+    def test_structured_top_level_array_degrades(self):
+        client = make_client(
+            lambda req: httpx.Response(200, json=_chat_response("[1, 2]"))
+        )
+        out = client.extract_structured("q", "[X]", {"X": "hint"}, ["doc"])
+        assert out == {"X": []}
+
+    def test_structured_non_list_placeholder_value_ignored(self):
+        client = make_client(
+            lambda req: httpx.Response(
+                200, json=_chat_response('{"X": "not-a-list"}')
+            )
+        )
+        out = client.extract_structured("q", "[X]", {"X": "hint"}, ["doc"])
+        assert out == {"X": []}
+
+
+class TestRetryBackoff:
+    def test_retry_after_header_honored(self):
+        from verbatim_rag_tpu.core.llm_client import _retry_delay_s
+
+        exc = httpx.HTTPStatusError(
+            "429",
+            request=httpx.Request("POST", "http://x"),
+            response=httpx.Response(429, headers={"Retry-After": "3"}),
+        )
+        assert _retry_delay_s(0, exc) == 3.0
+
+    def test_exponential_growth_and_cap(self):
+        from verbatim_rag_tpu.core.llm_client import _retry_delay_s
+
+        exc = httpx.TransportError("boom")
+        delays = [_retry_delay_s(a, exc) for a in range(8)]
+        assert delays[0] == 0.5
+        assert delays[1] == 1.0
+        assert all(b >= a for a, b in zip(delays, delays[1:]))
+        assert max(delays) <= 16.0
+
+    def test_retries_sleep_between_attempts(self, monkeypatch):
+        import verbatim_rag_tpu.core.llm_client as mod
+
+        slept = []
+        monkeypatch.setattr(mod.time, "sleep", lambda s: slept.append(s))
+        calls = {"n": 0}
+
+        def responder(req):
+            calls["n"] += 1
+            if calls["n"] < 3:
+                return httpx.Response(429, headers={"Retry-After": "0.01"})
+            return httpx.Response(200, json=_chat_response("ok"))
+
+        client = make_client(responder)
+        client.max_retries = 3
+        assert client.complete("hi") == "ok"
+        assert slept == [0.01, 0.01]

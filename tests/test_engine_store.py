@@ -791,3 +791,14 @@ class TestReviewRound3Fixes:
         store.delete(["c1"])  # c1 has document_id d1
         hits = store.query(filter={"document_id": "d1"}, top_k=10)
         assert hits and all(h.id != "c1" for h in hits)
+
+
+class TestAnalyzerSaturation:
+    def test_many_unique_terms_not_truncated(self):
+        """The C analyzer's 4096-unique-term buffer must not silently cap
+        an index that the Python fallback would build fully: on saturation
+        the native call returns None and the Python path runs."""
+        text = " ".join(f"uniqword{i}" for i in range(5000))
+        terms, tfs, dl = _analyze(text, 1 << 20)
+        assert dl == 5000
+        assert len(terms) > 4096  # hash collisions may merge a few

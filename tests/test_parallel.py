@@ -483,3 +483,55 @@ class TestMeshDeviceHandoff:
                 top_k=6,
             ),
         )
+
+
+class TestFilteredShardCandidates:
+    def test_filter_matching_one_row_returns_only_it(self, mesh):
+        """A filter leaving shards with fewer live rows than the candidate
+        depth must yield NO phantom rows: missing (-1) candidates carry
+        NEG_INF exact scores through the rescore and the offset globalize
+        (`exact_rescore_device` masks cand<0; `idx+offset` is guarded)."""
+        import numpy as np
+
+        from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+        store = DeviceVectorStore(
+            dense_dim=8, sparse_vocab=64, sparse_max_nnz=4, block=16, mesh=mesh
+        )
+        recs = []
+        for i in range(32):
+            v = np.zeros(8, np.float32)
+            v[i % 8] = 1.0
+            recs.append(
+                {
+                    "id": f"c{i}", "text": f"t{i}",
+                    "metadata": {"document_id": f"d{i}"},
+                    "dense": v, "sparse": {i % 64: 1.0, (i + 3) % 64: 0.5},
+                }
+            )
+        store.add_vectors(recs)
+        store.flush()
+        hits = store.query(
+            sparse_query={30 % 64: 1.0}, filter={"document_id": "d30"}, top_k=5
+        )
+        assert [h.id for h in hits] == ["c30"]
+        hits = store.query(
+            dense_query=np.eye(8, dtype=np.float32)[30 % 8],
+            sparse_query={30 % 64: 1.0},
+            filter={"document_id": "d30"},
+            top_k=5,
+        )
+        assert [h.id for h in hits] == ["c30"]
+
+
+class TestDistributedGuards:
+    def test_batch_slice_rejects_non_divisible(self, monkeypatch):
+        import jax
+
+        from verbatim_rag_tpu.parallel import distributed
+
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        with pytest.raises(ValueError, match="divide evenly"):
+            distributed.process_local_batch_slice(10)
+        assert distributed.process_local_batch_slice(12) == slice(3, 6)

@@ -136,3 +136,17 @@ class TestOrbaxCheckpoint:
         loaded = Trainer.load_checkpoint_orbax(str(tmp_path / "ck"), params)
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEmptyEncodes:
+    def test_encode_pairs_empty_returns_empty_batch(self, encoder):
+        batch = encoder.encode_pairs([])
+        assert batch.input_ids.shape[0] == 0
+
+    def test_token_encode_empty_returns_empty_batch(self):
+        from verbatim_rag_tpu.models.tokenizer import HashTokenizer
+        from verbatim_rag_tpu.training.token_dataset import TokenDatasetEncoder
+
+        enc = TokenDatasetEncoder(HashTokenizer(vocab_size=1000), max_length=64)
+        batch = enc.encode([])
+        assert batch.input_ids.shape[0] == 0

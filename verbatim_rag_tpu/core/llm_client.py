@@ -13,9 +13,11 @@ the dependency surface small and lets the serving layer pool connections.
 
 from __future__ import annotations
 
+import asyncio
 import json
 import logging
 import os
+import time
 from typing import Any
 
 import httpx
@@ -32,6 +34,26 @@ def _retryable(exc: Exception) -> bool:
         status = exc.response.status_code
         return status in (408, 429) or status >= 500
     return isinstance(exc, httpx.TransportError)
+
+
+#: exponential backoff base: 0.5, 1, 2, 4... seconds between retries.
+_BACKOFF_BASE_S = 0.5
+_BACKOFF_MAX_S = 16.0
+
+
+def _retry_delay_s(attempt: int, exc: Exception) -> float:
+    """Seconds to wait before retry `attempt` — honors Retry-After when the
+    server sent one (429s in particular), else exponential backoff. Without
+    a delay the retry loop burns every attempt within milliseconds, which
+    makes 'retrying' rate limits meaningless."""
+    if isinstance(exc, httpx.HTTPStatusError):
+        retry_after = exc.response.headers.get("Retry-After")
+        if retry_after:
+            try:
+                return min(float(retry_after), 60.0)
+            except ValueError:
+                pass  # HTTP-date form: fall through to backoff
+    return min(_BACKOFF_BASE_S * (2**attempt), _BACKOFF_MAX_S)
 
 
 class LLMClient:
@@ -123,6 +145,8 @@ class LLMClient:
                     raise
                 last_error = exc
                 logger.warning("LLM request failed (attempt %d): %s", attempt + 1, exc)
+                if attempt < self.max_retries:
+                    time.sleep(_retry_delay_s(attempt, exc))
         raise last_error  # type: ignore[misc]
 
     async def complete_async(
@@ -147,6 +171,8 @@ class LLMClient:
                     raise
                 last_error = exc
                 logger.warning("Async LLM request failed (attempt %d): %s", attempt + 1, exc)
+                if attempt < self.max_retries:
+                    await asyncio.sleep(_retry_delay_s(attempt, exc))
         raise last_error  # type: ignore[misc]
 
     # -- span extraction ------------------------------------------------------------
@@ -155,8 +181,13 @@ class LLMClient:
         """Batch verbatim-span extraction: doc_id -> ordered spans."""
         prompt = self._build_extraction_prompt(question, documents)
         try:
-            return json.loads(self.complete(prompt, json_mode=True))
-        except (json.JSONDecodeError, KeyError) as exc:
+            raw = json.loads(self.complete(prompt, json_mode=True))
+            # json_mode-lax servers can return a top-level array/scalar —
+            # valid JSON that would crash callers expecting a mapping.
+            if not isinstance(raw, dict):
+                raise ValueError(f"expected JSON object, got {type(raw).__name__}")
+            return raw
+        except (json.JSONDecodeError, KeyError, ValueError) as exc:
             logger.warning("Span extraction failed: %s", exc)
             return {doc_id: [] for doc_id in documents}
 
@@ -165,8 +196,11 @@ class LLMClient:
     ) -> dict[str, list[str]]:
         prompt = self._build_extraction_prompt(question, documents)
         try:
-            return json.loads(await self.complete_async(prompt, json_mode=True))
-        except (json.JSONDecodeError, KeyError) as exc:
+            raw = json.loads(await self.complete_async(prompt, json_mode=True))
+            if not isinstance(raw, dict):
+                raise ValueError(f"expected JSON object, got {type(raw).__name__}")
+            return raw
+        except (json.JSONDecodeError, KeyError, ValueError) as exc:
             logger.warning("Async span extraction failed: %s", exc)
             return {doc_id: [] for doc_id in documents}
 
@@ -230,8 +264,14 @@ class LLMClient:
     ) -> dict[str, list[dict[str, Any]]]:
         """Accept both bare-string and {text, doc} item shapes."""
         normalized: dict[str, list[dict[str, Any]]] = {}
+        if not isinstance(response, dict):
+            # Top-level array/scalar from a json_mode-lax server: treat as
+            # no extractions rather than crash the caller.
+            return {name: [] for name in placeholders}
         for name in placeholders:
             items = response.get(name, [])
+            if not isinstance(items, list):
+                items = []
             cleaned = []
             for item in items:
                 if isinstance(item, str):

@@ -115,6 +115,12 @@ def analyze_text_native(
         ctypes.byref(n_terms),
     )
     n = n_terms.value
+    if n >= max_terms:
+        # Buffer saturated: the C scanner drops uniques past the cap, but
+        # the Python fallback keeps them all — an index must not differ by
+        # machine. Signal "can't handle this text" so the caller falls back.
+        logger.debug("analyze_text_native saturated at %d unique terms; falling back", n)
+        return None
     return term_ids[:n].copy(), term_tfs[:n].copy(), int(dl)
 
 

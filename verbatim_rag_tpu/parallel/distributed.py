@@ -44,6 +44,9 @@ def initialize(
         if not auto:
             logger.info("Single-process run; jax.distributed not initialized")
             return False
+    explicitly_configured = bool(
+        coordinator_address or num_processes or process_id is not None or explicit
+    )
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -56,7 +59,21 @@ def initialize(
             jax.process_count(),
         )
         return True
-    except Exception as exc:  # already initialized, or single-host fallback
+    except RuntimeError as exc:
+        # Re-initialize in the same process: tolerable in any mode.
+        if "already initialized" in str(exc).lower():
+            logger.warning("jax.distributed already initialized: %s", exc)
+            return True
+        if explicitly_configured:
+            raise
+        logger.warning("jax.distributed.initialize failed/skipped: %s", exc)
+        return False
+    except Exception as exc:  # auto-detect fallback only
+        if explicitly_configured:
+            # An operator asked for a multi-host run; silently degrading to
+            # independent single-host processes would produce wrong results
+            # (each host training/serving 1/N of the data alone).
+            raise
         logger.warning("jax.distributed.initialize failed/skipped: %s", exc)
         return False
 
@@ -76,6 +93,14 @@ def process_local_batch_slice(global_batch: int) -> slice:
     """
     import jax
 
-    per_process = global_batch // jax.process_count()
+    n_proc = jax.process_count()
+    if global_batch % n_proc != 0:
+        # Silent floor division would drop the remainder rows from every
+        # step on SOME host — no host would ever feed them.
+        raise ValueError(
+            f"global_batch ({global_batch}) must divide evenly over "
+            f"{n_proc} processes; pad the batch or choose a multiple"
+        )
+    per_process = global_batch // n_proc
     start = jax.process_index() * per_process
     return slice(start, start + per_process)

@@ -185,8 +185,16 @@ def _format_spans(spans: list[dict[str, Any]], params: dict[str, Any]) -> str:
     texts = [s["text"] for s in spans]
     if fmt == "short":
         texts = texts[:1]
+    # Tolerate malformed values the same way a malformed `k` is tolerated
+    # (run_batch line ~120): a bad directive must degrade for ITS query, not
+    # crash the whole document via an exception outside run()'s try.
+    try:
+        max_length = int(max_length) if max_length else None
+    except (TypeError, ValueError):
+        logger.warning("Ignoring malformed max_length directive: %r", max_length)
+        max_length = None
     if max_length:
-        budget = int(max_length)
+        budget = max_length
         kept: list[str] = []
         for t in texts:
             if budget <= 0:

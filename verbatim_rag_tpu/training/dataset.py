@@ -143,7 +143,7 @@ class QADatasetEncoder:
 
         from verbatim_rag_tpu.models.tokenizer import bucket_length
 
-        seq = min(bucket_length(max(len(r) for r in rows)), self.max_length)
+        seq = min(bucket_length(max((len(r) for r in rows), default=1)), self.max_length)
         batch = len(rows)
         input_ids = np.full((batch, seq), tok.pad_id, np.int32)
         attention_mask = np.zeros((batch, seq), np.int32)

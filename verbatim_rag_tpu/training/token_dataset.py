@@ -99,7 +99,7 @@ class TokenDatasetEncoder:
                 if w_start + budget >= len(ctx_ids):
                     break
 
-        seq = min(bucket_length(max(len(r) for r in rows)), self.max_length)
+        seq = min(bucket_length(max((len(r) for r in rows), default=1)), self.max_length)
         batch = len(rows)
         input_ids = np.full((batch, seq), tok.pad_id, np.int32)
         attention = np.zeros((batch, seq), np.int32)

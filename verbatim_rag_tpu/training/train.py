@@ -40,14 +40,17 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--doc-stride", type=int, default=128, help="token mode windows")
     args = parser.parse_args(argv)
 
-    if args.mode == "token":
-        return _train_token(args)
-
+    # Both modes want INFO logging and the persistent XLA compile cache —
+    # set them up BEFORE the token-mode dispatch, or token runs recompile
+    # the full train/eval programs every invocation and log nothing.
     logging.basicConfig(level=logging.INFO)
 
     from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
 
     enable_persistent_compilation_cache()
+
+    if args.mode == "token":
+        return _train_token(args)
 
     import jax
 

@@ -179,9 +179,21 @@ class Trainer:
                     losses.append(float(loss))
                 except jax.errors.JaxRuntimeError as exc:
                     # OOM tolerance (parity: `trainer.py:246-253` catches CUDA
-                    # OOM and continues): skip the offending batch.
+                    # OOM and continues): skip the offending batch — but ONLY
+                    # when the optimizer state survived. train_step donates
+                    # params/opt_state; an OOM raised after dispatch has
+                    # already consumed them, and "skipping" would crash the
+                    # NEXT step with an inscrutable 'Array has been deleted'.
                     if "RESOURCE_EXHAUSTED" not in str(exc):
                         raise
+                    leaves = jax.tree_util.tree_leaves(self.params)
+                    if any(getattr(leaf, "is_deleted", lambda: False)() for leaf in leaves):
+                        raise RuntimeError(
+                            "Batch OOM'd after the donated params/opt_state were "
+                            "consumed — training state is unrecoverable. Reduce "
+                            "batch size / sequence length, or resume from the "
+                            "last checkpoint."
+                        ) from exc
                     logger.warning("Skipping batch after OOM: %s", str(exc)[:200])
             record = {
                 "epoch": epoch,
