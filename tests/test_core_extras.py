@@ -377,3 +377,48 @@ class TestVerbatimDocMalformedParams(TestVerbatimDocVariants):
         result = vd.process(doc)
         assert "alph\u2026" in result.document or "alph…" in result.document
 
+
+
+class TestEnhanceDecoratorShapes:
+    def test_bare_two_item_list_is_context_not_answer_tuple(self):
+        from verbatim_rag_tpu.core.enhance import verbatim_enhance
+
+        @verbatim_enhance()
+        def retrieve(question):
+            return ["chunk about X marks the spot", "chunk about Y is here"]
+
+        resp = retrieve("where is X?")
+        contents = [d.content for d in resp.documents]
+        assert any("X marks" in c for c in contents)  # first chunk kept
+        assert len(contents) == 2
+
+    def test_bound_method_self_not_used_as_question(self):
+        from verbatim_rag_tpu.core.enhance import verbatim_enhance
+
+        captured = {}
+
+        class Pipeline:
+            @verbatim_enhance()
+            def run(self, question):
+                captured["q_arg"] = question
+                return {"context": ["some chunk text for the answer"]}
+
+        resp = Pipeline().run("what is the answer?")
+        assert resp.question == "what is the answer?"
+
+
+class TestCliRecordIterBom:
+    def test_json_array_with_leading_whitespace_and_bom(self, tmp_path):
+        from verbatim_rag_tpu.core.cli import _iter_records
+
+        p = tmp_path / "records.json"
+        p.write_bytes("﻿\n [\n {\"question\": \"q1\", \"context\": [\"c\"]}\n ]\n".encode("utf-8"))
+        records = list(_iter_records(str(p)))
+        assert records == [{"question": "q1", "context": ["c"]}]
+
+    def test_jsonl_still_works(self, tmp_path):
+        from verbatim_rag_tpu.core.cli import _iter_records
+
+        p = tmp_path / "records.jsonl"
+        p.write_text('{"question": "q1"}\n\n{"question": "q2"}\n')
+        assert [r["question"] for r in _iter_records(str(p))] == ["q1", "q2"]

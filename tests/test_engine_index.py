@@ -329,3 +329,53 @@ class TestDocsJsonSafety:
         with open(path + ".docs.json") as f:
             docs = _json.load(f)
         assert docs  # round-trips as plain JSON
+
+
+class TestMetadataShadowing:
+    def test_user_document_id_cannot_orphan_chunks(self):
+        """User metadata carrying its own 'document_id' must not shadow the
+        system identity — shadowed ids made chunks undeletable orphans."""
+        idx = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=64))
+        idx.add_documents(
+            [
+                DocumentSchema(
+                    content="# T\n\nBody content for the chunker to work with.",
+                    title="T",
+                    source="t.md",
+                    document_id="ext-123",  # upstream system's own id field
+                )
+            ]
+        )
+        doc_id = next(iter(idx.documents))
+        chunks = idx.get_chunks_by_document(doc_id)
+        assert chunks, "chunks must be keyed by the Document uuid"
+        # The user's value survives in the doc-level metadata.
+        assert idx.documents[doc_id]["metadata"]["document_id"] == "ext-123"
+        idx.delete_document(doc_id)
+        assert idx.get_chunks_by_document(doc_id) == []
+
+
+class TestExplicitHybridValidation:
+    def test_hybrid_search_type_without_sparse_raises(self):
+        idx = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=64))
+        idx.add_documents(
+            [DocumentSchema(content="# A\n\nSome chunkable body.", title="A")]
+        )
+        with pytest.raises(ValueError, match="sparse"):
+            idx.query("anything", search_type="hybrid")
+
+    def test_hybrid_weights_naming_missing_method_raises(self):
+        idx = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=64))
+        idx.add_documents(
+            [DocumentSchema(content="# A\n\nSome chunkable body.", title="A")]
+        )
+        with pytest.raises(ValueError, match="full_text"):
+            idx.query("anything", hybrid_weights={"dense": 0.5, "full_text": 0.5})
+
+    def test_auto_resolution_still_degrades_gracefully(self):
+        # No explicit request: a dense-only index auto-resolves to dense.
+        idx = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=64))
+        idx.add_documents(
+            [DocumentSchema(content="# A\n\nSome chunkable body here.", title="A")]
+        )
+        assert idx.query("body") is not None

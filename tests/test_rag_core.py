@@ -439,3 +439,33 @@ class TestExtractorReviewFixes:
         with pytest.raises(ValueError):
             st.validate_template("Only [SPAN_2] here")
         st.validate_template("[METHODOLOGY] and [DISPLAY_SPANS]")  # fine
+
+
+class TestIntentDefaultRoute:
+    def test_default_route_honored_for_low_confidence_and_unknown(self, mock_llm_client):
+        from verbatim_rag_tpu.rag.intent import IntentSpec, LLMIntentDetector
+
+        mock_llm_client.complete.return_value = (
+            '{"intent": "greeting", "confidence": 0.3, "reason": "low"}'
+        )
+        det = LLMIntentDetector(
+            mock_llm_client,
+            intents=[IntentSpec(name="greeting", route="predefined", answer="hi")],
+            min_confidence=0.5,
+            default_route="skip",
+        )
+        assert det.detect("hello").route == "skip"  # below min_confidence
+
+        mock_llm_client.complete.return_value = (
+            '{"intent": "unknown_thing", "confidence": 0.9, "reason": "?"}'
+        )
+        assert det.detect("hello").route == "skip"  # intent not configured
+
+    def test_default_default_route_is_continue(self, mock_llm_client):
+        from verbatim_rag_tpu.rag.intent import LLMIntentDetector
+
+        mock_llm_client.complete.return_value = (
+            '{"intent": "x", "confidence": 0.1, "reason": ""}'
+        )
+        det = LLMIntentDetector(mock_llm_client, intents=[])
+        assert det.detect("q").route == "continue"

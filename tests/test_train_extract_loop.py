@@ -97,3 +97,28 @@ class TestTrainedExtraction:
         spans = extractor.extract_spans("anything", [R()])[R.text]
         for span in spans:
             assert span in R.text
+
+
+class TestSentenceAlignmentWithEmptyTokenSentences:
+    def test_separator_sentence_does_not_shift_probabilities(self):
+        """A sentence that tokenizes to zero tokens ('___' (underscore is \\w but matches neither token pattern)) is skipped by
+        the dataset encoder; the extractor must skip it identically or every
+        later sentence's probability is attributed one sentence off."""
+        import numpy as np
+
+        from verbatim_rag_tpu.models.config import tiny_test_config
+        from verbatim_rag_tpu.models.sentence_extractor import SentenceModelExtractor
+
+        config = tiny_test_config()
+        extractor = SentenceModelExtractor(config=config, threshold=-1.0)
+
+        class R:
+            text = "Alpha sentence here.\n___\nBeta is the relevant answer."
+
+        out = extractor.extract_spans("what is relevant", [R()])
+        spans = out[R.text]
+        # threshold=-1: every ENCODED sentence is returned. '___' (underscore is \\w but matches neither token pattern) has no
+        # tokens and must not appear; Beta must (it would be lost if the
+        # alignment shifted).
+        assert any("Beta is the relevant answer" in s for s in spans)
+        assert all(s.strip() != "___" for s in spans)

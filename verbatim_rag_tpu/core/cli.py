@@ -14,8 +14,15 @@ from .transform import VerbatimTransform
 
 
 def _iter_records(path: str):
-    with open(path) as f:
-        head = f.read(1)
+    # utf-8-sig: a BOM must not hide the leading '[' of a JSON array; skip
+    # whitespace for pretty-printed arrays that start with a newline.
+    with open(path, encoding="utf-8-sig") as f:
+        head = ""
+        while True:
+            ch = f.read(1)
+            if not ch or not ch.isspace():
+                head = ch
+                break
         f.seek(0)
         if head == "[":
             yield from json.load(f)

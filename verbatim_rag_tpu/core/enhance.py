@@ -57,18 +57,22 @@ def verbatim_enhance(
         @wraps(fn)
         def wrapper(*args, **kwargs):
             result = fn(*args, **kwargs)
-            question = kwargs.get("question") or (args[0] if args else "")
+            # First STRING positional, not args[0]: on a decorated bound
+            # method args[0] is `self`, and passing the instance as the
+            # question builds the extraction prompt around its repr.
+            question = kwargs.get("question") or next(
+                (a for a in args if isinstance(a, str)), ""
+            )
             answer = None
             context: Any = []
 
             if isinstance(result, dict):
                 answer = result.get("answer")
                 context = result.get("context") or result.get("sources") or []
-            elif isinstance(result, (list, tuple)):
-                if len(result) == 2:
-                    answer, context = result
-                else:
-                    context = result
+            elif isinstance(result, tuple) and len(result) == 2:
+                # Only a TUPLE is (answer, sources) — a bare 2-item context
+                # LIST must stay a context list, not lose its first chunk.
+                answer, context = result
             else:
                 context = result
 

@@ -134,12 +134,16 @@ class VerbatimIndex:
             if not raw.strip():
                 continue
             chunk = Chunk(text=raw, enhanced_text=enhanced + footer)
+            # System fields LAST: user metadata carrying its own
+            # 'document_id'/'chunk_index' must not shadow the identity the
+            # store keys deletes and browsing on (a shadowed document_id
+            # makes chunks undeletable orphans).
             metadata = {
-                "document_id": document.id,
-                "title": document.title,
-                "source": document.source,
-                "chunk_index": i,
                 **document.metadata,
+                "document_id": document.id,
+                "title": document.title or document.metadata.get("title", ""),
+                "source": document.source or document.metadata.get("source", ""),
+                "chunk_index": i,
             }
             records.append(
                 {
@@ -258,6 +262,23 @@ class VerbatimIndex:
             if resolved == "hybrid"
             else {resolved}
         )
+        if hybrid_weights or search_type == "hybrid":
+            # An EXPLICIT hybrid request must not silently degrade to
+            # whatever single method happens to have a provider — same
+            # raise-don't-degrade rule the store enforces for single
+            # methods (store.py query dispatch).
+            available = {
+                "dense": self.dense_provider is not None,
+                "sparse": self.sparse_provider is not None,
+                "full_text": self.enable_full_text,
+            }
+            missing = sorted(m for m in methods if not available.get(m, False))
+            if missing:
+                raise ValueError(
+                    f"Hybrid query requests {missing} but this index has no "
+                    "matching provider/full-text config; configure the "
+                    "provider or drop the method from the request"
+                )
 
         # Device handoff (on by default): JAX providers return device arrays
         # that the store composes straight into the fused search program —

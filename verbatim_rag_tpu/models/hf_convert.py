@@ -161,6 +161,109 @@ def convert_modernbert_state_dict(
     }
 
 
+def modernbert_params_to_hf_state_dict(
+    params: Params, config: EncoderConfig
+) -> dict[str, np.ndarray]:
+    """Inverse of `convert_modernbert_state_dict` (+ head/classifier): JAX
+    param tree → HF `ModernBertForTokenClassification` state dict.
+
+    Publishing seam for `utils/upload_to_hub.py` — the uploaded
+    model.safetensors must carry HF key names and [out, in] kernel layout,
+    or the artifact is loadable by neither torch nor this repo's HF loader.
+    Round-trip-tested against `convert_modernbert_state_dict`.
+    """
+    sd: dict[str, np.ndarray] = {}
+
+    def put(name: str, arr) -> None:
+        # ascontiguousarray, not asarray: most kernels here are .T views,
+        # and safetensors.numpy.save_file silently serializes a
+        # non-contiguous array's BASE buffer bytes — the stored tensor
+        # would be a transposed-bytes corruption of the real one.
+        sd[name] = np.ascontiguousarray(np.asarray(arr, np.float32))
+
+    def put_norm(prefix: str, norm: Mapping[str, Any]) -> None:
+        put(f"{prefix}.weight", norm["scale"])
+        if "bias" in norm:
+            put(f"{prefix}.bias", norm["bias"])
+
+    emb = params["embeddings"]
+    put("model.embeddings.tok_embeddings.weight", emb["word"])
+    put_norm("model.embeddings.norm", emb["ln"])
+
+    layers = params["layers"]
+    for i in range(config.num_layers):
+        base = f"model.layers.{i}"
+        attn = layers["attn"]
+        qkv = np.concatenate(
+            [
+                np.asarray(attn[n]["kernel"][i], np.float32)
+                for n in ("q", "k", "v")
+            ],
+            axis=1,
+        )  # [h, 3h]
+        put(f"{base}.attn.Wqkv.weight", qkv.T)
+        if "bias" in attn["q"]:
+            put(
+                f"{base}.attn.Wqkv.bias",
+                np.concatenate(
+                    [np.asarray(attn[n]["bias"][i], np.float32) for n in ("q", "k", "v")]
+                ),
+            )
+        put(f"{base}.attn.Wo.weight", np.asarray(attn["o"]["kernel"][i], np.float32).T)
+        if "bias" in attn["o"]:
+            put(f"{base}.attn.Wo.bias", attn["o"]["bias"][i])
+        if not (config.first_layer_no_attn_norm and i == 0):
+            # Layer 0's attn_norm is Identity in ModernBERT: the tree holds a
+            # unit LN only to stay rectangular — HF checkpoints omit the key.
+            put_norm(
+                f"{base}.attn_norm",
+                {k: v[i] for k, v in layers["attn_ln"].items()},
+            )
+        put(f"{base}.mlp.Wi.weight", np.asarray(layers["mlp"]["wi"]["kernel"][i], np.float32).T)
+        if "bias" in layers["mlp"]["wi"]:
+            put(f"{base}.mlp.Wi.bias", layers["mlp"]["wi"]["bias"][i])
+        put(f"{base}.mlp.Wo.weight", np.asarray(layers["mlp"]["wo"]["kernel"][i], np.float32).T)
+        if "bias" in layers["mlp"]["wo"]:
+            put(f"{base}.mlp.Wo.bias", layers["mlp"]["wo"]["bias"][i])
+        put_norm(f"{base}.mlp_norm", {k: v[i] for k, v in layers["mlp_ln"].items()})
+
+    put_norm("model.final_norm", params["final_ln"])
+
+    head = params.get("cls_head")
+    if head is not None:
+        put("head.dense.weight", np.asarray(head["dense"]["kernel"], np.float32).T)
+        if "bias" in head["dense"]:
+            put("head.dense.bias", head["dense"]["bias"])
+        put_norm("head.norm", head["norm"])
+    classifier = params.get("classifier")
+    if classifier is not None:
+        put("classifier.weight", np.asarray(classifier["kernel"], np.float32).T)
+        if "bias" in classifier:
+            put("classifier.bias", classifier["bias"])
+    return sd
+
+
+def hf_config_from_encoder(config: EncoderConfig, num_labels: int = 2) -> dict:
+    """Inverse of `config_from_hf` for the ModernBERT family — the
+    config.json for a published token-classification checkpoint."""
+    return {
+        "model_type": "modernbert",
+        "architectures": ["ModernBertForTokenClassification"],
+        "vocab_size": config.vocab_size,
+        "hidden_size": config.hidden_size,
+        "num_hidden_layers": config.num_layers,
+        "num_attention_heads": config.num_heads,
+        "intermediate_size": config.intermediate_size,
+        "max_position_embeddings": config.max_position_embeddings,
+        "norm_eps": config.layer_norm_eps,
+        "global_rope_theta": config.global_rope_theta,
+        "local_rope_theta": config.local_rope_theta,
+        "local_attention": config.local_attention_window,
+        "global_attn_every_n_layers": config.global_attn_every_n_layers,
+        "num_labels": num_labels,
+    }
+
+
 def config_from_hf(hf_config: Mapping[str, Any]) -> EncoderConfig:
     """Build an EncoderConfig from an HF config dict (BERT or ModernBERT)."""
     model_type = hf_config.get("model_type", "bert")
@@ -191,6 +294,19 @@ def config_from_hf(hf_config: Mapping[str, Any]) -> EncoderConfig:
 
 
 # -- checkpoint loading -------------------------------------------------------------------
+
+
+def _state_dict_keys(model_dir: str) -> set[str]:
+    """Key names only — the safetensors header carries them without decoding
+    any tensor data, so format detection doesn't load hundreds of MB that
+    the dispatched constructor immediately loads again."""
+    st_path = os.path.join(model_dir, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors import safe_open
+
+        with safe_open(st_path, framework="numpy") as f:
+            return set(f.keys())
+    return set(_read_state_dict(model_dir))
 
 
 def _read_state_dict(model_dir: str) -> dict[str, np.ndarray]:
@@ -324,7 +440,7 @@ def detect_checkpoint_format(model_dir: str) -> str:
         "TokenClassification" in a for a in hf_config["architectures"]
     ):
         return "highlighter_v2"
-    sd_keys = set(_read_state_dict(model_dir))
+    sd_keys = _state_dict_keys(model_dir)
     if "sentence_classifier.weight" in sd_keys or "qa_outputs.weight" in sd_keys:
         return "qa_model_v1"
     return "highlighter_v2"

@@ -72,7 +72,18 @@ class SentenceModelExtractor(SpanExtractor):
 
         texts = [getattr(r, "text", "") for r in search_results]
         out: dict[str, list[str]] = {t: [] for t in texts}
-        sentence_spans = [split_sentences(t) for t in texts]
+        # Keep only sentences that tokenize to ≥1 token — QADatasetEncoder
+        # silently skips empty-token sentences, which would shift every
+        # later boundary/probability off by one against `sentence_spans`
+        # (a '---' separator line would absorb the next sentence's score).
+        sentence_spans = [
+            [
+                (s, e)
+                for s, e in split_sentences(t)
+                if self.tokenizer.tokenize_with_offsets(t[s:e])[0]
+            ]
+            for t in texts
+        ]
         pairs = []
         for text, spans in zip(texts, sentence_spans):
             doc = QADocument(sentences=[Sentence(text=text[s:e]) for s, e in spans])

@@ -96,9 +96,10 @@ class LLMIntentDetector(IntentDetector):
         confidence = float(data.get("confidence", 0.0) or 0.0)
         reason = str(data.get("reason", ""))
 
+        default = self.default_route if self.default_route in ROUTES else "continue"
         if confidence < self.min_confidence:
             return IntentDecision(
-                intent=name, route="continue", confidence=confidence, reason=reason
+                intent=name, route=default, confidence=confidence, reason=reason
             )
         for spec in self.intents:
             if spec.name == name:
@@ -109,4 +110,6 @@ class LLMIntentDetector(IntentDetector):
                     confidence=confidence,
                     reason=reason,
                 )
-        return IntentDecision(intent=name, confidence=confidence, reason=reason)
+        return IntentDecision(
+            intent=name, route=default, confidence=confidence, reason=reason
+        )

@@ -120,7 +120,36 @@ class JinaV3Reranker(Reranker):
         return [head[i] for i in order + rest] + tail
 
 
-class CohereReranker(BaseReranker):
+class _HttpReranker(BaseReranker):
+    """Shared adapter for bearer-token /rerank HTTP APIs (Cohere, Jina):
+    identical wire shape, response parsing, and score assembly — one
+    implementation so fixes (timeouts, out-of-range indices) apply to both."""
+
+    def __init__(self, api_key: str, model: str, rerank_k: int, api_base: str):
+        super().__init__(rerank_k=rerank_k)
+        self.api_key = api_key
+        self.model = model
+        self.api_base = api_base.rstrip("/")
+
+    def score(self, question: str, texts: Sequence[str]) -> list[float]:
+        import httpx
+
+        resp = httpx.post(
+            f"{self.api_base}/rerank",
+            headers={"Authorization": f"Bearer {self.api_key}"},
+            json={"model": self.model, "query": question, "documents": list(texts)},
+            timeout=30.0,
+        )
+        resp.raise_for_status()
+        scores = [0.0] * len(texts)
+        for item in resp.json().get("results", []):
+            idx = int(item.get("index", -1))
+            if 0 <= idx < len(texts):
+                scores[idx] = float(item["relevance_score"])
+        return scores
+
+
+class CohereReranker(_HttpReranker):
     """Cohere rerank API adapter."""
 
     def __init__(
@@ -130,28 +159,10 @@ class CohereReranker(BaseReranker):
         rerank_k: int = 50,
         api_base: str = "https://api.cohere.ai/v1",
     ):
-        super().__init__(rerank_k=rerank_k)
-        self.api_key = api_key
-        self.model = model
-        self.api_base = api_base.rstrip("/")
-
-    def score(self, question: str, texts: Sequence[str]) -> list[float]:
-        import httpx
-
-        resp = httpx.post(
-            f"{self.api_base}/rerank",
-            headers={"Authorization": f"Bearer {self.api_key}"},
-            json={"model": self.model, "query": question, "documents": list(texts)},
-            timeout=30.0,
-        )
-        resp.raise_for_status()
-        scores = [0.0] * len(texts)
-        for item in resp.json().get("results", []):
-            scores[item["index"]] = float(item["relevance_score"])
-        return scores
+        super().__init__(api_key, model, rerank_k, api_base)
 
 
-class JinaReranker(BaseReranker):
+class JinaReranker(_HttpReranker):
     """Jina rerank API adapter."""
 
     def __init__(
@@ -161,22 +172,4 @@ class JinaReranker(BaseReranker):
         rerank_k: int = 50,
         api_base: str = "https://api.jina.ai/v1",
     ):
-        super().__init__(rerank_k=rerank_k)
-        self.api_key = api_key
-        self.model = model
-        self.api_base = api_base.rstrip("/")
-
-    def score(self, question: str, texts: Sequence[str]) -> list[float]:
-        import httpx
-
-        resp = httpx.post(
-            f"{self.api_base}/rerank",
-            headers={"Authorization": f"Bearer {self.api_key}"},
-            json={"model": self.model, "query": question, "documents": list(texts)},
-            timeout=30.0,
-        )
-        resp.raise_for_status()
-        scores = [0.0] * len(texts)
-        for item in resp.json().get("results", []):
-            scores[item["index"]] = float(item["relevance_score"])
-        return scores
+        super().__init__(api_key, model, rerank_k, api_base)
