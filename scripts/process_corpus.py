@@ -41,11 +41,19 @@ def main() -> None:
     from verbatim_rag_tpu.engine.index import VerbatimIndex
     from verbatim_rag_tpu.ingestion.schema import DocumentSchema
 
-    index = VerbatimIndex(
-        dense_provider=HashedBowDenseProvider(),
-        sparse_provider=HashedSparseProvider() if args.sparse else None,
-        db_path=args.db,
-    )
+    # Resume rule: an existing db is LOADED and appended to — building a
+    # fresh index here and saving it at the end would overwrite every
+    # previously ingested document while the status file still marks them
+    # done (unrecoverable data loss on the second run).
+    if os.path.exists(args.db + ".json"):
+        index = VerbatimIndex.load(args.db)
+        print(f"resuming into existing index at {args.db} ({index.store.count()} chunks)")
+    else:
+        index = VerbatimIndex(
+            dense_provider=HashedBowDenseProvider(),
+            sparse_provider=HashedSparseProvider() if args.sparse else None,
+            db_path=args.db,
+        )
     status = load_status(args.status_file)
 
     paths = [p for p in sorted(Path(args.directory).rglob("*")) if p.suffix in (".md", ".txt")]

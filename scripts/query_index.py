@@ -15,20 +15,13 @@ def main() -> None:
     )
     args = parser.parse_args()
 
-    from verbatim_rag_tpu.engine.embedding_providers import (
-        HashedBowDenseProvider,
-        HashedSparseProvider,
-    )
     from verbatim_rag_tpu.engine.index import VerbatimIndex
-    from verbatim_rag_tpu.engine.store import DeviceVectorStore
 
-    store = DeviceVectorStore.load(args.db)
-    index = VerbatimIndex(store=store, db_path=args.db)
-    index.load_documents(args.db)
-    if store.dense_dim:
-        index.dense_provider = HashedBowDenseProvider(dim=store.dense_dim)
-    if store.sparse_vocab:
-        index.sparse_provider = HashedSparseProvider(vocab_size=store.sparse_vocab)
+    # VerbatimIndex.load reconstructs the providers that BUILT the index
+    # from <db>.providers.json (or warns loudly when it can't). Forcing
+    # hashed providers here would embed queries in the wrong vector space
+    # for any neural-built index — silently meaningless results.
+    index = VerbatimIndex.load(args.db)
 
     print(f"Loaded {index.inspect()['num_chunks']} chunks. Ctrl-D to exit.")
     while True:

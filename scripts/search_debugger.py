@@ -23,20 +23,13 @@ def main() -> None:
     parser.add_argument("--rerank", action="store_true", help="cross-encoder rerank")
     args = parser.parse_args()
 
-    from verbatim_rag_tpu.engine.embedding_providers import (
-        HashedBowDenseProvider,
-        HashedSparseProvider,
-    )
     from verbatim_rag_tpu.engine.index import VerbatimIndex
-    from verbatim_rag_tpu.engine.store import DeviceVectorStore
 
-    store = DeviceVectorStore.load(args.db)
-    index = VerbatimIndex(store=store, db_path=args.db)
-    index.load_documents(args.db)
-    if store.dense_dim:
-        index.dense_provider = HashedBowDenseProvider(dim=store.dense_dim)
-    if store.sparse_vocab:
-        index.sparse_provider = HashedSparseProvider(vocab_size=store.sparse_vocab)
+    # Reconstruct the providers that BUILT the index (providers.json) —
+    # forcing hashed providers onto a neural-built index would debug the
+    # wrong vector space.
+    index = VerbatimIndex.load(args.db)
+    store = index.store
 
     def show(label: str, hits) -> None:
         print(f"\n=== {label} ===")

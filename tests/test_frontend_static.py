@@ -171,3 +171,12 @@ def test_only_real_api_endpoints_referenced(script):
     assert fetched, "no API calls found in the script?"
     for path in fetched:
         assert path in routes, f"UI fetches {path} but server routes are {sorted(routes)}"
+
+
+def test_citation_chips_skip_code_blocks(script):
+    """renderAnswer must split out <pre>/<code> segments before chipping
+    [n] — `arr[0]` inside a code block is code, not a citation."""
+    assert r"(<pre>[\s\S]*?<\/pre>|<code>[\s\S]*?<\/code>)" in script
+    fn = script[script.index("function renderAnswer"):]
+    fn = fn[: fn.index("\nfunction ")]
+    assert ".split(" in fn and "startsWith(\"<pre>\")" in fn

@@ -394,3 +394,20 @@ class TestInt8Dense:
 
         with _pytest.raises(ValueError):
             dense_scores(jnp.zeros((4, 8), jnp.int8), jnp.zeros((2, 8), jnp.float32))
+
+
+class TestRrfMergeFalsyIds:
+    def test_integer_id_zero_participates(self):
+        from verbatim_rag_tpu.ops.fusion import rrf_merge_host
+
+        merged = rrf_merge_host(
+            {
+                "dense": [{"id": 0, "score": 0.9}, {"id": 1, "score": 0.5}],
+                "sparse": [{"id": 0, "score": 0.8}],
+            },
+            5,
+            {"dense": 0.5, "sparse": 0.5},
+        )
+        ids = [h["id"] for h in merged]
+        assert 0 in ids
+        assert ids[0] == 0  # rank-1 in both methods → fused first

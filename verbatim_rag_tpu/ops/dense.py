@@ -137,13 +137,3 @@ def dense_topk(
         scores = jnp.where(mask[None, :], scores, NEG_INF)
     return candidate_select(exact_topk)(scores, k=k)
 
-
-@partial(jax.jit, static_argnames=("k",))
-def dense_scores_topk_masked(
-    corpus: jax.Array,
-    queries: jax.Array,
-    k: int,
-    mask: jax.Array,
-) -> tuple[jax.Array, jax.Array]:
-    """Alias of :func:`dense_topk` with a required mask (filtered search)."""
-    return dense_topk(corpus, queries, k, mask)

@@ -88,7 +88,9 @@ def rrf_merge_host(
         weight = normalized.get(method, 0.0)
         for rank, hit in enumerate(hits):
             hit_id = hit.get("id")
-            if not hit_id:
+            if hit_id is None:
+                # `is None`, not falsy: integer row id 0 and empty-string
+                # ids are legal and must participate in fusion.
                 continue
             fused.setdefault(hit_id, 0.0)
             hit_by_id.setdefault(hit_id, hit)
