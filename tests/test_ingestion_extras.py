@@ -153,3 +153,57 @@ class TestDocumentProcessorConverterSeam:
         pdf.write_bytes(b"%PDF-1.4")
         with pytest.raises(RuntimeError, match="docling"):
             DocumentProcessor().process_file(str(pdf))
+
+
+class TestNativeHtmlConversion:
+    HTML = """<!DOCTYPE html>
+<html><head><title>T</title><style>body{color:red}</style>
+<script>alert("never");</script></head>
+<body>
+<h1>Solar Power</h1>
+<p>Panels convert <strong>sunlight</strong> into <em>electricity</em>.</p>
+<h2>Types</h2>
+<ul><li>Monocrystalline</li><li>Polycrystalline</li></ul>
+<ol><li>First step</li><li>Second step</li></ol>
+<table><tr><th>Kind</th><th>Eff</th></tr>
+<tr><td>Mono</td><td>22%</td></tr></table>
+<p>See <a href="https://example.com/docs">the docs</a> and
+<a href="#frag">skip me</a>.</p>
+<pre>code [1] block
+keeps   spacing</pre>
+<p>Inline <code>arr[0]</code> stays code.</p>
+</body></html>"""
+
+    def test_html_to_markdown_structure(self):
+        from verbatim_rag_tpu.ingestion.html_convert import html_to_markdown
+
+        md = html_to_markdown(self.HTML)
+        assert "# Solar Power" in md
+        assert "## Types" in md
+        assert "**sunlight**" in md and "*electricity*" in md
+        assert "- Monocrystalline" in md
+        assert "1. First step" in md and "2. Second step" in md
+        assert "| Kind | Eff |" in md and "| Mono | 22% |" in md
+        assert "[the docs](https://example.com/docs)" in md
+        assert "skip me" in md and "(#frag)" not in md  # fragment links flatten
+        assert "```\ncode [1] block\nkeeps   spacing\n```" in md
+        assert "`arr[0]`" in md
+        assert "alert" not in md and "color:red" not in md  # script/style dropped
+
+    def test_process_file_html_end_to_end(self, tmp_path):
+        from verbatim_rag_tpu.ingestion.document_processor import DocumentProcessor
+
+        p = tmp_path / "page.html"
+        p.write_text(self.HTML)
+        doc = DocumentProcessor().process_file(str(p))
+        assert doc.chunks
+        joined = " ".join(c.text for c in doc.chunks)
+        assert "Solar Power" in joined and "Monocrystalline" in joined
+
+    def test_process_directory_includes_html(self, tmp_path):
+        from verbatim_rag_tpu.ingestion.document_processor import DocumentProcessor
+
+        (tmp_path / "a.html").write_text("<h1>A</h1><p>Alpha body.</p>")
+        (tmp_path / "b.md").write_text("# B\n\nBeta body.")
+        docs = list(DocumentProcessor().process_directory(str(tmp_path)))
+        assert len(docs) == 2

@@ -6,9 +6,10 @@ presets `for_embeddings` / `for_qa` / `markdown_recursive`
 (`document_processor.py:242-283`).
 
 The reference converts via docling. docling is not baked into this image, so
-conversion is pluggable: markdown/text/JSON/CSV are handled natively; PDF and
-HTML use docling when importable and otherwise raise a clear error. All
-chunking is the native lossless markdown chunker.
+conversion is pluggable: markdown/text/JSON/CSV/HTML are handled natively
+(HTML via the stdlib-parser converter in `html_convert.py`); PDF uses
+docling when importable and otherwise raises a clear error. All chunking is
+the native lossless markdown chunker.
 """
 
 from __future__ import annotations
@@ -76,6 +77,10 @@ class DocumentProcessor:
             return _csv_to_markdown(Path(path).read_text(encoding="utf-8"))
         if doc_type == DocumentType.JSON:
             return _json_to_markdown(Path(path).read_text(encoding="utf-8"))
+        if doc_type == DocumentType.HTML:
+            from .html_convert import html_to_markdown
+
+            return html_to_markdown(Path(path).read_text(encoding="utf-8"))
         return self.converter(path)
 
     def extract_content_from_url(self, url: str) -> str:
@@ -103,7 +108,9 @@ class DocumentProcessor:
         return doc
 
     def process_directory(
-        self, directory: str, extensions: tuple[str, ...] = (".md", ".txt", ".csv", ".json")
+        self,
+        directory: str,
+        extensions: tuple[str, ...] = (".md", ".txt", ".csv", ".json", ".html", ".htm"),
     ) -> Iterable[Document]:
         for path in sorted(Path(directory).rglob("*")):
             if path.suffix.lower() in extensions:
