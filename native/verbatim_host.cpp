@@ -17,51 +17,100 @@
 #include <cstdint>
 #include <cstring>
 #include <cctype>
+#include <cstdlib>
 #include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Worker count for the row-parallel loops. VERBATIM_NATIVE_THREADS pins it;
+// default = hardware concurrency (1 on a 1-vCPU host -> zero overhead).
+int native_threads() {
+    static const int n = [] {
+        if (const char* env = std::getenv("VERBATIM_NATIVE_THREADS")) {
+            const long v = std::strtol(env, nullptr, 10);
+            if (v >= 1 && v <= 1024) return (int)v;
+        }
+        const unsigned hw = std::thread::hardware_concurrency();
+        return hw ? (int)hw : 1;
+    }();
+    return n;
+}
+
+// Run fn(start, end) over T contiguous chunks of [0, n). Inline when a
+// single worker (or fewer than min_rows) makes threads pure overhead;
+// min_rows is caller-tuned to the per-row work size.
+template <typename Fn>
+void parallel_rows(int64_t n, int64_t min_rows, Fn fn) {
+    const int threads = (int)std::min<int64_t>(native_threads(), n);
+    if (threads <= 1 || n < min_rows) {
+        fn((int64_t)0, n);
+        return;
+    }
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    const int64_t chunk = (n + threads - 1) / threads;
+    for (int t = 0; t < threads; ++t) {
+        const int64_t start = (int64_t)t * chunk;
+        const int64_t end = std::min(n, start + chunk);
+        if (start >= end) break;
+        pool.emplace_back([=] { fn(start, end); });
+    }
+    for (auto& th : pool) th.join();
+}
+
+}  // namespace
 
 extern "C" {
 
 // out[n, d] = sum_j w[n, j] * P[ids[n, j], d]
+// Row-parallel over `n` (disjoint output rows; read-only inputs).
 void project_rows(const int32_t* ids, const float* w, int64_t n, int64_t m,
                   const float* P, int64_t V, int64_t d, float* out) {
-    for (int64_t i = 0; i < n; ++i) {
-        float* acc = out + i * d;
-        std::memset(acc, 0, sizeof(float) * d);
-        const int32_t* row_ids = ids + i * m;
-        const float* row_w = w + i * m;
-        for (int64_t j = 0; j < m; ++j) {
-            const float weight = row_w[j];
-            if (weight == 0.0f) continue;
-            const int32_t t = row_ids[j];
-            if (t < 0 || t >= V) continue;
-            const float* p_row = P + (int64_t)t * d;
-            // Compilers vectorize this loop (contiguous fma).
-            for (int64_t k = 0; k < d; ++k) acc[k] += weight * p_row[k];
+    parallel_rows(n, /*min_rows=*/64, [=](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            float* acc = out + i * d;
+            std::memset(acc, 0, sizeof(float) * d);
+            const int32_t* row_ids = ids + i * m;
+            const float* row_w = w + i * m;
+            for (int64_t j = 0; j < m; ++j) {
+                const float weight = row_w[j];
+                if (weight == 0.0f) continue;
+                const int32_t t = row_ids[j];
+                if (t < 0 || t >= V) continue;
+                const float* p_row = P + (int64_t)t * d;
+                // Compilers vectorize this loop (contiguous fma).
+                for (int64_t k = 0; k < d; ++k) acc[k] += weight * p_row[k];
+            }
         }
-    }
+    });
 }
 
 // scores[b, c] = sum_j w[rows[b,c], j] * q[b, ids[rows[b,c], j]]
 // rows may contain -1 (missing candidate) -> score = -inf.
+// Query-parallel over `B` (disjoint score rows; read-only inputs).
 void exact_rescore(const int64_t* rows, int64_t B, int64_t C,
                    const int32_t* ids, const float* w, int64_t n, int64_t m,
                    const float* q, int64_t V, float* scores) {
     const float neg_inf = -3.0e38f;
-    for (int64_t b = 0; b < B; ++b) {
-        const float* qb = q + b * V;
-        for (int64_t c = 0; c < C; ++c) {
-            const int64_t row = rows[b * C + c];
-            if (row < 0 || row >= n) { scores[b * C + c] = neg_inf; continue; }
-            const int32_t* row_ids = ids + row * m;
-            const float* row_w = w + row * m;
-            float acc = 0.0f;
-            for (int64_t j = 0; j < m; ++j) {
-                const float weight = row_w[j];
-                if (weight != 0.0f) acc += weight * qb[row_ids[j]];
+    parallel_rows(B, /*min_rows=*/8, [=](int64_t lo, int64_t hi) {
+        for (int64_t b = lo; b < hi; ++b) {
+            const float* qb = q + b * V;
+            for (int64_t c = 0; c < C; ++c) {
+                const int64_t row = rows[b * C + c];
+                if (row < 0 || row >= n) { scores[b * C + c] = neg_inf; continue; }
+                const int32_t* row_ids = ids + row * m;
+                const float* row_w = w + row * m;
+                float acc = 0.0f;
+                for (int64_t j = 0; j < m; ++j) {
+                    const float weight = row_w[j];
+                    if (weight != 0.0f) acc += weight * qb[row_ids[j]];
+                }
+                scores[b * C + c] = acc;
             }
-            scores[b * C + c] = acc;
         }
-    }
+    });
 }
 
 static inline uint32_t fnv1a(const char* s, int len) {

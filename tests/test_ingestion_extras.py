@@ -207,3 +207,42 @@ keeps   spacing</pre>
         (tmp_path / "b.md").write_text("# B\n\nBeta body.")
         docs = list(DocumentProcessor().process_directory(str(tmp_path)))
         assert len(docs) == 2
+
+
+class TestNativeUrlIngestion:
+    class _Resp:
+        def __init__(self, text, ctype):
+            self.text = text
+            self.headers = {"content-type": ctype}
+
+    def test_html_url_converts_natively(self):
+        from verbatim_rag_tpu.ingestion.document_processor import DocumentProcessor
+
+        dp = DocumentProcessor(converter=lambda src: (_ for _ in ()).throw(
+            AssertionError("converter must not be called for HTML URLs")
+        ))
+        dp.http_get = lambda url: self._Resp(
+            "<h1>Remote</h1><p>Fetched body text.</p>", "text/html; charset=utf-8"
+        )
+        doc = dp.process_url("https://example.com/page")
+        assert doc.chunks
+        assert "Remote" in doc.content and "Fetched body text." in doc.content
+
+    def test_non_html_url_routes_to_converter(self):
+        from verbatim_rag_tpu.ingestion.document_processor import DocumentProcessor
+
+        dp = DocumentProcessor(converter=lambda src: "# PDF\n\nConverted output.")
+        dp.http_get = lambda url: self._Resp(b"%PDF", "application/pdf")
+        doc = dp.process_url("https://example.com/paper.pdf")
+        assert "Converted output." in doc.content
+
+    def test_fetch_failure_falls_back_to_converter(self):
+        from verbatim_rag_tpu.ingestion.document_processor import DocumentProcessor
+
+        def boom(url):
+            raise OSError("no network")
+
+        dp = DocumentProcessor(converter=lambda src: "# Fallback\n\nVia converter.")
+        dp.http_get = boom
+        doc = dp.process_url("https://example.com/x")
+        assert "Via converter." in doc.content

@@ -155,3 +155,57 @@ def test_native_tokenize_returns_owned_arrays():
         return
     ids, offsets = out
     assert ids.base is None and offsets.base is None
+
+
+class TestThreadedHostLoops:
+    """The row-parallel native loops must be bit-identical to single-thread
+    (disjoint output rows; pure reads elsewhere)."""
+
+    def test_project_rows_thread_invariant(self, monkeypatch):
+        import numpy as np
+
+        from verbatim_rag_tpu.engine import native
+
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(7)
+        n, m, V, d = 1024, 16, 512, 32
+        ids = rng.integers(0, V, size=(n, m)).astype(np.int32)
+        w = rng.random((n, m)).astype(np.float32)
+        P = rng.normal(size=(V, d)).astype(np.float32)
+        # Thread count is latched per-process in C, so we can't flip it here;
+        # instead check against the numpy reference, which any threading bug
+        # (overlapping chunks, missed rows) would break.
+        out = native.project_rows_native(ids, w, P)
+        ref = (w[:, :, None] * P[ids]).sum(axis=1)
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    def test_exact_rescore_covers_all_queries(self):
+        import ctypes
+
+        import numpy as np
+
+        from verbatim_rag_tpu.engine import native
+
+        lib = native._load()
+        if lib is None:
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(8)
+        B, C, n, m, V = 64, 8, 128, 4, 256
+        rows = rng.integers(-1, n, size=(B, C)).astype(np.int64)
+        ids = rng.integers(0, V, size=(n, m)).astype(np.int32)
+        w = rng.random((n, m)).astype(np.float32)
+        q = rng.random((B, V)).astype(np.float32)
+        scores = np.full((B, C), 7.0, np.float32)  # sentinel: must be overwritten
+        lib.exact_rescore(
+            rows.ctypes.data, B, C, ids.ctypes.data, w.ctypes.data, n, m,
+            q.ctypes.data, V, scores.ctypes.data,
+        )
+        ref = np.where(
+            rows >= 0,
+            (w[np.maximum(rows, 0)] * np.take_along_axis(
+                q[:, None, :].repeat(C, 1), ids[np.maximum(rows, 0)].astype(np.int64), axis=2
+            )).sum(-1),
+            -3.0e38,
+        )
+        np.testing.assert_allclose(scores, ref.astype(np.float32), rtol=2e-5, atol=2e-5)

@@ -84,6 +84,30 @@ class DocumentProcessor:
         return self.converter(path)
 
     def extract_content_from_url(self, url: str) -> str:
+        """Fetch + convert a URL.
+
+        HTML (and plain-text/markdown) responses are handled natively:
+        httpx fetch → `html_convert.html_to_markdown`. Other content types
+        (PDF etc.) route to the pluggable converter. ``http_get`` on the
+        instance can be overridden to stub the network in tests.
+        """
+        import httpx
+
+        get = getattr(self, "http_get", None) or (
+            lambda u: httpx.get(u, follow_redirects=True, timeout=30.0)
+        )
+        try:
+            resp = get(url)
+        except Exception as exc:
+            logger.info("Native fetch of %s failed (%s); using converter", url, exc)
+            return self.converter(url)
+        content_type = resp.headers.get("content-type", "").split(";")[0].strip()
+        if content_type in ("text/html", "application/xhtml+xml"):
+            from .html_convert import html_to_markdown
+
+            return html_to_markdown(resp.text)
+        if content_type in ("text/plain", "text/markdown"):
+            return resp.text
         return self.converter(url)
 
     # -- processing ---------------------------------------------------------------
