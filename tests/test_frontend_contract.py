@@ -162,3 +162,44 @@ class TestScriptedUISession:
                         assert d["content"][h["start"] : h["end"]] == h["text"]
         finally:
             await client.close()
+
+
+class TestOptionsPanelContract:
+    async def test_full_options_body_streams(self, app):
+        """The exact body shape queryOptions() builds — search_type, filter
+        string, hybrid_weights, rrf_k — must stream successfully."""
+        client = await _session(app)
+        try:
+            resp = await client.post(
+                "/api/query/stream",
+                json={
+                    "question": "how do solar panels work",
+                    "k": 2,
+                    "search_type": "dense",
+                    "filter": 'title == "Solar"',
+                    "rrf_k": 30,
+                },
+            )
+            assert resp.status == 200
+            events = [
+                json.loads(ln)
+                for ln in (await resp.text()).splitlines()
+                if ln.strip()
+            ]
+            assert events[0]["type"] == "documents"
+            docs = events[0]["data"]["documents"]
+            assert docs and all(d["title"] == "Solar" for d in docs)
+            assert events[-1]["type"] == "answer"
+        finally:
+            await client.close()
+
+    async def test_bad_filter_from_options_panel_is_400(self, app):
+        client = await _session(app)
+        try:
+            resp = await client.post(
+                "/api/query/stream",
+                json={"question": "x", "filter": "title ~~ broken"},
+            )
+            assert resp.status == 400
+        finally:
+            await client.close()

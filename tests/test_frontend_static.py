@@ -180,3 +180,15 @@ def test_citation_chips_skip_code_blocks(script):
     fn = script[script.index("function renderAnswer"):]
     fn = fn[: fn.index("\nfunction ")]
     assert ".split(" in fn and "startsWith(\"<pre>\")" in fn
+
+
+def test_query_options_panel_wired(html, script):
+    """The ⚙ options panel must exist and feed the stream body."""
+    for dom_id in ("options-toggle", "options-row", "search-type",
+                   "filter-expr", "w-dense", "w-sparse", "rrf-k"):
+        assert f'id="{dom_id}"' in html, dom_id
+    assert "queryOptions" in script
+    assert "opts.search_type" in script and "opts.filter" in script
+    assert "opts.hybrid_weights" in script and "opts.rrf_k" in script
+    # The stream request spreads the options into the body.
+    assert "{ question, ...opts }" in script
