@@ -93,8 +93,7 @@ def main() -> None:
     context = "The sky is blue today. Grass is green as always."
     spans = extractor.process("what color is the sky", context)
     print(f"query spans: {[(context[s:e]) for s, e in spans]}")
-    for s, e in spans:
-        assert context[s:e] == context[s:e]  # verbatim provenance by construction
+    assert all(0 <= s < e <= len(context) for s, e in spans)  # offsets in-bounds
     assert spans, "the trained extractor should select at least one span"
     print("publish loop OK (upload step = HfApi.upload_folder(staging, repo_id))")
 

@@ -63,11 +63,10 @@ def jax_checkpoint_to_hf_dir(
             state_dict = modernbert_params_to_hf_state_dict(params, config_obj)
             hf_config = hf_config_from_encoder(config_obj)
 
-    if hf_config is None:
-        if config:
-            hf_config = config
-    else:
+    if hf_config is not None:
         hf_config.update(config or {})
+    elif config:
+        hf_config = config
     if hf_config:
         with open(os.path.join(out_dir, "config.json"), "w") as f:
             json.dump(hf_config, f, indent=2)
