@@ -18,3 +18,26 @@ def test_pyproject_and_package_versions_match():
     [core_version] = re.findall(r'^__version__ = "([^"]+)"', core_init, re.MULTILINE)
 
     assert project_version == pkg_version == core_version
+
+
+def test_rag_compat_shims_mirror_reference_import_surface():
+    """Reference users import extractor/template/model names from the
+    orchestration package (`verbatim_rag.extractors` etc. are compat shims
+    over verbatim_core); the same import paths must work here."""
+    from verbatim_rag_tpu.rag import (
+        extractors,
+        llm_client,
+        models,
+        response_builder,
+        templates,
+        transform,
+        universal_document,
+    )
+
+    assert extractors.LLMSpanExtractor and extractors.ModelSpanExtractor
+    assert llm_client.LLMClient
+    assert models.QueryResponse and models.Highlight
+    assert response_builder.ResponseBuilder
+    assert templates.TemplateManager and templates.StaticTemplate
+    assert transform.VerbatimTransform and transform.verbatim_query
+    assert universal_document.UniversalDocument
