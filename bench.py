@@ -172,4 +172,22 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:
+        # A fast backend-init failure (tunnel outage: "Unable to initialize
+        # backend 'axon'") must still emit the one-JSON-line contract the
+        # harness records — the watchdog only covers hangs, not crashes.
+        print(
+            json.dumps(
+                {
+                    "metric": "hybrid_qps_1m_per_chip",
+                    "value": 0.0,
+                    "unit": "qps",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(exc).__name__}: {str(exc)[:300]}",
+                }
+            ),
+            flush=True,
+        )
+        raise
