@@ -33,7 +33,15 @@ def _load() -> ctypes.CDLL | None:
         if _lib is not None or _lib_failed:
             return _lib
         try:
-            if not os.path.exists(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "verbatim_host.cpp")
+            stale = os.path.exists(_LIB_PATH) and (
+                os.path.exists(src)
+                and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+            )
+            if not os.path.exists(_LIB_PATH) or stale:
+                # make's own mtime rule handles the rebuild; invoking it on
+                # staleness (not only absence) keeps an edited .cpp from
+                # silently serving through a stale .so.
                 subprocess.run(
                     ["make", "-C", _NATIVE_DIR, "libverbatim_host.so"],
                     check=True,
