@@ -153,3 +153,78 @@ def test_weighted_hybrid_matches_oracle(weights):
     ]
     ranked = _oracle_hybrid(dense, sparse, live, qd, qs, 5, weights=weights)
     _assert_matches_oracle(got, ranked, f"weights={weights}")
+
+
+WORDS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa", "lam", "mu",
+]
+
+
+def _bm25_oracle(texts, live_rows, query_text, top_k, k1=1.2, b=0.75):
+    """From-scratch BM25 mirroring the store's semantics: document-side
+    saturation frozen at flush (avgdl over ALL rows), idf over LIVE rows
+    (df decremented on delete). Hash collisions are impossible here: the
+    word pool is tiny vs the vocab."""
+    import math
+    import re
+
+    docs = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    avgdl = max(sum(len(d) for d in docs) / max(len(docs), 1), 1.0)
+    df: dict[str, int] = {}
+    for r in live_rows:
+        for w in set(docs[r]):
+            df[w] = df.get(w, 0) + 1
+    n_live = max(len(live_rows), 1)
+    q_terms = set(re.findall(r"[a-z0-9]+", query_text.lower()))
+    scores = {}
+    for r in live_rows:
+        dl = len(docs[r])
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = 0.0
+        for w in q_terms:
+            tf = docs[r].count(w)
+            if tf == 0:
+                continue
+            idf = math.log1p((n_live - df.get(w, 0) + 0.5) / (df.get(w, 0) + 0.5))
+            s += idf * tf * (k1 + 1.0) / (tf + norm)
+        scores[r] = s
+    return sorted(scores.items(), key=lambda kv: -kv[1])[:top_k]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_full_text_bm25_matches_oracle(seed):
+    rng = np.random.default_rng(100 + seed)
+    n = 24
+    texts = [
+        " ".join(rng.choice(WORDS, size=rng.integers(5, 14)))
+        for _ in range(n)
+    ]
+    store = DeviceVectorStore(
+        dense_dim=None, sparse_vocab=None, enable_full_text=True,
+        full_text_vocab=1 << 18, block=16,
+    )
+    store.add_vectors(
+        [{"id": f"r{i}", "text": texts[i], "metadata": {}} for i in range(n)]
+    )
+    store.flush()
+    dead = [int(i) for i in rng.choice(n, size=n // 4, replace=False)]
+    store.delete([f"r{i}" for i in dead])
+    live = [i for i in range(n) if i not in dead]
+
+    for trial in range(3):
+        query = " ".join(rng.choice(WORDS, size=3, replace=False))
+        got = [
+            (h.id, h.score)
+            for h in store.query(text_query=query, top_k=6)
+        ]
+        ranked = _bm25_oracle(texts, live, query, 6)
+        # Tie-aware id comparison + score agreement.
+        _assert_matches_oracle(
+            [g for g, _ in got],
+            ranked,
+            f"seed={seed} trial={trial} q={query!r}",
+        )
+        for (gid, gscore), (orow, oscore) in zip(got, ranked):
+            if gid == f"r{orow}":  # same row: scores must agree numerically
+                assert gscore == pytest.approx(oscore, rel=2e-3), (gid, query)
