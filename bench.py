@@ -74,8 +74,12 @@ def main() -> None:
 
     import jax
 
-    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+    from verbatim_rag_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+        pin_platform_from_env,
+    )
 
+    pin_platform_from_env()
     enable_persistent_compilation_cache()
     import jax.numpy as jnp
 

@@ -9,8 +9,11 @@ both serving shapes in one session with device-honest timing so a healthy-
 chip run settles whether the kernel earns its way into the hybrid program.
 
 Compares, at [B, N] for d in {384 (dense), 768 (sketch)}:
-  xla      dense_topk: matmul → approx_max_k (the serving default)
-  bucket   fused_candidate_topk: Pallas matmul+bucket-max → lax.top_k
+  xla                dense_topk: matmul → approx_max_k (serving default)
+  pallas_bucket_max  v1: consecutive buckets, lane-reduce + iota argmax
+  pallas_v2_onedot   v2: strided buckets, mantissa-packed argmax, one dot
+  pallas_v2_chunked  v2: same, but scores never materialize past
+                     [qb, chunk_pos·128] (running max over MXU chunks)
 
 Also checks candidate agreement (both are one-winner-per-bucket families;
 top-k overlap at the serving fetch depth is the quality gate).
@@ -35,6 +38,11 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--k", type=int, default=256)
     parser.add_argument("--dims", type=int, nargs="+", default=[384, 768])
+    parser.add_argument("--chunk-pos", type=int, default=16)
+    parser.add_argument(
+        "--impls", nargs="+", default=None,
+        help="subset of pallas impls to run (default: all three)",
+    )
     args = parser.parse_args()
 
     import os
@@ -50,10 +58,28 @@ def main() -> None:
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
 
     from verbatim_rag_tpu.ops.dense import dense_topk
-    from verbatim_rag_tpu.ops.fused_topk import fused_candidate_topk
+    from verbatim_rag_tpu.ops.fused_topk import (
+        fused_candidate_topk,
+        fused_candidate_topk_v2,
+    )
 
     key = jax.random.PRNGKey(0)
     mask_np = np.ones(args.n, bool)
+
+    impls = {
+        "pallas_bucket_max": lambda c, qq, m: fused_candidate_topk(
+            c, qq.astype(c.dtype), args.k, m, interpret=interpret
+        ),
+        "pallas_v2_onedot": lambda c, qq, m: fused_candidate_topk_v2(
+            c, qq.astype(c.dtype), args.k, m, variant="onedot", interpret=interpret
+        ),
+        "pallas_v2_chunked": lambda c, qq, m: fused_candidate_topk_v2(
+            c, qq.astype(c.dtype), args.k, m, variant="chunked",
+            chunk_pos=args.chunk_pos, interpret=interpret
+        ),
+    }
+    if args.impls:
+        impls = {name: impls[name] for name in args.impls}
 
     for dim in args.dims:
         k1, k2, key = jax.random.split(key, 3)
@@ -71,30 +97,30 @@ def main() -> None:
             "sync_ms": round(sync_x, 2), "device_ms": round(dev_x, 2),
             "batch": args.batch, "n": args.n, "k": args.k,
         }), flush=True)
-
-        sync_b, dev_b = timeit(
-            lambda c, qq, m: fused_candidate_topk(c, qq.astype(c.dtype), args.k, m, interpret=interpret),
-            corpus, q, mask,
-        )
-        print(json.dumps({
-            "metric": f"candidate_topk_d{dim}", "impl": "pallas_bucket_max",
-            "sync_ms": round(sync_b, 2), "device_ms": round(dev_b, 2),
-            "speedup_vs_xla_device": round(dev_x / dev_b, 3) if dev_b else None,
-        }), flush=True)
-
-        # Quality gate: overlap of the top-k candidate sets (both feed the
-        # exact rescore downstream, so set overlap is what matters).
         _, rows_x = dense_topk(corpus, q, args.k, mask, exact_topk=False)
-        _, rows_b = fused_candidate_topk(corpus, q.astype(corpus.dtype), args.k, mask, interpret=interpret)
-        rx, rb = np.asarray(rows_x), np.asarray(rows_b)
-        overlap = np.mean([
-            len(set(rx[i][rx[i] >= 0]) & set(rb[i][rb[i] >= 0]))
-            / max(1, (rx[i] >= 0).sum())
-            for i in range(min(64, args.batch))
-        ])
-        print(json.dumps({
-            "metric": f"candidate_overlap_d{dim}", "value": round(float(overlap), 4),
-        }), flush=True)
+        rx = np.asarray(rows_x)
+
+        for name, fn in impls.items():
+            sync_b, dev_b = timeit(fn, corpus, q, mask)
+            print(json.dumps({
+                "metric": f"candidate_topk_d{dim}", "impl": name,
+                "sync_ms": round(sync_b, 2), "device_ms": round(dev_b, 2),
+                "speedup_vs_xla_device": round(dev_x / dev_b, 3) if dev_b else None,
+            }), flush=True)
+
+            # Quality gate: overlap of the top-k candidate sets (all feed
+            # the exact rescore downstream, so set overlap is what matters).
+            _, rows_b = fn(corpus, q, mask)
+            rb = np.asarray(rows_b)
+            overlap = np.mean([
+                len(set(rx[i][rx[i] >= 0]) & set(rb[i][rb[i] >= 0]))
+                / max(1, (rx[i] >= 0).sum())
+                for i in range(min(64, args.batch))
+            ])
+            print(json.dumps({
+                "metric": f"candidate_overlap_d{dim}", "impl": name,
+                "value": round(float(overlap), 4),
+            }), flush=True)
 
 
 if __name__ == "__main__":

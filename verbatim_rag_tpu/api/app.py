@@ -322,17 +322,12 @@ def create_app(static_dir: str | None = None, warmup: bool = True) -> web.Applic
 def main() -> None:
     import os
 
-    # Honor an explicit backend choice before any device init. Plugin
-    # backends (e.g. a tunneled TPU) override the plain JAX_PLATFORMS env
-    # var, so an in-process config update is the only reliable pin.
-    platform = os.environ.get("VERBATIM_FORCE_PLATFORM")
-    if platform:
-        import jax
+    from verbatim_rag_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+        pin_platform_from_env,
+    )
 
-        jax.config.update("jax_platforms", platform)
-
-    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
-
+    pin_platform_from_env()
     enable_persistent_compilation_cache()
 
     config = deps.get_config()

@@ -143,3 +143,195 @@ def fused_candidate_topk(
     top_rows = jnp.take_along_axis(rows, pos, axis=1)
     top_rows = jnp.where(top_vals > NEG_INF / 2, top_rows, -1)
     return top_vals, top_rows
+
+
+# ---------------------------------------------------------------------------
+# v2: strided buckets + mantissa-packed argmax.
+#
+# The v1 kernel's reduction is the expensive part: buckets are 128
+# *consecutive* corpus rows, i.e. one full lane-tile of the [qb, block]
+# score matrix, so the per-bucket max is a cross-lane reduction — and the
+# argmax needs two more full passes (iota + masked max). v2 changes the
+# bucket *membership* (legal: any 128-row partition gives the same
+# one-winner-per-128-rows selection family): bucket(r) = r mod 128, the
+# LANE id. Reshaped to [qb, pos, 128], the per-bucket max is a reduce over
+# the second-minor axis — sublane-direction work the VPU does without lane
+# shuffles. The argmax comes for free: before reducing, each score's low 7
+# mantissa bits are overwritten with its `pos` (the f32 comparison order is
+# preserved to within 127 ulp — candidates feed an exact rescore, and the
+# inputs are bf16 with 8 mantissa bits anyway), so ONE maximum pass yields
+# both the winning value and, in its low bits, the winning row.
+# ---------------------------------------------------------------------------
+
+_POS_BITS = 7  # low mantissa bits carrying the in-bucket position
+_POS_MASK = (1 << _POS_BITS) - 1  # 0x7F
+
+
+def _pack_pos(scores: jax.Array, pos: jax.Array) -> jax.Array:
+    """Overwrite the low 7 mantissa bits of f32 `scores` with `pos` (i32).
+
+    Monotone within 127 ulp for same-sign floats (sign-magnitude layout);
+    across signs the sign bit dominates. Ties inside the tolerance pick an
+    arbitrary near-equal winner — the approx-selection family's contract.
+    """
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    packed = (bits & jnp.int32(~_POS_MASK)) | pos
+    return jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+
+def _unpack(best: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(value with low bits cleared, pos) from a packed f32 array."""
+    bits = jax.lax.bitcast_convert_type(best, jnp.int32)
+    vals = jax.lax.bitcast_convert_type(bits & jnp.int32(~_POS_MASK), jnp.float32)
+    return vals, bits & jnp.int32(_POS_MASK)
+
+
+def _bucket_max_v2_onedot_kernel(q_ref, corpus_ref, mask_ref, val_ref, idx_ref):
+    """One MXU dot for the whole block, then a packed second-minor reduce."""
+    q = q_ref[...]  # [qb, d]
+    block = corpus_ref[...]  # [block_rows, d]
+    scores = jax.lax.dot_general(
+        q, block, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [qb, block_rows]
+    qb, block_rows = scores.shape
+    p = block_rows // BUCKET
+    s3 = scores.reshape(qb, p, BUCKET)  # (query, pos, lane-bucket)
+    mask3 = mask_ref[...][None, :, :]  # [1, p, 128] int8
+    pos = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
+    packed = _pack_pos(s3, pos)
+    packed = jnp.where(mask3 != 0, packed, NEG_INF)
+    vals, winner = _unpack(jnp.max(packed, axis=1))  # [qb, 128]
+    val_ref[...] = vals
+    idx_ref[...] = winner
+
+
+def _bucket_max_v2_chunked_kernel(
+    q_ref, corpus_ref, mask_ref, val_ref, idx_ref, *, chunk_pos: int
+):
+    """Chunked variant: the [qb, block] score matrix is never materialized —
+    `chunk_pos` 128-row groups at a time go MXU → pack → reduce → running
+    max, so live score state is [qb, chunk_pos·128] plus one [qb, 128]
+    accumulator resident in VMEM registers."""
+    q = q_ref[...]  # [qb, d]
+    qb = q.shape[0]
+    p_total = corpus_ref.shape[0] // BUCKET
+    n_iter = p_total // chunk_pos
+    rows_per_iter = chunk_pos * BUCKET
+
+    def body(i, running):
+        start = pl.multiple_of(i * rows_per_iter, rows_per_iter)
+        rows = corpus_ref[pl.ds(start, rows_per_iter), :]  # [cp·128, d]
+        sc = jax.lax.dot_general(
+            q, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [qb, cp·128]
+        s3 = sc.reshape(qb, chunk_pos, BUCKET)
+        m3 = mask_ref[pl.ds(pl.multiple_of(i * chunk_pos, chunk_pos), chunk_pos), :]
+        pos = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) + i * chunk_pos
+        packed = _pack_pos(s3, pos)
+        packed = jnp.where(m3[None, :, :] != 0, packed, NEG_INF)
+        return jnp.maximum(running, jnp.max(packed, axis=1))
+
+    init = jnp.full((qb, BUCKET), NEG_INF, jnp.float32)
+    best = jax.lax.fori_loop(0, n_iter, body, init)
+    vals, winner = _unpack(best)
+    val_ref[...] = vals
+    idx_ref[...] = winner
+
+
+@partial(jax.jit, static_argnames=("variant", "chunk_pos", "interpret"))
+def matmul_bucket_max_v2(
+    corpus: jax.Array,  # [N, d]; N ≤ BLOCK_ROWS, or N % BLOCK_ROWS == 0
+    q: jax.Array,  # [B, d]
+    mask: jax.Array,  # [N] bool
+    variant: str = "onedot",
+    chunk_pos: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Strided-bucket fused scores+reduce: returns (bucket max
+    [B, n_blocks·128] f32 with the low 7 mantissa bits zeroed, global
+    argmax rows i32). Bucket g = block·128 + lane holds the
+    block_rows/128 rows {block·block_rows + pos·128 + lane}; at the
+    serving block size (16384) that is one winner per 128 rows, the same
+    granularity as v1/approx_max_k, and finer (better recall) below it."""
+    n, d = corpus.shape
+    b = q.shape[0]
+    if n % BUCKET != 0:
+        raise ValueError(f"corpus rows ({n}) must be a multiple of {BUCKET}")
+    if n <= BLOCK_ROWS:
+        block_rows = n
+    elif n % BLOCK_ROWS == 0:
+        block_rows = BLOCK_ROWS
+    else:
+        raise ValueError(
+            f"corpus rows ({n}) must be ≤ {BLOCK_ROWS} or a multiple of it"
+        )
+    p = block_rows // BUCKET
+    if p > (1 << _POS_BITS):
+        raise ValueError(f"block positions ({p}) exceed the 7-bit pack")
+    if variant == "chunked":
+        if p % chunk_pos != 0:
+            raise ValueError(f"chunk_pos ({chunk_pos}) must divide positions ({p})")
+        kernel = partial(_bucket_max_v2_chunked_kernel, chunk_pos=chunk_pos)
+    elif variant == "onedot":
+        kernel = _bucket_max_v2_onedot_kernel
+    else:
+        raise ValueError(f"unknown variant {variant!r}")
+
+    qb = min(Q_BLOCK, b) if b % Q_BLOCK else Q_BLOCK
+    if b % qb != 0:
+        q = jnp.pad(q, ((0, qb - b % qb), (0, 0)))
+    b_padded = q.shape[0]
+
+    n_blocks = n // block_rows
+    # Mask laid out [pos, lane] to mirror the strided bucket geometry.
+    mask2d = mask.astype(jnp.int8).reshape(n // BUCKET, BUCKET)
+
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, b_padded // qb),
+        in_specs=[
+            pl.BlockSpec((qb, d), lambda j, i: (i, 0)),
+            pl.BlockSpec((block_rows, d), lambda j, i: (j, 0)),
+            pl.BlockSpec((p, BUCKET), lambda j, i: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((qb, BUCKET), lambda j, i: (i, j)),
+            pl.BlockSpec((qb, BUCKET), lambda j, i: (i, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_padded, n_blocks * BUCKET), jnp.float32),
+            jax.ShapeDtypeStruct((b_padded, n_blocks * BUCKET), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q.astype(corpus.dtype), corpus, mask2d)
+
+    # Globalize: column c = block·128 + lane; row = block·block_rows +
+    # pos·128 + lane.
+    cols = jnp.arange(n_blocks * BUCKET, dtype=jnp.int32)
+    block_base = (cols // BUCKET) * block_rows
+    lane = cols % BUCKET
+    rows = block_base[None, :] + idx[:b] * BUCKET + lane[None, :]
+    return vals[:b], rows
+
+
+@partial(jax.jit, static_argnames=("k", "variant", "chunk_pos", "interpret"))
+def fused_candidate_topk_v2(
+    corpus: jax.Array,  # [N, d]
+    q: jax.Array,  # [B, d]
+    k: int,
+    mask: jax.Array,  # [N] bool
+    variant: str = "onedot",
+    chunk_pos: int = 16,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """v2 candidate top-k: packed strided-bucket reduce, then `lax.top_k`
+    over the 128× smaller bucket table (same contract as v1)."""
+    vals, rows = matmul_bucket_max_v2(
+        corpus, q, mask, variant=variant, chunk_pos=chunk_pos, interpret=interpret
+    )
+    k = min(k, vals.shape[1])
+    top_vals, pos = jax.lax.top_k(vals, k)
+    top_rows = jnp.take_along_axis(rows, pos, axis=1)
+    top_rows = jnp.where(top_vals > NEG_INF / 2, top_rows, -1)
+    return top_vals, top_rows

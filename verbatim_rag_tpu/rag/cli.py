@@ -113,8 +113,12 @@ def _template(args):
 
 
 def main(argv: list[str] | None = None) -> int:
-    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+    from verbatim_rag_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+        pin_platform_from_env,
+    )
 
+    pin_platform_from_env()
     enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(prog="verbatim-rag-tpu")
     sub = parser.add_subparsers(dest="command", required=True)

@@ -45,8 +45,12 @@ def main(argv: list[str] | None = None) -> int:
     # the full train/eval programs every invocation and log nothing.
     logging.basicConfig(level=logging.INFO)
 
-    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+    from verbatim_rag_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+        pin_platform_from_env,
+    )
 
+    pin_platform_from_env()
     enable_persistent_compilation_cache()
 
     if args.mode == "token":

@@ -16,6 +16,20 @@ logger = logging.getLogger(__name__)
 DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/verbatim_rag_tpu/jax")
 
 
+def pin_platform_from_env() -> None:
+    """Honor ``VERBATIM_FORCE_PLATFORM`` before any device init.
+
+    Plugin backends (e.g. a tunneled TPU) override the plain JAX_PLATFORMS
+    env var, so an in-process config update is the only reliable pin. Must
+    run before the first jax device touch; a no-op when the var is unset.
+    """
+    platform = os.environ.get("VERBATIM_FORCE_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
 def enable_persistent_compilation_cache(cache_dir: str | None = None) -> None:
     """Idempotent; respects an externally-set JAX_COMPILATION_CACHE_DIR."""
     import jax
