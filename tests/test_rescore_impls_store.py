@@ -1,0 +1,77 @@
+"""Store-level parity across rescore implementations.
+
+`DeviceVectorStore(rescore_impl=...)` switches the exact-rescore strategy
+inside the fused device programs (ops/hybrid.py::rescore_fn). All three
+must return the same rows and scores for hybrid and sparse queries — the
+kernels are alternative schedules of the same math.
+"""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+DIM, VOCAB, NNZ = 8, 64, 4
+
+
+def _build(rescore_impl, seed=11, n=48):
+    rng = np.random.default_rng(seed)
+    dense = rng.normal(size=(n, DIM)).astype(np.float32)
+    store = DeviceVectorStore(
+        dense_dim=DIM,
+        sparse_vocab=VOCAB,
+        sparse_max_nnz=NNZ,
+        block=16,
+        rescore_impl=rescore_impl,
+    )
+    store.add_vectors(
+        [
+            {
+                "id": f"r{i}",
+                "text": f"text {i}",
+                "metadata": {},
+                "dense": dense[i],
+                "sparse": {
+                    int(t): float(rng.random() + 0.05)
+                    for t in rng.choice(np.arange(1, VOCAB), size=NNZ, replace=False)
+                },
+            }
+            for i in range(n)
+        ]
+    )
+    store.flush()
+    return store
+
+
+def _query(rng):
+    qd = rng.normal(size=DIM).astype(np.float32)
+    qs = {int(t): float(rng.random() + 0.1) for t in range(1, VOCAB, 3)}
+    return qd, qs
+
+
+@pytest.mark.parametrize("impl", ["oneshot", "pallas"])
+def test_hybrid_and_sparse_match_scan(impl):
+    rng = np.random.default_rng(5)
+    ref = _build("scan")
+    alt = _build(impl)
+    for trial in range(3):
+        qd, qs = _query(rng)
+        r_ref = ref.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+        r_alt = alt.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+        assert [h.id for h in r_ref] == [h.id for h in r_alt]
+        np.testing.assert_allclose(
+            [h.score for h in r_ref], [h.score for h in r_alt], rtol=1e-6
+        )
+        s_ref = ref.query_batch(sparse_queries=[qs], top_k=6)[0]
+        s_alt = alt.query_batch(sparse_queries=[qs], top_k=6)[0]
+        assert [h.id for h in s_ref] == [h.id for h in s_alt]
+        np.testing.assert_allclose(
+            [h.score for h in s_ref], [h.score for h in s_alt], rtol=1e-6
+        )
+
+
+def test_invalid_impl_rejected():
+    with pytest.raises(ValueError, match="rescore_impl"):
+        DeviceVectorStore(dense_dim=DIM, rescore_impl="magic")

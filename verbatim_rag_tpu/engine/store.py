@@ -210,9 +210,14 @@ class DeviceVectorStore(VectorStore):
         approx_topk: bool = True,
         auto_compact_threshold: float | None = None,
         allow_exact_at_scale: bool = False,
+        rescore_impl: str = "scan",
     ):
         if sparse_mode not in ("projected", "exact"):
             raise ValueError(f"sparse_mode must be 'projected' or 'exact', got {sparse_mode!r}")
+        if rescore_impl not in ("scan", "oneshot", "pallas"):
+            raise ValueError(
+                f"rescore_impl must be 'scan', 'oneshot' or 'pallas', got {rescore_impl!r}"
+            )
         if dense_dtype not in ("bfloat16", "float32", "int8"):
             raise ValueError(
                 f"dense_dtype must be 'bfloat16', 'float32' or 'int8', got {dense_dtype!r}"
@@ -274,6 +279,11 @@ class DeviceVectorStore(VectorStore):
         #: ground truth 0.9906 for both). Per-query override via
         #: search_params["approx_topk"]=False.
         self.approx_topk = approx_topk
+        #: Exact-rescore strategy inside the fused programs (ops/hybrid.py
+        #: rescore_fn): "scan" (reference), "oneshot" (single XLA broadcast
+        #: reduction), "pallas" (VMEM-resident kernel). Differential-tested
+        #: equal; switches the device program, so A/B-able per store.
+        self.rescore_impl = rescore_impl
 
         # Host-side record state.
         self._ids: list[str] = []
@@ -1255,6 +1265,7 @@ class DeviceVectorStore(VectorStore):
                 exact_topk=exact_topk,
                 dense_scale=self._dense_scale,
                 sketch_scale=self._sp_proj_scale,
+                rescore_impl=self.rescore_impl,
             )
         return np.asarray(scores), np.asarray(rows)
 
@@ -1326,6 +1337,7 @@ class DeviceVectorStore(VectorStore):
                 mask,
                 exact_topk=exact_topk,
                 sketch_scale=scale_dev,
+                rescore_impl=self.rescore_impl,
             )
         return np.asarray(top_scores), np.asarray(top_rows)
 

@@ -94,7 +94,25 @@ def exact_rescore_device(
     return jnp.where(cand_rows >= 0, scores, NEG_INF)
 
 
-@partial(jax.jit, static_argnames=("k", "depth", "exact_topk"))
+def rescore_fn(impl: str):
+    """Exact-rescore strategy: the scan reference, the one-shot XLA
+    broadcast reduction, or the VMEM-resident Pallas kernel (all
+    differential-tested equal; the scan re-reads the gathered candidate
+    arrays per query term — ~8.6 GB HBM traffic at the serving point)."""
+    if impl == "scan":
+        return exact_rescore_device
+    if impl == "oneshot":
+        from .rescore import exact_rescore_oneshot
+
+        return exact_rescore_oneshot
+    if impl == "pallas":
+        from .rescore import exact_rescore_dispatch
+
+        return exact_rescore_dispatch
+    raise ValueError(f"unknown rescore impl {impl!r}")
+
+
+@partial(jax.jit, static_argnames=("k", "depth", "exact_topk", "rescore_impl"))
 def projected_sparse_topk(
     sketch_corpus: jax.Array,  # [N, d_p] sparse sketches (float or int8)
     sp_ids: jax.Array,  # [N, m] forward index
@@ -107,6 +125,7 @@ def projected_sparse_topk(
     mask: jax.Array | None = None,
     exact_topk: bool = True,
     sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
+    rescore_impl: str = "scan",
 ) -> tuple[jax.Array, jax.Array]:
     """Projected sparse search entirely on device: sketch-matmul candidates,
     exact forward-index rescore, final top-k. One program, one sync.
@@ -119,14 +138,17 @@ def projected_sparse_topk(
     c_top, cand = candidate_select(exact_topk)(s_scores, k=depth)
     cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
 
-    exact = exact_rescore_device(cand, sp_ids, sp_w, q_ids, q_w)
+    exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
     top_scores, pos = jax.lax.top_k(exact, k)
     rows = jnp.take_along_axis(cand, pos, axis=1)
     rows = jnp.where(top_scores > NEG_INF / 2, rows, -1)
     return top_scores, rows
 
 
-@partial(jax.jit, static_argnames=("k", "fetch_k", "depth", "rrf_k", "exact_topk"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "fetch_k", "depth", "rrf_k", "exact_topk", "rescore_impl"),
+)
 def hybrid_fused_topk(
     dense_corpus: jax.Array,  # [N, d] row-normalized
     sketch_corpus: jax.Array,  # [N, d_p] sparse sketches
@@ -146,6 +168,7 @@ def hybrid_fused_topk(
     exact_topk: bool = True,
     dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
     sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
+    rescore_impl: str = "scan",
 ) -> tuple[jax.Array, jax.Array]:
     """The full hybrid query as ONE device program: both candidate matmuls,
     exact sparse rescore of the top-`depth` sketch candidates, and weighted
@@ -166,7 +189,7 @@ def hybrid_fused_topk(
 
     c_top, cand = select(s_scores, k=depth)
     cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
-    exact = exact_rescore_device(cand, sp_ids, sp_w, q_ids, q_w)
+    exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
     r_top, r_pos = jax.lax.top_k(exact, fetch_k)
     s_rows = jnp.take_along_axis(cand, r_pos, axis=1)
     s_rows = jnp.where(r_top > NEG_INF / 2, s_rows, -1)
