@@ -231,6 +231,20 @@ def main() -> None:
         total_sync += sync_ms
         total_dev += device_ms
         report(key, sync_ms, device_ms)
+    # Fuse-stage A/B: shifted-masked-adds serving impl vs the scatter
+    # segment-sum reference (ops/fusion.py keeps both; same math).
+    from verbatim_rag_tpu.ops.fusion import _rrf_fuse_scatter
+
+    @jax.jit
+    def stage_fuse_scatter(exact, cand_dev, d_rows):
+        r_top, r_pos = jax.lax.top_k(exact, args.fetch_k)
+        s_rows = jnp.take_along_axis(cand_dev, r_pos, axis=1)
+        s_rows = jnp.where(r_top > NEG_INF / 2, s_rows, -1)
+        stacked = jnp.stack([d_rows, s_rows])
+        w = jnp.asarray([0.5, 0.5], jnp.float32)
+        return _rrf_fuse_scatter(stacked, w, k=10, rrf_k=60)
+
+    report("fuse_scatter_ms", *timeit(stage_fuse_scatter, exact, cand_dev, d_rows))
     report("sum_of_stages_ms", total_sync, total_dev)
     report("fused_full_ms", *timeit(lambda: fused(dq, sq, q_ids, q_w)))
 

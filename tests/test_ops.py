@@ -138,6 +138,32 @@ class TestRRF:
         assert rows[0] == 3
         assert set(rows[1:]) == {-1}
 
+    def test_shiftsum_matches_scatter_reference(self):
+        """The serving fuse (shifted masked adds) vs the scatter segment-sum
+        formulation: same math including ties, randomized over 2- and 3-way
+        fusions with duplicates across methods and -1 pads."""
+        from verbatim_rag_tpu.ops.fusion import _rrf_fuse_scatter
+
+        rng = np.random.default_rng(17)
+        for trial in range(8):
+            m = 2 if trial % 2 == 0 else 3
+            b, km, k = 5, 16, 8
+            # Per-method ranked lists without intra-method duplicates; a
+            # narrow id range forces heavy cross-method overlap.
+            idx = np.full((m, b, km), -1, np.int32)
+            for mi in range(m):
+                for bi in range(b):
+                    n_hits = rng.integers(km // 2, km + 1)
+                    idx[mi, bi, :n_hits] = rng.choice(24, size=n_hits, replace=False)
+            w = rng.random(m).astype(np.float32) + 0.1
+            w /= w.sum()
+            s_new, r_new = rrf_fuse_device(jnp.asarray(idx), jnp.asarray(w), k=k)
+            s_ref, r_ref = _rrf_fuse_scatter(jnp.asarray(idx), jnp.asarray(w), k=k)
+            np.testing.assert_array_equal(np.asarray(r_new), np.asarray(r_ref))
+            np.testing.assert_allclose(
+                np.asarray(s_new), np.asarray(s_ref), rtol=1e-6, atol=1e-7
+            )
+
 
 class TestHybridOps:
     def test_hybrid_topk_fused_pipeline(self):

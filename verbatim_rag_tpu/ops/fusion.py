@@ -144,6 +144,18 @@ def rrf_fuse_np(
 # -- device-side -------------------------------------------------------------------
 
 
+def _flatten_contrib(method_indices, method_weights, rrf_k):
+    """[M, B, Km] → ([B, M·Km] ids, [B, M·Km] per-slot RRF contributions)."""
+    n_methods, batch, km = method_indices.shape
+    ranks = jnp.broadcast_to(jnp.arange(km)[None, None, :], method_indices.shape)
+    contrib = method_weights[:, None, None] / (rrf_k + ranks + 1.0)  # [M, B, Km]
+    contrib = jnp.where(method_indices >= 0, contrib, 0.0)
+    total = n_methods * km
+    ids = jnp.moveaxis(method_indices, 0, 1).reshape(batch, total)
+    scores = jnp.moveaxis(contrib, 0, 1).reshape(batch, total)
+    return ids, scores
+
+
 @partial(jax.jit, static_argnames=("k", "rrf_k"))
 def rrf_fuse_device(
     method_indices: jax.Array,  # [M, B, Km] row indices per method (−1 = no hit)
@@ -153,20 +165,18 @@ def rrf_fuse_device(
 ) -> tuple[jax.Array, jax.Array]:
     """Fuse M ranked candidate lists on device.
 
+    Duplicate ids are merged scatter-free: an id appears at most once per
+    method, so after the sort-by-id a run of equal ids has at most M
+    elements — the segmented sum is M−1 shifted masked adds (pure
+    elementwise VPU work; TPU scatters serialize). Each run's fused score
+    lands on its last slot; runs are ordered by id, so tie-breaking
+    (smaller id first) matches the scatter formulation exactly.
+
     :return: (fused scores [B, k], row indices [B, k]); slots without a
         candidate carry index −1 and score 0.
     """
-    n_methods, batch, km = method_indices.shape
-    total = n_methods * km
-
-    ranks = jnp.broadcast_to(jnp.arange(km)[None, None, :], method_indices.shape)
-    contrib = method_weights[:, None, None] / (rrf_k + ranks + 1.0)  # [M, B, Km]
-    valid = method_indices >= 0
-    contrib = jnp.where(valid, contrib, 0.0)
-
-    # Flatten methods: [B, M·Km]
-    ids = jnp.moveaxis(method_indices, 0, 1).reshape(batch, total)
-    scores = jnp.moveaxis(contrib, 0, 1).reshape(batch, total)
+    n_methods, batch, _ = method_indices.shape
+    ids, scores = _flatten_contrib(method_indices, method_weights, rrf_k)
 
     # Sort by id so duplicates (same row from several methods) are adjacent.
     # Missing candidates (-1) sort first and carry zero score.
@@ -174,16 +184,51 @@ def rrf_fuse_device(
     ids_sorted = jnp.take_along_axis(ids, order, axis=1)
     scores_sorted = jnp.take_along_axis(scores, order, axis=1)
 
-    # Segment-sum runs of equal ids: each candidate's fused score lands on the
-    # run's first slot; the rest are zeroed so top-k never double-counts.
+    def shifted(x, j, fill):
+        pad = jnp.full((batch, j), fill, x.dtype)
+        return jnp.concatenate([pad, x[:, :-j]], axis=1)
+
+    fused = scores_sorted
+    for j in range(1, n_methods):
+        # ids are sorted, so equality at distance j implies one run.
+        same = ids_sorted == shifted(ids_sorted, j, -2)
+        fused = fused + jnp.where(same, shifted(scores_sorted, j, 0.0), 0.0)
+
+    run_end = jnp.concatenate(
+        [ids_sorted[:, 1:] != ids_sorted[:, :-1], jnp.ones((batch, 1), bool)], axis=1
+    )
+    fused_scores = jnp.where(run_end & (ids_sorted >= 0), fused, -jnp.inf)
+    top_scores, top_pos = jax.lax.top_k(fused_scores, k)
+    top_ids = jnp.take_along_axis(ids_sorted, top_pos, axis=1)
+    top_ids = jnp.where(top_scores > -jnp.inf, top_ids, -1)
+    top_scores = jnp.where(top_ids >= 0, top_scores, 0.0)
+    return top_scores, top_ids
+
+
+@partial(jax.jit, static_argnames=("k", "rrf_k"))
+def _rrf_fuse_scatter(
+    method_indices: jax.Array,  # [M, B, Km]
+    method_weights: jax.Array,  # [M]
+    k: int,
+    rrf_k: int = 60,
+) -> tuple[jax.Array, jax.Array]:
+    """The original scatter-based segment-sum formulation, kept as the
+    differential reference for :func:`rrf_fuse_device` (same math, ties
+    included; measured slower on TPU — scatters serialize)."""
+    batch = method_indices.shape[1]
+    total = method_indices.shape[0] * method_indices.shape[2]
+    ids, scores = _flatten_contrib(method_indices, method_weights, rrf_k)
+
+    order = jnp.argsort(ids, axis=1)
+    ids_sorted = jnp.take_along_axis(ids, order, axis=1)
+    scores_sorted = jnp.take_along_axis(scores, order, axis=1)
+
     run_start = jnp.concatenate(
         [jnp.ones((batch, 1), bool), ids_sorted[:, 1:] != ids_sorted[:, :-1]], axis=1
     )
     run_id = jnp.cumsum(run_start.astype(jnp.int32), axis=1) - 1  # [B, total]
     rows = jnp.broadcast_to(jnp.arange(batch)[:, None], run_id.shape)
     summed = jnp.zeros((batch, total), jnp.float32).at[rows, run_id].add(scores_sorted)
-    # Run-representative id per run slot; unused slots (and the all-missing
-    # run) stay at -1 so they can never outrank a real candidate.
     rep_ids = (
         jnp.full((batch, total), -1, jnp.int32).at[rows, run_id].max(ids_sorted)
     )
