@@ -223,3 +223,69 @@ class TestFusedCandidateTopK:
         )
         live = rows[rows >= 0]
         assert not np.isin(live, np.arange(100, 300)).any()
+
+
+class TestCandidateImplDispatch:
+    """ops/dense.py candidate_topk: the serving entry that picks between
+    the XLA pipeline and the bucket kernel, with automatic fallback."""
+
+    def test_bucket_path_runs_kernel(self):
+        from verbatim_rag_tpu.ops.dense import candidate_topk
+
+        n, d, b, k = 1024, 32, 2, 8
+        corpus, q = _make(n, d, b, seed=8)
+        mask = jnp.ones(n, bool)
+        vals_b, rows_b = jax.device_get(
+            candidate_topk(corpus, q, k, mask, impl="bucket", interpret=True)
+        )
+        ref = jax.device_get(
+            fused_candidate_topk_v2(corpus, q, k, mask, interpret=True)
+        )
+        np.testing.assert_array_equal(rows_b, ref[1])
+
+    @pytest.mark.parametrize(
+        "corpus_kind", ["int8", "ragged_n"], ids=["int8-dtype", "bad-geometry"]
+    )
+    def test_fallback_to_xla(self, corpus_kind):
+        from verbatim_rag_tpu.ops.dense import candidate_topk, quantize_rows_int8
+
+        n = 1024 if corpus_kind == "int8" else 960  # 960 % 128 ≠ 0
+        corpus, q = _make(n, 32, 2, seed=9, dtype=jnp.float32)
+        scale = None
+        if corpus_kind == "int8":
+            corpus, scale = quantize_rows_int8(corpus)
+        mask = jnp.ones(n, bool)
+        got = jax.device_get(
+            candidate_topk(corpus, q, 8, mask, scale, impl="bucket", interpret=True)
+        )
+        ref = jax.device_get(
+            candidate_topk(corpus, q, 8, mask, scale, impl="xla", interpret=True)
+        )
+        np.testing.assert_array_equal(got[1], ref[1])
+        np.testing.assert_allclose(got[0], ref[0], rtol=1e-6)
+
+    def test_hybrid_program_with_bucket_impl(self):
+        """hybrid_fused_topk(candidate_impl='bucket') on CPU falls back to
+        the XLA path — results must match the default program exactly."""
+        from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk
+
+        rng = np.random.default_rng(12)
+        n, d, dp, m, qm = 256, 16, 32, 8, 4
+        dense = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        sketch = jnp.asarray(rng.normal(size=(n, dp)).astype(np.float32))
+        sp_ids = jnp.asarray(rng.integers(1, 99, size=(n, m)), jnp.int32)
+        sp_w = jnp.asarray(rng.random(size=(n, m)), jnp.float32)
+        dq = jnp.asarray(rng.normal(size=(3, d)).astype(np.float32))
+        sq = jnp.asarray(rng.normal(size=(3, dp)).astype(np.float32))
+        q_ids = jnp.asarray(rng.integers(1, 99, size=(3, qm)), jnp.int32)
+        q_w = jnp.asarray(rng.random(size=(3, qm)), jnp.float32)
+        kwargs = dict(k=5, fetch_k=10, depth=16, exact_topk=True)
+        ref = hybrid_fused_topk(
+            dense, sketch, sp_ids, sp_w, dq, sq, q_ids, q_w, **kwargs
+        )
+        got = hybrid_fused_topk(
+            dense, sketch, sp_ids, sp_w, dq, sq, q_ids, q_w,
+            candidate_impl="bucket", **kwargs
+        )
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]), rtol=1e-6)

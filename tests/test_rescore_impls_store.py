@@ -75,3 +75,41 @@ def test_hybrid_and_sparse_match_scan(impl):
 def test_invalid_impl_rejected():
     with pytest.raises(ValueError, match="rescore_impl"):
         DeviceVectorStore(dense_dim=DIM, rescore_impl="magic")
+    with pytest.raises(ValueError, match="candidate_impl"):
+        DeviceVectorStore(dense_dim=DIM, candidate_impl="magic")
+
+
+def test_bucket_candidate_impl_store_parity():
+    """candidate_impl='bucket' on CPU takes the automatic XLA fallback —
+    the store must return identical results to the default config."""
+    rng = np.random.default_rng(23)
+    ref = _build("scan")
+    alt = DeviceVectorStore(
+        dense_dim=DIM,
+        sparse_vocab=VOCAB,
+        sparse_max_nnz=NNZ,
+        block=16,
+        candidate_impl="bucket",
+    )
+    rng2 = np.random.default_rng(11)  # same corpus as _build(..., seed=11)
+    dense = rng2.normal(size=(48, DIM)).astype(np.float32)
+    alt.add_vectors(
+        [
+            {
+                "id": f"r{i}",
+                "text": f"text {i}",
+                "metadata": {},
+                "dense": dense[i],
+                "sparse": {
+                    int(t): float(rng2.random() + 0.05)
+                    for t in rng2.choice(np.arange(1, VOCAB), size=NNZ, replace=False)
+                },
+            }
+            for i in range(48)
+        ]
+    )
+    alt.flush()
+    qd, qs = _query(rng)
+    r_ref = ref.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+    r_alt = alt.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+    assert [h.id for h in r_ref] == [h.id for h in r_alt]

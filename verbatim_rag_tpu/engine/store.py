@@ -211,12 +211,17 @@ class DeviceVectorStore(VectorStore):
         auto_compact_threshold: float | None = None,
         allow_exact_at_scale: bool = False,
         rescore_impl: str = "scan",
+        candidate_impl: str = "xla",
     ):
         if sparse_mode not in ("projected", "exact"):
             raise ValueError(f"sparse_mode must be 'projected' or 'exact', got {sparse_mode!r}")
         if rescore_impl not in ("scan", "oneshot", "pallas"):
             raise ValueError(
                 f"rescore_impl must be 'scan', 'oneshot' or 'pallas', got {rescore_impl!r}"
+            )
+        if candidate_impl not in ("xla", "bucket"):
+            raise ValueError(
+                f"candidate_impl must be 'xla' or 'bucket', got {candidate_impl!r}"
             )
         if dense_dtype not in ("bfloat16", "float32", "int8"):
             raise ValueError(
@@ -284,6 +289,12 @@ class DeviceVectorStore(VectorStore):
         #: reduction), "pallas" (VMEM-resident kernel). Differential-tested
         #: equal; switches the device program, so A/B-able per store.
         self.rescore_impl = rescore_impl
+        #: Candidate-selection strategy (ops/dense.py candidate_topk):
+        #: "xla" matmul + approx/exact top-k, or "bucket" the Pallas fused
+        #: matmul+bucket-max kernel (auto-falls back off-TPU or on shapes/
+        #: dtypes the kernel doesn't serve). Same selection family —
+        #: candidate recall knob, not a correctness knob.
+        self.candidate_impl = candidate_impl
 
         # Host-side record state.
         self._ids: list[str] = []
@@ -1266,6 +1277,7 @@ class DeviceVectorStore(VectorStore):
                 dense_scale=self._dense_scale,
                 sketch_scale=self._sp_proj_scale,
                 rescore_impl=self.rescore_impl,
+                candidate_impl=self.candidate_impl,
             )
         return np.asarray(scores), np.asarray(rows)
 
@@ -1338,6 +1350,7 @@ class DeviceVectorStore(VectorStore):
                 exact_topk=exact_topk,
                 sketch_scale=scale_dev,
                 rescore_impl=self.rescore_impl,
+                candidate_impl=self.candidate_impl,
             )
         return np.asarray(top_scores), np.asarray(top_rows)
 

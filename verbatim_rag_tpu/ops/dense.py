@@ -117,6 +117,57 @@ def candidate_select(exact_topk: bool):
     return partial(jax.lax.approx_max_k, recall_target=0.95)
 
 
+def bucket_kernel_supported(corpus: jax.Array, scale, interpret: bool) -> bool:
+    """Whether the fused bucket-max kernel can serve this corpus: float
+    dtype (int8 rescale lands with the int8 kernel variant), kernel block
+    geometry, and a TPU backend (or explicit interpret mode)."""
+    from .fused_topk import BLOCK_ROWS, BUCKET
+
+    n = corpus.shape[0]
+    if scale is not None or corpus.dtype == jnp.int8:
+        return False
+    if n % BUCKET != 0 or (n > BLOCK_ROWS and n % BLOCK_ROWS != 0):
+        return False
+    if interpret:
+        return True
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
+def candidate_topk(
+    corpus: jax.Array,  # [N, d]
+    queries: jax.Array,  # [B, d]
+    k: int,
+    mask: jax.Array | None,
+    scale: jax.Array | None = None,
+    exact_topk: bool = False,
+    impl: str = "xla",
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Candidate selection strategy dispatch for the fused programs.
+
+    impl="xla": [B,d]x[d,N] matmul then `candidate_select` (the serving
+    default). impl="bucket": the Pallas fused matmul+bucket-max kernel
+    (ops/fused_topk.py v2) — scores never materialize in HBM; falls back
+    to the XLA path when the kernel can't serve the shape/dtype/backend.
+    Selection-family contract is shared (one winner per 128 rows feeding
+    exact rescore / RRF), so impl moves candidate recall, not correctness.
+    """
+    if impl not in ("xla", "bucket"):
+        raise ValueError(f"unknown candidate impl {impl!r}")
+    if impl == "bucket" and bucket_kernel_supported(corpus, scale, interpret):
+        from .fused_topk import fused_candidate_topk_v2
+
+        if mask is None:
+            mask = jnp.ones(corpus.shape[0], bool)
+        return fused_candidate_topk_v2(
+            corpus, queries.astype(corpus.dtype), k, mask, interpret=interpret
+        )
+    scores = dense_scores(corpus, queries, scale)
+    if mask is not None:
+        scores = jnp.where(mask[None, :], scores, NEG_INF)
+    return candidate_select(exact_topk)(scores, k=k)
+
+
 @partial(jax.jit, static_argnames=("k", "exact_topk"))
 def dense_topk(
     corpus: jax.Array,  # [N, d] row-normalized bf16/f32, or int8

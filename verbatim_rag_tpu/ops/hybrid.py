@@ -14,7 +14,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .dense import NEG_INF, candidate_select, dense_scores
+from .dense import NEG_INF, candidate_select, candidate_topk, dense_scores
 from .fusion import rrf_fuse_device
 from .sparse import sparse_topk
 
@@ -112,7 +112,10 @@ def rescore_fn(impl: str):
     raise ValueError(f"unknown rescore impl {impl!r}")
 
 
-@partial(jax.jit, static_argnames=("k", "depth", "exact_topk", "rescore_impl"))
+@partial(
+    jax.jit,
+    static_argnames=("k", "depth", "exact_topk", "rescore_impl", "candidate_impl"),
+)
 def projected_sparse_topk(
     sketch_corpus: jax.Array,  # [N, d_p] sparse sketches (float or int8)
     sp_ids: jax.Array,  # [N, m] forward index
@@ -126,16 +129,16 @@ def projected_sparse_topk(
     exact_topk: bool = True,
     sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
     rescore_impl: str = "scan",
+    candidate_impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Projected sparse search entirely on device: sketch-matmul candidates,
     exact forward-index rescore, final top-k. One program, one sync.
 
     Returns (exact scores [B, k], rows [B, k]; −1/−inf where missing).
     """
-    s_scores = dense_scores(sketch_corpus, sketch_q, sketch_scale)
-    if mask is not None:
-        s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
-    c_top, cand = candidate_select(exact_topk)(s_scores, k=depth)
+    c_top, cand = candidate_topk(
+        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, candidate_impl
+    )
     cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
 
     exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
@@ -147,7 +150,15 @@ def projected_sparse_topk(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "fetch_k", "depth", "rrf_k", "exact_topk", "rescore_impl"),
+    static_argnames=(
+        "k",
+        "fetch_k",
+        "depth",
+        "rrf_k",
+        "exact_topk",
+        "rescore_impl",
+        "candidate_impl",
+    ),
 )
 def hybrid_fused_topk(
     dense_corpus: jax.Array,  # [N, d] row-normalized
@@ -169,6 +180,7 @@ def hybrid_fused_topk(
     dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
     sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
     rescore_impl: str = "scan",
+    candidate_impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """The full hybrid query as ONE device program: both candidate matmuls,
     exact sparse rescore of the top-`depth` sketch candidates, and weighted
@@ -178,16 +190,14 @@ def hybrid_fused_topk(
 
     Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
     """
-    select = candidate_select(exact_topk)
-    d_scores = dense_scores(dense_corpus, dense_q, dense_scale)
-    s_scores = dense_scores(sketch_corpus, sketch_q, sketch_scale)
-    if mask is not None:
-        d_scores = jnp.where(mask[None, :], d_scores, NEG_INF)
-        s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
-    d_top, d_rows = select(d_scores, k=fetch_k)
+    d_top, d_rows = candidate_topk(
+        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, candidate_impl
+    )
     d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
 
-    c_top, cand = select(s_scores, k=depth)
+    c_top, cand = candidate_topk(
+        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, candidate_impl
+    )
     cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
     exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
     r_top, r_pos = jax.lax.top_k(exact, fetch_k)
