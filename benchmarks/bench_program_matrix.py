@@ -42,6 +42,7 @@ def main() -> None:
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--candidate-impls", nargs="+", default=["xla", "bucket"])
     parser.add_argument("--rescore-impls", nargs="+", default=["scan", "pallas"])
+    parser.add_argument("--int8", action="store_true", help="int8 dense + int8 sketches")
     args = parser.parse_args()
 
     import os
@@ -52,7 +53,7 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from verbatim_rag_tpu.ops.dense import normalize_rows
+    from verbatim_rag_tpu.ops.dense import normalize_rows, quantize_rows_int8
     from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk
 
     if jax.devices()[0].platform not in ("tpu", "axon"):
@@ -62,12 +63,15 @@ def main() -> None:
     n, b = args.n, args.batch
     key = jax.random.PRNGKey(9)
     k_dense, k_sketch, k_ids, k_w = jax.random.split(key, 4)
-    dense = jax.jit(normalize_rows)(
-        jax.random.normal(k_dense, (n, args.dim), jnp.float32)
-    ).astype(jnp.bfloat16)
-    sketch = jax.jit(normalize_rows)(
-        jax.random.normal(k_sketch, (n, args.proj), jnp.float32)
-    ).astype(jnp.bfloat16)
+    dense = jax.jit(normalize_rows)(jax.random.normal(k_dense, (n, args.dim), jnp.float32))
+    sketch = jax.jit(normalize_rows)(jax.random.normal(k_sketch, (n, args.proj), jnp.float32))
+    dense_scale = sketch_scale = None
+    if args.int8:
+        dense, dense_scale = jax.jit(quantize_rows_int8)(dense)
+        sketch, sketch_scale = jax.jit(quantize_rows_int8)(sketch)
+    else:
+        dense = dense.astype(jnp.bfloat16)
+        sketch = sketch.astype(jnp.bfloat16)
     sp_ids = jax.random.randint(k_ids, (n, args.nnz), 1, 30522, jnp.int32)
     sp_w = jax.random.uniform(k_w, (n, args.nnz), dtype=jnp.float32)
     dq = normalize_rows(jnp.asarray(rng.normal(size=(b, args.dim)), jnp.float32))
@@ -77,7 +81,10 @@ def main() -> None:
     np.asarray(sp_w)
     print("# corpus on device", flush=True)
 
-    config = {"n": n, "batch": b, "depth": args.depth, "fetch_k": args.fetch_k}
+    config = {
+        "n": n, "batch": b, "depth": args.depth,
+        "fetch_k": args.fetch_k, "int8": bool(args.int8),
+    }
     base_rows = None
     for cand_impl, resc_impl in itertools.product(
         args.candidate_impls, args.rescore_impls
@@ -86,6 +93,7 @@ def main() -> None:
             hybrid_fused_topk,
             k=args.k, fetch_k=args.fetch_k, depth=args.depth, exact_topk=False,
             rescore_impl=resc_impl, candidate_impl=cand_impl,
+            dense_scale=dense_scale, sketch_scale=sketch_scale,
         )
 
         def run(d, s, i, w, a, c, ci, cw):

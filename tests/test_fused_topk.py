@@ -243,26 +243,55 @@ class TestCandidateImplDispatch:
         )
         np.testing.assert_array_equal(rows_b, ref[1])
 
-    @pytest.mark.parametrize(
-        "corpus_kind", ["int8", "ragged_n"], ids=["int8-dtype", "bad-geometry"]
-    )
-    def test_fallback_to_xla(self, corpus_kind):
-        from verbatim_rag_tpu.ops.dense import candidate_topk, quantize_rows_int8
+    def test_fallback_to_xla_on_bad_geometry(self):
+        from verbatim_rag_tpu.ops.dense import candidate_topk
 
-        n = 1024 if corpus_kind == "int8" else 960  # 960 % 128 ≠ 0
+        n = 960  # 960 % 128 ≠ 0 — outside the kernel's block geometry
         corpus, q = _make(n, 32, 2, seed=9, dtype=jnp.float32)
-        scale = None
-        if corpus_kind == "int8":
-            corpus, scale = quantize_rows_int8(corpus)
         mask = jnp.ones(n, bool)
         got = jax.device_get(
-            candidate_topk(corpus, q, 8, mask, scale, impl="bucket", interpret=True)
+            candidate_topk(corpus, q, 8, mask, impl="bucket", interpret=True)
         )
         ref = jax.device_get(
-            candidate_topk(corpus, q, 8, mask, scale, impl="xla", interpret=True)
+            candidate_topk(corpus, q, 8, mask, impl="xla", interpret=True)
         )
         np.testing.assert_array_equal(got[1], ref[1])
         np.testing.assert_allclose(got[0], ref[0], rtol=1e-6)
+
+    def test_int8_corpus_runs_kernel_with_rescale(self):
+        """int8 + per-row scale: the kernel's in-block rescale must match
+        the XLA int8 scoring path (ops/dense.dense_scores) — bucket maxima
+        of the same quantized scores, within the 127-ulp pack tolerance."""
+        from verbatim_rag_tpu.ops.dense import (
+            candidate_topk,
+            dense_scores,
+            quantize_rows_int8,
+        )
+
+        n, d, b = 512, 32, 4
+        corpus_f, q = _make(n, d, b, seed=13, dtype=jnp.float32)
+        corpus, scale = quantize_rows_int8(corpus_f)
+        mask = jnp.ones(n, bool)
+        vals, rows = jax.device_get(
+            matmul_bucket_max_v2(corpus, q, mask, interpret=True, scale=scale)
+        )
+        oracle = np.asarray(dense_scores(corpus, q, scale))
+        expect = oracle.reshape(b, n // BUCKET, BUCKET).max(axis=1)
+        np.testing.assert_allclose(vals, expect, rtol=PACK_TOL, atol=1e-6)
+        for qi in range(b):
+            for lane in range(BUCKET):
+                assert rows[qi, lane] % BUCKET == lane
+        # And through the dispatch entry:
+        _, rows_d = jax.device_get(
+            candidate_topk(corpus, q, 8, mask, scale, impl="bucket", interpret=True)
+        )
+        _, rows_x = jax.device_get(
+            candidate_topk(corpus, q, 8, mask, scale, impl="xla", exact_topk=True)
+        )
+        overlap = np.mean([
+            len(set(rows_d[i]) & set(rows_x[i])) / 8 for i in range(b)
+        ])
+        assert overlap >= 0.5  # same selection family at tiny n
 
     def test_hybrid_program_with_bucket_impl(self):
         """hybrid_fused_topk(candidate_impl='bucket') on CPU falls back to

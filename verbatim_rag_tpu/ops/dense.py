@@ -118,13 +118,13 @@ def candidate_select(exact_topk: bool):
 
 
 def bucket_kernel_supported(corpus: jax.Array, scale, interpret: bool) -> bool:
-    """Whether the fused bucket-max kernel can serve this corpus: float
-    dtype (int8 rescale lands with the int8 kernel variant), kernel block
-    geometry, and a TPU backend (or explicit interpret mode)."""
+    """Whether the fused bucket-max kernel can serve this corpus: the
+    kernel block geometry and a TPU backend (or explicit interpret mode).
+    int8 corpora need their per-row scale (the kernel rescales in-block)."""
     from .fused_topk import BLOCK_ROWS, BUCKET
 
     n = corpus.shape[0]
-    if scale is not None or corpus.dtype == jnp.int8:
+    if corpus.dtype == jnp.int8 and scale is None:
         return False
     if n % BUCKET != 0 or (n > BLOCK_ROWS and n % BLOCK_ROWS != 0):
         return False
@@ -159,8 +159,9 @@ def candidate_topk(
 
         if mask is None:
             mask = jnp.ones(corpus.shape[0], bool)
+        q = queries if corpus.dtype == jnp.int8 else queries.astype(corpus.dtype)
         return fused_candidate_topk_v2(
-            corpus, queries.astype(corpus.dtype), k, mask, interpret=interpret
+            corpus, q, k, mask, interpret=interpret, scale=scale
         )
     scores = dense_scores(corpus, queries, scale)
     if mask is not None:

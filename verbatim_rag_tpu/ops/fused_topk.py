@@ -186,32 +186,56 @@ def _unpack(best: jax.Array) -> tuple[jax.Array, jax.Array]:
     return vals, bits & jnp.int32(_POS_MASK)
 
 
-def _bucket_max_v2_onedot_kernel(q_ref, corpus_ref, mask_ref, val_ref, idx_ref):
-    """One MXU dot for the whole block, then a packed second-minor reduce."""
+def _packed_chunk_max(s3, mask3, pos0):
+    """[qb, p, 128] scores + [p, 128] live mask → packed running max [qb, 128]."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) + pos0
+    packed = _pack_pos(s3, pos)
+    packed = jnp.where(mask3[None, :, :] != 0, packed, NEG_INF)
+    return jnp.max(packed, axis=1)
+
+
+def _raw_dot(q, rows):
+    """[qb, d] x [r, d] → [qb, r]; int8 operands take the MXU int8 path
+    (raw ≤ 127·127·d < 2^24, so the later f32 cast is exact)."""
+    acc = jnp.int32 if rows.dtype == jnp.int8 else jnp.float32
+    out = jax.lax.dot_general(
+        q, rows, (((1,), (1,)), ((), ())), preferred_element_type=acc
+    )
+    return out.astype(jnp.float32)
+
+
+def _bucket_max_v2_onedot_kernel(*refs, has_scale: bool):
+    """One MXU dot for the whole block, then a packed second-minor reduce.
+
+    Scales (int8 mode) apply on the [qb, p, 128] view — the corpus scale
+    arrives pre-laid-out [p, 128] (strided bucket geometry, like the
+    mask), so no in-kernel relayout is needed."""
+    if has_scale:
+        q_ref, corpus_ref, mask_ref, qscale_ref, cscale_ref, val_ref, idx_ref = refs
+    else:
+        q_ref, corpus_ref, mask_ref, val_ref, idx_ref = refs
     q = q_ref[...]  # [qb, d]
     block = corpus_ref[...]  # [block_rows, d]
-    scores = jax.lax.dot_general(
-        q, block, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [qb, block_rows]
-    qb, block_rows = scores.shape
+    qb, block_rows = q.shape[0], block.shape[0]
     p = block_rows // BUCKET
-    s3 = scores.reshape(qb, p, BUCKET)  # (query, pos, lane-bucket)
-    mask3 = mask_ref[...][None, :, :]  # [1, p, 128] int8
-    pos = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1)
-    packed = _pack_pos(s3, pos)
-    packed = jnp.where(mask3 != 0, packed, NEG_INF)
-    vals, winner = _unpack(jnp.max(packed, axis=1))  # [qb, 128]
+    s3 = _raw_dot(q, block).reshape(qb, p, BUCKET)  # (query, pos, lane)
+    if has_scale:
+        s3 = s3 * qscale_ref[...][:, :, None] * cscale_ref[...][None, :, :]
+    best = _packed_chunk_max(s3, mask_ref[...], 0)
+    vals, winner = _unpack(best)
     val_ref[...] = vals
     idx_ref[...] = winner
 
 
-def _bucket_max_v2_chunked_kernel(
-    q_ref, corpus_ref, mask_ref, val_ref, idx_ref, *, chunk_pos: int
-):
+def _bucket_max_v2_chunked_kernel(*refs, chunk_pos: int, has_scale: bool):
     """Chunked variant: the [qb, block] score matrix is never materialized —
     `chunk_pos` 128-row groups at a time go MXU → pack → reduce → running
     max, so live score state is [qb, chunk_pos·128] plus one [qb, 128]
     accumulator resident in VMEM registers."""
+    if has_scale:
+        q_ref, corpus_ref, mask_ref, qscale_ref, cscale_ref, val_ref, idx_ref = refs
+    else:
+        q_ref, corpus_ref, mask_ref, val_ref, idx_ref = refs
     q = q_ref[...]  # [qb, d]
     qb = q.shape[0]
     p_total = corpus_ref.shape[0] // BUCKET
@@ -221,15 +245,13 @@ def _bucket_max_v2_chunked_kernel(
     def body(i, running):
         start = pl.multiple_of(i * rows_per_iter, rows_per_iter)
         rows = corpus_ref[pl.ds(start, rows_per_iter), :]  # [cp·128, d]
-        sc = jax.lax.dot_general(
-            q, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [qb, cp·128]
-        s3 = sc.reshape(qb, chunk_pos, BUCKET)
-        m3 = mask_ref[pl.ds(pl.multiple_of(i * chunk_pos, chunk_pos), chunk_pos), :]
-        pos = jax.lax.broadcasted_iota(jnp.int32, s3.shape, 1) + i * chunk_pos
-        packed = _pack_pos(s3, pos)
-        packed = jnp.where(m3[None, :, :] != 0, packed, NEG_INF)
-        return jnp.maximum(running, jnp.max(packed, axis=1))
+        p_start = pl.multiple_of(i * chunk_pos, chunk_pos)
+        s3 = _raw_dot(q, rows).reshape(qb, chunk_pos, BUCKET)
+        if has_scale:
+            cs = cscale_ref[pl.ds(p_start, chunk_pos), :]  # [cp, 128]
+            s3 = s3 * qscale_ref[...][:, :, None] * cs[None, :, :]
+        m3 = mask_ref[pl.ds(p_start, chunk_pos), :]
+        return jnp.maximum(running, _packed_chunk_max(s3, m3, i * chunk_pos))
 
     init = jnp.full((qb, BUCKET), NEG_INF, jnp.float32)
     best = jax.lax.fori_loop(0, n_iter, body, init)
@@ -246,6 +268,7 @@ def matmul_bucket_max_v2(
     variant: str = "onedot",
     chunk_pos: int = 16,
     interpret: bool = False,
+    scale: jax.Array | None = None,  # [N, 1] f32 — int8 corpus only
 ) -> tuple[jax.Array, jax.Array]:
     """Strided-bucket fused scores+reduce: returns (bucket max
     [B, n_blocks·128] f32 with the low 7 mantissa bits zeroed, global
@@ -268,32 +291,58 @@ def matmul_bucket_max_v2(
     p = block_rows // BUCKET
     if p > (1 << _POS_BITS):
         raise ValueError(f"block positions ({p}) exceed the 7-bit pack")
+    has_scale = corpus.dtype == jnp.int8
+    if has_scale and scale is None:
+        raise ValueError("int8 corpus requires scale")
     if variant == "chunked":
         if p % chunk_pos != 0:
             raise ValueError(f"chunk_pos ({chunk_pos}) must divide positions ({p})")
-        kernel = partial(_bucket_max_v2_chunked_kernel, chunk_pos=chunk_pos)
+        kernel = partial(
+            _bucket_max_v2_chunked_kernel, chunk_pos=chunk_pos, has_scale=has_scale
+        )
     elif variant == "onedot":
-        kernel = _bucket_max_v2_onedot_kernel
+        kernel = partial(_bucket_max_v2_onedot_kernel, has_scale=has_scale)
     else:
         raise ValueError(f"unknown variant {variant!r}")
 
+    if has_scale:
+        from .dense import quantize_rows_int8
+
+        q, q_scale = quantize_rows_int8(q)
+    else:
+        q = q.astype(corpus.dtype)
+        q_scale = None
+
     qb = min(Q_BLOCK, b) if b % Q_BLOCK else Q_BLOCK
     if b % qb != 0:
-        q = jnp.pad(q, ((0, qb - b % qb), (0, 0)))
+        pad = qb - b % qb
+        q = jnp.pad(q, ((0, pad), (0, 0)))
+        if q_scale is not None:
+            q_scale = jnp.pad(q_scale, ((0, pad), (0, 0)))
     b_padded = q.shape[0]
 
     n_blocks = n // block_rows
-    # Mask laid out [pos, lane] to mirror the strided bucket geometry.
+    # Mask (and corpus scale) laid out [pos, lane] to mirror the strided
+    # bucket geometry.
     mask2d = mask.astype(jnp.int8).reshape(n // BUCKET, BUCKET)
+
+    in_specs = [
+        pl.BlockSpec((qb, d), lambda j, i: (i, 0)),
+        pl.BlockSpec((block_rows, d), lambda j, i: (j, 0)),
+        pl.BlockSpec((p, BUCKET), lambda j, i: (j, 0)),
+    ]
+    inputs = [q, corpus, mask2d]
+    if has_scale:
+        in_specs += [
+            pl.BlockSpec((qb, 1), lambda j, i: (i, 0)),
+            pl.BlockSpec((p, BUCKET), lambda j, i: (j, 0)),
+        ]
+        inputs += [q_scale, scale.reshape(n // BUCKET, BUCKET)]
 
     vals, idx = pl.pallas_call(
         kernel,
         grid=(n_blocks, b_padded // qb),
-        in_specs=[
-            pl.BlockSpec((qb, d), lambda j, i: (i, 0)),
-            pl.BlockSpec((block_rows, d), lambda j, i: (j, 0)),
-            pl.BlockSpec((p, BUCKET), lambda j, i: (j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((qb, BUCKET), lambda j, i: (i, j)),
             pl.BlockSpec((qb, BUCKET), lambda j, i: (i, j)),
@@ -304,7 +353,7 @@ def matmul_bucket_max_v2(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q.astype(corpus.dtype), corpus, mask2d)
+    )(*inputs)
 
     # Globalize: column c = block·128 + lane; row = block·block_rows +
     # pos·128 + lane.
@@ -324,11 +373,13 @@ def fused_candidate_topk_v2(
     variant: str = "onedot",
     chunk_pos: int = 16,
     interpret: bool = False,
+    scale: jax.Array | None = None,  # [N, 1] f32 — int8 corpus only
 ) -> tuple[jax.Array, jax.Array]:
     """v2 candidate top-k: packed strided-bucket reduce, then `lax.top_k`
     over the 128× smaller bucket table (same contract as v1)."""
     vals, rows = matmul_bucket_max_v2(
-        corpus, q, mask, variant=variant, chunk_pos=chunk_pos, interpret=interpret
+        corpus, q, mask, variant=variant, chunk_pos=chunk_pos,
+        interpret=interpret, scale=scale,
     )
     k = min(k, vals.shape[1])
     top_vals, pos = jax.lax.top_k(vals, k)
