@@ -209,6 +209,25 @@ class TestMeshStore:
             sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
         )
 
+    def test_hybrid_parity_kernel_impls(self, mesh):
+        """Mesh store with the round-3 kernel knobs: per-shard rescore and
+        candidate impls must preserve plain-vs-sharded parity (on CPU both
+        dispatch to their XLA fallbacks — the routing is what's tested)."""
+        plain, sharded = self._stores(
+            mesh, rescore_impl="pallas", candidate_impl="bucket"
+        )
+        rng = np.random.default_rng(5)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        qs = [{3: 1.0, 9: 0.5}, {40: 2.0, 5: 0.1}, {1: 1.0, 2: 1.0, 4: 1.0}]
+        self._assert_same(
+            plain.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+            sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+        )
+        self._assert_same(
+            plain.query_batch(sparse_queries=qs, top_k=8),
+            sharded.query_batch(sparse_queries=qs, top_k=8),
+        )
+
     def test_int8_dense_parity(self, mesh):
         """int8 capacity mode: sharded quantized scoring must equal the
         single-device quantized scoring exactly (same q, same scales)."""

@@ -1255,6 +1255,8 @@ class DeviceVectorStore(VectorStore):
                 exact_topk=exact_topk,
                 dense_scale=self._dense_scale,
                 sketch_scale=self._sp_proj_scale,
+                rescore_impl=self.rescore_impl,
+                candidate_impl=self.candidate_impl,
             )
         else:
             scores, rows = hybrid_fused_topk(
@@ -1335,6 +1337,8 @@ class DeviceVectorStore(VectorStore):
                 self.mesh,
                 exact_topk=exact_topk,
                 sketch_scale=scale_dev,
+                rescore_impl=self.rescore_impl,
+                candidate_impl=self.candidate_impl,
             )
         else:
             top_scores, top_rows = projected_sparse_topk(

@@ -91,7 +91,12 @@ def _pad_cols(x: jax.Array, width: int, fill) -> jax.Array:
     return jnp.concatenate([x, pad], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("k", "depth", "mesh", "exact_topk"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "depth", "mesh", "exact_topk", "rescore_impl", "candidate_impl",
+    ),
+)
 def sharded_projected_sparse_topk(
     sketch_corpus: jax.Array,  # [N, d_p] row-sharded
     sp_ids: jax.Array,  # [N, m] row-sharded forward index
@@ -105,15 +110,20 @@ def sharded_projected_sparse_topk(
     mesh: Mesh,
     exact_topk: bool = True,
     sketch_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 sketches
+    rescore_impl: str = "scan",
+    candidate_impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Distributed projected sparse search: per-shard sketch candidates +
     per-shard exact rescore, ICI merge of (exact score, global row) pairs.
 
     Exact scores are shard-independent, so the global merge is exact over the
     union of per-shard candidates — per-shard candidate depth means sharded
-    recall is ≥ the single-device store's at equal ``depth``.
+    recall is ≥ the single-device store's at equal ``depth``. The kernel
+    impl knobs (ops/hybrid.py rescore_fn, ops/dense.py candidate_topk)
+    apply per shard inside the shard_map body.
     """
-    from verbatim_rag_tpu.ops.hybrid import exact_rescore_device
+    from verbatim_rag_tpu.ops.dense import candidate_topk
+    from verbatim_rag_tpu.ops.hybrid import rescore_fn
 
     axis = ("dp", "tp")
     has_sscale = sketch_scale is not None
@@ -121,12 +131,13 @@ def sharded_projected_sparse_topk(
     def local(sketch_s, ids_s, w_s, mask_s, qproj, qids, qw, *scales):
         n_local = sketch_s.shape[0]
         offset = jax.lax.axis_index(axis) * n_local
-        s_scores = dense_scores(sketch_s, qproj, scales[0] if has_sscale else None)
-        s_scores = jnp.where(mask_s[None, :], s_scores, NEG_INF)
         local_depth = min(depth, n_local)
-        c_top, cand = candidate_select(exact_topk)(s_scores, k=local_depth)
+        c_top, cand = candidate_topk(
+            sketch_s, qproj, local_depth, mask_s,
+            scales[0] if has_sscale else None, exact_topk, candidate_impl,
+        )
         cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
-        exact = exact_rescore_device(cand, ids_s, w_s, qids, qw)
+        exact = rescore_fn(rescore_impl)(cand, ids_s, w_s, qids, qw)
         local_k = min(k, local_depth)
         r_top, r_pos = jax.lax.top_k(exact, local_k)
         idx = jnp.take_along_axis(cand, r_pos, axis=1)
@@ -159,7 +170,13 @@ def sharded_projected_sparse_topk(
     return fn(*args)
 
 
-@partial(jax.jit, static_argnames=("k", "fetch_k", "depth", "rrf_k", "mesh", "exact_topk"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "fetch_k", "depth", "rrf_k", "mesh", "exact_topk",
+        "rescore_impl", "candidate_impl",
+    ),
+)
 def sharded_hybrid_topk(
     dense_corpus: jax.Array,  # [N, d] row-sharded
     sketch_corpus: jax.Array,  # [N, d_p] row-sharded
@@ -180,16 +197,20 @@ def sharded_hybrid_topk(
     exact_topk: bool = True,
     dense_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 corpus
     sketch_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 sketches
+    rescore_impl: str = "scan",
+    candidate_impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """The full hybrid query distributed over the mesh, still ONE program:
     per-shard dense + sketch candidates, per-shard exact sparse rescore,
     ICI all_gather merges (O(devices·k) traffic), on-device weighted RRF.
 
     This is the multi-chip serving path of `DeviceVectorStore` — the scaling
-    story Milvus delegates to its cluster (`milvus_base.py:189-313`).
+    story Milvus delegates to its cluster (`milvus_base.py:189-313`). The
+    kernel impl knobs apply per shard inside the shard_map body.
     """
+    from verbatim_rag_tpu.ops.dense import candidate_topk
     from verbatim_rag_tpu.ops.fusion import rrf_fuse_device
-    from verbatim_rag_tpu.ops.hybrid import exact_rescore_device
+    from verbatim_rag_tpu.ops.hybrid import rescore_fn
 
     axis = ("dp", "tp")
     has_dscale = dense_scale is not None
@@ -202,10 +223,10 @@ def sharded_hybrid_topk(
         offset = jax.lax.axis_index(axis) * n_local
 
         # Dense: local exact top-fetch_k; global merge is exact.
-        d_scores = dense_scores(dense_s, dq, scale_s)
-        d_scores = jnp.where(mask_s[None, :], d_scores, NEG_INF)
         lk = min(fetch_k, n_local)
-        d_top, d_idx = candidate_select(exact_topk)(d_scores, k=lk)
+        d_top, d_idx = candidate_topk(
+            dense_s, dq, lk, mask_s, scale_s, exact_topk, candidate_impl
+        )
         d_idx = jnp.where(d_top > NEG_INF / 2, d_idx + offset, -1)
         d_all_s = jax.lax.all_gather(d_top, axis, axis=1).reshape(d_top.shape[0], -1)
         d_all_i = jax.lax.all_gather(d_idx, axis, axis=1).reshape(d_top.shape[0], -1)
@@ -216,12 +237,12 @@ def sharded_hybrid_topk(
 
         # Sparse: local sketch candidates → local exact rescore → global merge
         # by exact score.
-        s_scores = dense_scores(sketch_s, qproj, sscale_s)
-        s_scores = jnp.where(mask_s[None, :], s_scores, NEG_INF)
         local_depth = min(depth, n_local)
-        c_top, cand = candidate_select(exact_topk)(s_scores, k=local_depth)
+        c_top, cand = candidate_topk(
+            sketch_s, qproj, local_depth, mask_s, sscale_s, exact_topk, candidate_impl
+        )
         cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
-        exact = exact_rescore_device(cand, ids_s, w_s, qids, qw)
+        exact = rescore_fn(rescore_impl)(cand, ids_s, w_s, qids, qw)
         lrk = min(fetch_k, local_depth)
         r_top, r_pos = jax.lax.top_k(exact, lrk)
         s_idx = jnp.take_along_axis(cand, r_pos, axis=1)
