@@ -88,6 +88,13 @@ def main() -> None:
     import sys
 
     int8_mode = "--int8" in sys.argv  # A/B knob: int8 dense + int8 sketches
+    # Kernel-impl A/B knobs (same flags as DeviceVectorStore; defaults are
+    # the store's serving defaults so the recorded headline measures what
+    # the store ships). Env-settable so a driver-run bench can be flipped
+    # without a code change.
+    rescore_impl = os.environ.get("VERBATIM_BENCH_RESCORE_IMPL", "scan")
+    candidate_impl = os.environ.get("VERBATIM_BENCH_CANDIDATE_IMPL", "xla")
+    pipeline_depth = int(os.environ.get("VERBATIM_BENCH_PIPELINE", "4"))
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
@@ -128,6 +135,7 @@ def main() -> None:
             k=TOP_K, fetch_k=fetch_k, depth=RESCORE_DEPTH, mask=mask,
             rrf_k=RRF_K, exact_topk=False,  # serving default: hardware MIPS
             dense_scale=dense_scale, sketch_scale=sketch_scale,
+            rescore_impl=rescore_impl, candidate_impl=candidate_impl,
         )
 
     def host_phase(inflight):
@@ -152,7 +160,7 @@ def main() -> None:
         pipeline = []
         for q in queries:
             pipeline.append(dispatch(q))  # async device dispatch
-            if len(pipeline) >= 4:
+            if len(pipeline) >= pipeline_depth:
                 host_phase(pipeline.pop(0))  # overlapped readback
         while pipeline:
             host_phase(pipeline.pop(0))

@@ -28,6 +28,7 @@ import numpy as np
 
 N, VOCAB, M, DIM, PROJ = 1_000_000, 30522, 128, 384, 768
 QB, QNNZ, DEPTH, K = 64, 32, 96, 10
+GT_BLOCK = 15_625  # exact-scan block for ground truth (divides N)
 
 
 def zipf_ids(rng, size, vocab=VOCAB) -> np.ndarray:
@@ -112,7 +113,7 @@ def main() -> None:
     # --- 1+2: sparse recall@10, exact vs approx candidate selection ---
     q_dense = np.asarray(densify_queries(jq_ids, jq_w, VOCAB))
     gt_scores, gt_rows = sparse_topk(
-        d_sp_ids, d_sp_w, jnp.asarray(q_dense), K, mask, block=15625
+        d_sp_ids, d_sp_w, jnp.asarray(q_dense), K, mask, block=GT_BLOCK
     )
     gt_rows = np.asarray(gt_rows)
 
@@ -158,7 +159,7 @@ def main() -> None:
     # Hybrid vs RRF-of-ground-truth (exact dense fetch + exact sparse scan).
     d_gt20 = d_gt
     gt_fetch_scores, gt_fetch_rows = sparse_topk(
-        d_sp_ids, d_sp_w, jnp.asarray(q_dense), 2 * K, mask, block=15625
+        d_sp_ids, d_sp_w, jnp.asarray(q_dense), 2 * K, mask, block=GT_BLOCK
     )
     _fs, gt_hybrid = rrf_fuse_np(
         np.stack([d_gt20, np.asarray(gt_fetch_rows)]),
@@ -228,6 +229,52 @@ def main() -> None:
         results["sparse_recall@10_int8sketch_vs_groundtruth"] = round(
             float(np.mean([
                 len(set(sp8[b]) & set(gt_rows[b])) / K for b in range(QB)
+            ])), 4
+        )
+
+    # --- 7 (optional): bucket-max candidate kernel at the same point ---
+    # The kernel is the same one-winner-per-128-rows family as approx_max_k;
+    # this measures its end-to-end hybrid/sparse quality at 1M. N here is
+    # not a kernel-block multiple, so the corpus pads with masked rows (the
+    # serving store's capacities are block multiples already).
+    if _flag_value("--candidate-impl") == "bucket":
+        from verbatim_rag_tpu.ops.fused_topk import BLOCK_ROWS
+
+        pad_n = -(-N // BLOCK_ROWS) * BLOCK_ROWS
+        pad = pad_n - N
+        d_dense_p = jnp.pad(d_dense, ((0, pad), (0, 0)))
+        d_sketch_p = jnp.pad(d_sketch, ((0, pad), (0, 0)))
+        d_sp_ids_p = jnp.pad(d_sp_ids, ((0, pad), (0, 0)))
+        d_sp_w_p = jnp.pad(d_sp_w, ((0, pad), (0, 0)))
+        mask_p = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+        _s, rows_bk = hybrid_fused_topk(
+            d_dense_p, d_sketch_p, d_sp_ids_p, d_sp_w_p,
+            jdq, jq_sketch, jq_ids, jq_w,
+            k=K, fetch_k=2 * K, depth=DEPTH, mask=mask_p, exact_topk=False,
+            candidate_impl="bucket",
+        )
+        rows_bk = np.asarray(rows_bk)
+        assert (rows_bk < N).all(), "masked pad rows must never surface"
+        results["hybrid_top10_overlap_bucket_vs_approx"] = round(
+            float(np.mean([
+                len(set(rows_bk[b]) & set(overlap["approx"][b])) / K
+                for b in range(QB)
+            ])), 4
+        )
+        results["hybrid_recall@10_bucket_vs_groundtruth"] = round(
+            float(np.mean([
+                len(set(rows_bk[b]) & set(gt_hybrid[b])) / K for b in range(QB)
+            ])), 4
+        )
+        _s, sp_bk = projected_sparse_topk(
+            d_sketch_p, d_sp_ids_p, d_sp_w_p, jq_sketch, jq_ids, jq_w,
+            k=K, depth=DEPTH, mask=mask_p, exact_topk=False,
+            candidate_impl="bucket",
+        )
+        sp_bk = np.asarray(sp_bk)
+        results["sparse_recall@10_bucket_vs_groundtruth"] = round(
+            float(np.mean([
+                len(set(sp_bk[b]) & set(gt_rows[b])) / K for b in range(QB)
             ])), 4
         )
 
