@@ -117,6 +117,24 @@ def main() -> None:
     sp_w = jax.random.uniform(k_w, (N_CHUNKS, MAX_NNZ), jnp.float32)
     mask = jnp.ones((N_CHUNKS,), bool)
 
+    if candidate_impl == "bucket":
+        # 1M is not a kernel-block multiple; pad with masked rows so the
+        # bucket kernel actually runs instead of silently falling back
+        # (store capacities are block multiples already). +1.6% corpus
+        # rows — noise next to the chip's session variance.
+        from verbatim_rag_tpu.ops.fused_topk import BLOCK_ROWS
+
+        pad = -(-N_CHUNKS // BLOCK_ROWS) * BLOCK_ROWS - N_CHUNKS
+        if pad:
+            dense = jnp.pad(dense, ((0, pad), (0, 0)))
+            sp_proj = jnp.pad(sp_proj, ((0, pad), (0, 0)))
+            sp_ids = jnp.pad(sp_ids, ((0, pad), (0, 0)))
+            sp_w = jnp.pad(sp_w, ((0, pad), (0, 0)))
+            mask = jnp.concatenate([mask, jnp.zeros(pad, bool)])
+            if dense_scale is not None:
+                dense_scale = jnp.pad(dense_scale, ((0, pad), (0, 0)))
+                sketch_scale = jnp.pad(sketch_scale, ((0, pad), (0, 0)))
+
     fetch_k = 2 * TOP_K
 
     def make_queries(seed: int):

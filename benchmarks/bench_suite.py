@@ -37,7 +37,16 @@ def main() -> None:
     parser.add_argument("--n", type=int, default=1_000_000)
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--iters", type=int, default=10)
+    # Kernel-impl knobs, same values as DeviceVectorStore (defaults = the
+    # store's serving defaults, so the recorded surface measures what ships).
+    parser.add_argument("--rescore-impl", default="scan")
+    parser.add_argument("--candidate-impl", default="xla")
     args = parser.parse_args()
+    if args.candidate_impl == "bucket" and args.n % 16384:
+        # Round down to the kernel block multiple so the bucket kernel
+        # actually runs instead of silently falling back to XLA.
+        args.n -= args.n % 16384
+        print(f"# bucket impl: n rounded to block multiple {args.n}", flush=True)
 
     from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
 
@@ -91,7 +100,8 @@ def main() -> None:
     def sparse_once(seed):
         _, qp, q_ids, q_w = queries(seed)
         _, rows = projected_sparse_topk(
-            sp_proj, sp_ids, sp_w, qp, q_ids, q_w, 10, depth, mask, exact_topk=False
+            sp_proj, sp_ids, sp_w, qp, q_ids, q_w, 10, depth, mask, exact_topk=False,
+            rescore_impl=args.rescore_impl, candidate_impl=args.candidate_impl,
         )
         return np.asarray(rows)
 
@@ -107,6 +117,7 @@ def main() -> None:
         return hybrid_fused_topk(
             dense, sp_proj, sp_ids, sp_w, dq, qp, q_ids, q_w,
             k=10, fetch_k=fetch_k, depth=depth, mask=mask, exact_topk=False,
+            rescore_impl=args.rescore_impl, candidate_impl=args.candidate_impl,
         )
 
     np.asarray(dispatch(0)[1])
