@@ -356,12 +356,14 @@ def matmul_bucket_max_v2(
     )(*inputs)
 
     # Globalize: column c = block·128 + lane; row = block·block_rows +
-    # pos·128 + lane.
+    # pos·128 + lane. All-masked buckets decode NEG_INF's junk mantissa
+    # bits as pos — their values filter out downstream (≈ -1e30), but the
+    # row ids are clamped in-range so a direct gather can never go OOB.
     cols = jnp.arange(n_blocks * BUCKET, dtype=jnp.int32)
     block_base = (cols // BUCKET) * block_rows
     lane = cols % BUCKET
     rows = block_base[None, :] + idx[:b] * BUCKET + lane[None, :]
-    return vals[:b], rows
+    return vals[:b], jnp.minimum(rows, n - 1)
 
 
 @partial(jax.jit, static_argnames=("k", "variant", "chunk_pos", "interpret"))
