@@ -72,6 +72,49 @@ def test_hybrid_and_sparse_match_scan(impl):
         )
 
 
+@pytest.mark.parametrize("impl", ["oneshot", "pallas"])
+def test_parity_with_deletes_and_filters(impl):
+    """The impl switch must compose with tombstones and filter masks —
+    the mask flows into the candidate stage, the rescore sees -1 pads."""
+    rng = np.random.default_rng(29)
+
+    def build(rescore_impl):
+        r = np.random.default_rng(31)
+        store = DeviceVectorStore(
+            dense_dim=DIM, sparse_vocab=VOCAB, sparse_max_nnz=NNZ,
+            block=16, rescore_impl=rescore_impl,
+        )
+        store.add_vectors([
+            {
+                "id": f"r{i}",
+                "text": f"text {i}",
+                "metadata": {"year": 2020 + i % 3},
+                "dense": r.normal(size=DIM).astype(np.float32),
+                "sparse": {
+                    int(t): float(r.random() + 0.05)
+                    for t in r.choice(np.arange(1, VOCAB), size=NNZ, replace=False)
+                },
+            }
+            for i in range(40)
+        ])
+        store.flush()
+        store.delete([f"r{i}" for i in range(0, 40, 7)])
+        return store
+
+    ref, alt = build("scan"), build(impl)
+    for trial in range(2):
+        qd, qs = _query(rng)
+        kwargs = dict(
+            dense_queries=[qd], sparse_queries=[qs], top_k=6,
+            filter={"year": 2021},
+        )
+        r_ref = ref.query_batch(**kwargs)[0]
+        r_alt = alt.query_batch(**kwargs)[0]
+        assert [h.id for h in r_ref] == [h.id for h in r_alt]
+        assert all(h.metadata["year"] == 2021 for h in r_alt)
+        assert not any(int(h.id[1:]) % 7 == 0 for h in r_alt)
+
+
 def test_invalid_impl_rejected():
     with pytest.raises(ValueError, match="rescore_impl"):
         DeviceVectorStore(dense_dim=DIM, rescore_impl="magic")
