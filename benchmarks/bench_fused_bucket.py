@@ -39,6 +39,7 @@ def main() -> None:
     parser.add_argument("--k", type=int, default=256)
     parser.add_argument("--dims", type=int, nargs="+", default=[384, 768])
     parser.add_argument("--chunk-pos", type=int, default=16)
+    parser.add_argument("--q-block", type=int, default=128)
     parser.add_argument(
         "--impls", nargs="+", default=None,
         help="subset of pallas impls to run (default: all three)",
@@ -71,11 +72,12 @@ def main() -> None:
             c, qq.astype(c.dtype), args.k, m, interpret=interpret
         ),
         "pallas_v2_onedot": lambda c, qq, m: fused_candidate_topk_v2(
-            c, qq.astype(c.dtype), args.k, m, variant="onedot", interpret=interpret
+            c, qq.astype(c.dtype), args.k, m, variant="onedot",
+            interpret=interpret, q_block=args.q_block
         ),
         "pallas_v2_chunked": lambda c, qq, m: fused_candidate_topk_v2(
             c, qq.astype(c.dtype), args.k, m, variant="chunked",
-            chunk_pos=args.chunk_pos, interpret=interpret
+            chunk_pos=args.chunk_pos, interpret=interpret, q_block=args.q_block
         ),
     }
     if args.impls:

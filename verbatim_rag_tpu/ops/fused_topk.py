@@ -260,7 +260,7 @@ def _bucket_max_v2_chunked_kernel(*refs, chunk_pos: int, has_scale: bool):
     idx_ref[...] = winner
 
 
-@partial(jax.jit, static_argnames=("variant", "chunk_pos", "interpret"))
+@partial(jax.jit, static_argnames=("variant", "chunk_pos", "interpret", "q_block"))
 def matmul_bucket_max_v2(
     corpus: jax.Array,  # [N, d]; N ≤ BLOCK_ROWS, or N % BLOCK_ROWS == 0
     q: jax.Array,  # [B, d]
@@ -269,6 +269,7 @@ def matmul_bucket_max_v2(
     chunk_pos: int = 16,
     interpret: bool = False,
     scale: jax.Array | None = None,  # [N, 1] f32 — int8 corpus only
+    q_block: int = Q_BLOCK,  # query rows per grid step (VMEM/tuning knob)
 ) -> tuple[jax.Array, jax.Array]:
     """Strided-bucket fused scores+reduce: returns (bucket max
     [B, n_blocks·128] f32 with the low 7 mantissa bits zeroed, global
@@ -313,7 +314,7 @@ def matmul_bucket_max_v2(
         q = q.astype(corpus.dtype)
         q_scale = None
 
-    qb = min(Q_BLOCK, b) if b % Q_BLOCK else Q_BLOCK
+    qb = min(q_block, b) if b % q_block else q_block
     if b % qb != 0:
         pad = qb - b % qb
         q = jnp.pad(q, ((0, pad), (0, 0)))
@@ -366,7 +367,9 @@ def matmul_bucket_max_v2(
     return vals[:b], jnp.minimum(rows, n - 1)
 
 
-@partial(jax.jit, static_argnames=("k", "variant", "chunk_pos", "interpret"))
+@partial(
+    jax.jit, static_argnames=("k", "variant", "chunk_pos", "interpret", "q_block")
+)
 def fused_candidate_topk_v2(
     corpus: jax.Array,  # [N, d]
     q: jax.Array,  # [B, d]
@@ -376,12 +379,13 @@ def fused_candidate_topk_v2(
     chunk_pos: int = 16,
     interpret: bool = False,
     scale: jax.Array | None = None,  # [N, 1] f32 — int8 corpus only
+    q_block: int = Q_BLOCK,
 ) -> tuple[jax.Array, jax.Array]:
     """v2 candidate top-k: packed strided-bucket reduce, then `lax.top_k`
     over the 128× smaller bucket table (same contract as v1)."""
     vals, rows = matmul_bucket_max_v2(
         corpus, q, mask, variant=variant, chunk_pos=chunk_pos,
-        interpret=interpret, scale=scale,
+        interpret=interpret, scale=scale, q_block=q_block,
     )
     k = min(k, vals.shape[1])
     top_vals, pos = jax.lax.top_k(vals, k)
