@@ -118,10 +118,10 @@ def main() -> None:
     mask = jnp.ones((N_CHUNKS,), bool)
 
     if candidate_impl == "bucket":
-        # 1M is not a kernel-block multiple; pad with masked rows so the
-        # bucket kernel actually runs instead of silently falling back
-        # (store capacities are block multiples already). +1.6% corpus
-        # rows — noise next to the chip's session variance.
+        # 1M is neither a 16384- nor an 8192-multiple; pad with masked
+        # rows so the bucket kernel runs at its largest block size
+        # instead of silently falling back. +1.6% corpus rows — noise
+        # next to the chip's session variance.
         from verbatim_rag_tpu.ops.fused_topk import BLOCK_ROWS
 
         pad = -(-N_CHUNKS // BLOCK_ROWS) * BLOCK_ROWS - N_CHUNKS

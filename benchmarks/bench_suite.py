@@ -42,11 +42,14 @@ def main() -> None:
     parser.add_argument("--rescore-impl", default="scan")
     parser.add_argument("--candidate-impl", default="xla")
     args = parser.parse_args()
-    if args.candidate_impl == "bucket" and args.n % 16384:
-        # Round down to the kernel block multiple so the bucket kernel
-        # actually runs instead of silently falling back to XLA.
-        args.n -= args.n % 16384
-        print(f"# bucket impl: n rounded to block multiple {args.n}", flush=True)
+    if args.candidate_impl == "bucket":
+        from verbatim_rag_tpu.ops.fused_topk import BLOCK_ROWS
+
+        if args.n % BLOCK_ROWS:
+            # Round down to the kernel block multiple so the bucket kernel
+            # actually runs instead of silently falling back to XLA.
+            args.n -= args.n % BLOCK_ROWS
+            print(f"# bucket impl: n rounded to block multiple {args.n}", flush=True)
 
     from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
 

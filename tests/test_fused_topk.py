@@ -243,6 +243,63 @@ class TestCandidateImplDispatch:
         )
         np.testing.assert_array_equal(rows_b, ref[1])
 
+    def test_block_geometry_choices(self):
+        """choose_block_rows covers store capacities: 16384-multiples take
+        the big block, 8192-multiples (tight bulk-load capacities like
+        123*8192) the half block, non-128-multiples are unsupported."""
+        from verbatim_rag_tpu.ops.fused_topk import (
+            BLOCK_ROWS,
+            bucket_table_width,
+            choose_block_rows,
+        )
+
+        assert choose_block_rows(999_424) == BLOCK_ROWS  # 61 * 16384
+        assert choose_block_rows(123 * 8192) == 8192
+        assert choose_block_rows(8192) == 8192  # single block
+        assert choose_block_rows(384) == 384
+        assert choose_block_rows(960) is None
+        assert choose_block_rows(2048 * 3) == 2048 * 3  # single block fits
+        assert choose_block_rows(2048 * 17) == 2048  # 34816: odd 2048-mult
+        assert bucket_table_width(999_424) == 61 * 128
+        assert bucket_table_width(123 * 8192) == 123 * 128
+        assert bucket_table_width(8192) == 128
+
+    def test_fallback_when_k_exceeds_bucket_table(self):
+        """A single-block corpus has a 128-wide bucket table; k beyond it
+        must take the XLA path instead of silently truncating (the crash
+        the table-width check prevents shows up downstream as top_k over a
+        too-narrow candidate list)."""
+        from verbatim_rag_tpu.ops.dense import candidate_topk
+
+        n = 1024
+        corpus, q = _make(n, 32, 2, seed=21)
+        mask = jnp.ones(n, bool)
+        got = jax.device_get(
+            candidate_topk(corpus, q, 200, mask, impl="bucket", interpret=True)
+        )
+        ref = jax.device_get(
+            candidate_topk(corpus, q, 200, mask, impl="xla", interpret=True)
+        )
+        assert got[1].shape == (2, 200)
+        np.testing.assert_array_equal(got[1], ref[1])
+
+    def test_exact_topk_request_never_uses_bucket(self):
+        """exact_topk=True is an exactness guarantee; the bucket kernel is
+        an approximate family, so the dispatch must take the exact path."""
+        from verbatim_rag_tpu.ops.dense import candidate_topk, dense_scores
+
+        n = 1024
+        corpus, q = _make(n, 32, 2, seed=22)
+        mask = jnp.ones(n, bool)
+        got = jax.device_get(
+            candidate_topk(
+                corpus, q, 8, mask, exact_topk=True, impl="bucket", interpret=True
+            )
+        )
+        scores = np.asarray(dense_scores(corpus, q.astype(jnp.float32)))
+        expect_rows = np.argsort(-scores, axis=1)[:, :8]
+        np.testing.assert_array_equal(got[1], expect_rows)
+
     def test_fallback_to_xla_on_bad_geometry(self):
         from verbatim_rag_tpu.ops.dense import candidate_topk
 

@@ -122,6 +122,18 @@ def test_invalid_impl_rejected():
         DeviceVectorStore(dense_dim=DIM, candidate_impl="magic")
 
 
+def test_impl_knobs_survive_save_load(tmp_path):
+    """The configured kernels must be what a reloaded deployment runs —
+    save() persists the impl knobs alongside the other constructor config."""
+    store = _build("pallas")
+    store.candidate_impl = "bucket"
+    path = str(tmp_path / "idx")
+    store.save(path)
+    loaded = DeviceVectorStore.load(path)
+    assert loaded.rescore_impl == "pallas"
+    assert loaded.candidate_impl == "bucket"
+
+
 def test_bucket_candidate_impl_store_parity():
     """candidate_impl='bucket' on CPU takes the automatic XLA fallback —
     the store must return identical results to the default config."""

@@ -1462,6 +1462,8 @@ class DeviceVectorStore(VectorStore):
                         "approx_topk": self.approx_topk,
                         "auto_compact_threshold": self.auto_compact_threshold,
                         "allow_exact_at_scale": self.allow_exact_at_scale,
+                        "rescore_impl": self.rescore_impl,
+                        "candidate_impl": self.candidate_impl,
                     },
                     "ids": self._ids,
                     "texts": self._texts,

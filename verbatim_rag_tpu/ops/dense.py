@@ -117,16 +117,19 @@ def candidate_select(exact_topk: bool):
     return partial(jax.lax.approx_max_k, recall_target=0.95)
 
 
-def bucket_kernel_supported(corpus: jax.Array, scale, interpret: bool) -> bool:
-    """Whether the fused bucket-max kernel can serve this corpus: the
-    kernel block geometry and a TPU backend (or explicit interpret mode).
-    int8 corpora need their per-row scale (the kernel rescales in-block)."""
-    from .fused_topk import BLOCK_ROWS, BUCKET
+def bucket_kernel_supported(
+    corpus: jax.Array, scale, interpret: bool, k: int | None = None
+) -> bool:
+    """Whether the fused bucket-max kernel can serve this request: the
+    kernel block geometry, a TPU backend (or explicit interpret mode),
+    and a bucket table wide enough to supply `k` candidates. int8
+    corpora need their per-row scale (the kernel rescales in-block)."""
+    from .fused_topk import bucket_table_width
 
-    n = corpus.shape[0]
     if corpus.dtype == jnp.int8 and scale is None:
         return False
-    if n % BUCKET != 0 or (n > BLOCK_ROWS and n % BLOCK_ROWS != 0):
+    width = bucket_table_width(corpus.shape[0])
+    if width is None or (k is not None and k > width):
         return False
     if interpret:
         return True
@@ -148,13 +151,20 @@ def candidate_topk(
     impl="xla": [B,d]x[d,N] matmul then `candidate_select` (the serving
     default). impl="bucket": the Pallas fused matmul+bucket-max kernel
     (ops/fused_topk.py v2) — scores never materialize in HBM; falls back
-    to the XLA path when the kernel can't serve the shape/dtype/backend.
-    Selection-family contract is shared (one winner per 128 rows feeding
-    exact rescore / RRF), so impl moves candidate recall, not correctness.
+    to the XLA path when the kernel can't serve the shape/dtype/backend
+    or supply `k` candidates from its bucket table. The kernel is an
+    approximate selection family (one winner per bucket feeding exact
+    rescore / RRF), so an explicit ``exact_topk=True`` request always
+    takes the exact XLA path — impl moves candidate recall, never an
+    exactness guarantee.
     """
     if impl not in ("xla", "bucket"):
         raise ValueError(f"unknown candidate impl {impl!r}")
-    if impl == "bucket" and bucket_kernel_supported(corpus, scale, interpret):
+    if (
+        impl == "bucket"
+        and not exact_topk
+        and bucket_kernel_supported(corpus, scale, interpret, k)
+    ):
         from .fused_topk import fused_candidate_topk_v2
 
         if mask is None:

@@ -166,6 +166,41 @@ def fused_candidate_topk(
 _POS_BITS = 7  # low mantissa bits carrying the in-bucket position
 _POS_MASK = (1 << _POS_BITS) - 1  # 0x7F
 
+#: Smallest corpus block the v2 kernel will grid over — below this the
+#: per-step MXU work is too small to amortize grid overhead.
+MIN_BLOCK_ROWS = 2048
+
+
+def choose_block_rows(n: int) -> int | None:
+    """Largest kernel block size that tiles `n` corpus rows, or None.
+
+    Store capacities are block-size multiples (default 8192), not
+    necessarily 16384-multiples — a tight bulk-load capacity like
+    123·8192 tiles with 8192-row blocks. Smaller blocks mean finer
+    buckets (one winner per block_rows/128 rows → better recall) at more
+    grid steps; every candidate is ≤ the 7-bit position pack by
+    construction (block_rows ≤ 16384 → p ≤ 128)."""
+    if n % BUCKET != 0:
+        return None
+    if n <= BLOCK_ROWS:
+        return n
+    bl = BLOCK_ROWS
+    while bl >= MIN_BLOCK_ROWS:
+        if n % bl == 0:
+            return bl
+        bl //= 2
+    return None
+
+
+def bucket_table_width(n: int) -> int | None:
+    """Columns of the kernel's (value, row) bucket table for `n` rows —
+    the maximum candidate count the kernel can supply — or None if the
+    geometry is unsupported."""
+    block_rows = choose_block_rows(n)
+    if block_rows is None:
+        return None
+    return (n // block_rows) * BUCKET
+
 
 def _pack_pos(scores: jax.Array, pos: jax.Array) -> jax.Array:
     """Overwrite the low 7 mantissa bits of f32 `scores` with `pos` (i32).
@@ -279,19 +314,13 @@ def matmul_bucket_max_v2(
     granularity as v1/approx_max_k, and finer (better recall) below it."""
     n, d = corpus.shape
     b = q.shape[0]
-    if n % BUCKET != 0:
-        raise ValueError(f"corpus rows ({n}) must be a multiple of {BUCKET}")
-    if n <= BLOCK_ROWS:
-        block_rows = n
-    elif n % BLOCK_ROWS == 0:
-        block_rows = BLOCK_ROWS
-    else:
+    block_rows = choose_block_rows(n)
+    if block_rows is None:
         raise ValueError(
-            f"corpus rows ({n}) must be ≤ {BLOCK_ROWS} or a multiple of it"
+            f"corpus rows ({n}) must be ≤ {BLOCK_ROWS} (and a multiple of "
+            f"{BUCKET}) or divisible by a block size ≥ {MIN_BLOCK_ROWS}"
         )
     p = block_rows // BUCKET
-    if p > (1 << _POS_BITS):
-        raise ValueError(f"block positions ({p}) exceed the 7-bit pack")
     has_scale = corpus.dtype == jnp.int8
     if has_scale and scale is None:
         raise ValueError("int8 corpus requires scale")
