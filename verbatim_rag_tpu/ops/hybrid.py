@@ -14,12 +14,12 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .dense import NEG_INF, candidate_select, candidate_topk, dense_scores
+from .dense import NEG_INF, candidate_topk, dense_scores
 from .fusion import rrf_fuse_device
 from .sparse import sparse_topk
 
 
-@partial(jax.jit, static_argnames=("fetch_k", "depth", "exact_topk"))
+@partial(jax.jit, static_argnames=("fetch_k", "depth", "exact_topk", "candidate_impl"))
 def hybrid_candidates(
     dense_corpus: jax.Array,  # [N, d] row-normalized bf16
     sketch_corpus: jax.Array,  # [N, d_p] sparse sketches bf16 (or int8)
@@ -31,6 +31,7 @@ def hybrid_candidates(
     exact_topk: bool = True,
     dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
     sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
+    candidate_impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Both hybrid candidate generations in ONE device program.
 
@@ -42,15 +43,14 @@ def hybrid_candidates(
     k-selection uses the TPU-native `approx_max_k` (the hardware MIPS
     top-k) unless ``exact_topk`` — candidate lists feed RRF/rescoring, so
     per-list selection recall folds into the same knob as the sketch depth.
+    ``candidate_impl`` picks the strategy like the other fused programs.
     """
-    select = candidate_select(exact_topk)
-    d_scores = dense_scores(dense_corpus, dense_q, dense_scale)
-    s_scores = dense_scores(sketch_corpus, sketch_q, sketch_scale)
-    if mask is not None:
-        d_scores = jnp.where(mask[None, :], d_scores, NEG_INF)
-        s_scores = jnp.where(mask[None, :], s_scores, NEG_INF)
-    d_top, d_rows = select(d_scores, k=fetch_k)
-    s_top, s_rows = select(s_scores, k=depth)
+    d_top, d_rows = candidate_topk(
+        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, candidate_impl
+    )
+    s_top, s_rows = candidate_topk(
+        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, candidate_impl
+    )
     d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
     s_rows = jnp.where(s_top > NEG_INF / 2, s_rows, -1)
     return d_rows, s_rows
