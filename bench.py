@@ -170,7 +170,10 @@ def main() -> None:
     # Windows are ~0.7 s each while setup/compile dominates the run; sampling
     # more of them costs little and makes `best` robust to transient tunnel
     # contention (measured p50 swings of 2x between runs minutes apart).
-    iters, windows = 10, 12
+    # With deeper pipelines, more dispatches per window keep the overlap
+    # region dominant over the drain tail.
+    iters = max(10, 3 * pipeline_depth)
+    windows = 12
     elapsed_windows = []
     for w in range(windows):
         queries = [make_queries(w * iters + i + 2) for i in range(iters)]
