@@ -78,6 +78,53 @@ def test_projected_recall_at_10_vs_exact(corpus, queries):
 
 
 @pytest.mark.slow
+def test_bucket_kernel_candidate_recall(corpus, queries):
+    """Same projected pipeline with the bucket-max kernel picking the
+    sketch candidates (interpret mode — the quality gate needs no TPU).
+
+    At 64k rows the kernel's bucket table is only 512 wide, so depth-256
+    selection loses deep-ranked candidates to bucket collisions (expected
+    retention of sketch-rank r ≈ 1 − r/512) — the floor here reflects
+    that SMALL geometry; at the 1M serving point the table is 7808 wide
+    and the loss is negligible (benchmarks/recall_1m.py --candidate-impl
+    bucket measures it live)."""
+    from verbatim_rag_tpu.ops.fused_topk import fused_candidate_topk_v2
+
+    ids, weights = corpus
+    proj = projection_matrix(VOCAB, PROJ_DIM, seed=0)
+    sketches = project_rows(ids, weights, proj)
+
+    q_dense = np.zeros((len(queries), VOCAB), np.float32)
+    for i, q in enumerate(queries):
+        for t, w in q.items():
+            q_dense[i, t] = w
+    exact_scores, exact_rows = sparse_topk(
+        jnp.asarray(ids), jnp.asarray(weights), jnp.asarray(q_dense), K, None, block=4096
+    )
+    exact_rows = np.asarray(exact_rows)
+
+    q_proj = project_sparse_queries(queries, proj)
+    _, cand = fused_candidate_topk_v2(
+        jnp.asarray(sketches, jnp.float32),
+        jnp.asarray(q_proj, jnp.float32),
+        DEPTH,
+        jnp.ones(N, bool),
+        interpret=True,
+    )
+    cand = np.asarray(cand)
+    safe = np.maximum(cand, 0)
+    rescored = exact_rescore(safe.astype(np.int64), ids, weights, q_dense)
+    rescored[cand < 0] = -np.inf
+    order = np.argsort(-rescored, axis=1)[:, :K]
+    bucket_rows = np.take_along_axis(safe, order, axis=1)
+
+    recalls = [
+        len(set(exact_rows[b]) & set(bucket_rows[b])) / K for b in range(len(queries))
+    ]
+    assert float(np.mean(recalls)) >= 0.85, recalls
+
+
+@pytest.mark.slow
 def test_rescored_scores_match_exact_scores(corpus, queries):
     """Where the projected path finds the same rows, scores are identical."""
     ids, weights = corpus
