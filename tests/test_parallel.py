@@ -261,6 +261,28 @@ class TestMeshStore:
             sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
         )
 
+    def test_int4_modes_parity(self, mesh):
+        """int4 capacity mode on the mesh: the Int4Rows pytree flows
+        through the shard_map specs (prefix rule shards both leaves by
+        rows); plain-vs-sharded results must match exactly — dense codes
+        and scales are identical on both, and sparse scores are exact."""
+        plain, sharded = self._stores(mesh, dense_dtype="int4", sketch_dtype="int4")
+        rng = np.random.default_rng(11)
+        q = rng.normal(size=(3, 16)).astype(np.float32)
+        qs = [{3: 1.0, 9: 0.5}, {40: 2.0}, {1: 1.0, 4: 1.0}]
+        self._assert_same(
+            plain.query_batch(dense_queries=q, top_k=10),
+            sharded.query_batch(dense_queries=q, top_k=10),
+        )
+        self._assert_same(
+            plain.query_batch(sparse_queries=qs, top_k=8),
+            sharded.query_batch(sparse_queries=qs, top_k=8),
+        )
+        self._assert_same(
+            plain.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+            sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6),
+        )
+
     def test_filter_and_delete_parity(self, mesh):
         plain, sharded = self._stores(mesh)
         for store in (plain, sharded):

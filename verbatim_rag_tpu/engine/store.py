@@ -223,15 +223,20 @@ class DeviceVectorStore(VectorStore):
             raise ValueError(
                 f"candidate_impl must be 'xla' or 'bucket', got {candidate_impl!r}"
             )
-        if dense_dtype not in ("bfloat16", "float32", "int8"):
+        if dense_dtype not in ("bfloat16", "float32", "int8", "int4"):
             raise ValueError(
-                f"dense_dtype must be 'bfloat16', 'float32' or 'int8', got {dense_dtype!r}"
+                "dense_dtype must be 'bfloat16', 'float32', 'int8' or 'int4', "
+                f"got {dense_dtype!r}"
             )
-        if sketch_dtype not in (None, "bfloat16", "float32", "int8"):
+        if sketch_dtype not in (None, "bfloat16", "float32", "int8", "int4"):
             raise ValueError(
-                "sketch_dtype must be None, 'bfloat16', 'float32' or 'int8', "
-                f"got {sketch_dtype!r}"
+                "sketch_dtype must be None, 'bfloat16', 'float32', 'int8' or "
+                f"'int4', got {sketch_dtype!r}"
             )
+        if dense_dtype == "int4" and dense_dim % 2:
+            raise ValueError("int4 dense packing needs an even dense_dim")
+        if sketch_dtype == "int4" and projection_dim % 2:
+            raise ValueError("int4 sketch packing needs an even projection_dim")
         if mesh is not None and block % mesh.size != 0:
             raise ValueError(
                 f"block ({block}) must be a multiple of the mesh size ({mesh.size}) "
@@ -350,11 +355,30 @@ class DeviceVectorStore(VectorStore):
             "bfloat16": jnp.bfloat16,
             "float32": jnp.float32,
             "int8": jnp.int8,
+            "int4": jnp.int8,  # two 4-bit codes packed per byte
         }[self.dense_dtype]
 
     @property
-    def _sketch_is_int8(self) -> bool:
-        return self.sketch_dtype == "int8"
+    def _dense_quantized(self) -> bool:
+        return self.dense_dtype in ("int8", "int4")
+
+    @property
+    def _dense_width(self) -> int:
+        """Stored column count of the dense matrix (int4 packs pairs)."""
+        return self.dense_dim // 2 if self.dense_dtype == "int4" else self.dense_dim
+
+    @property
+    def _sketch_quantized(self) -> bool:
+        return self.sketch_dtype in ("int8", "int4")
+
+    @property
+    def _sketch_width(self) -> int:
+        """Stored column count of the sketch matrices (int4 packs pairs)."""
+        return (
+            self.projection_dim // 2
+            if self.sketch_dtype == "int4"
+            else self.projection_dim
+        )
 
     @property
     def _sketch_dtype(self):
@@ -367,15 +391,41 @@ class DeviceVectorStore(VectorStore):
                 "bfloat16": jnp.bfloat16,
                 "float32": jnp.float32,
                 "int8": jnp.int8,
+                "int4": jnp.int8,
             }[self.sketch_dtype]
         return jnp.float32 if self.dense_dtype == "float32" else jnp.bfloat16
 
     def _dense_rows_f32(self, n: int) -> np.ndarray:
         """Host float32 view of the first ``n`` dense rows (dequantized)."""
+        if self.dense_dtype == "int4":
+            packed = np.asarray(self._dense[:n], np.int8)
+            lo = np.right_shift(np.left_shift(packed, 4), 4)
+            hi = np.right_shift(packed, 4)
+            codes = np.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+            return codes.astype(np.float32) * np.asarray(
+                self._dense_scale[:n], np.float32
+            )
         rows = np.asarray(self._dense[:n], np.float32)
         if self.dense_dtype == "int8":
             rows = rows * np.asarray(self._dense_scale[:n], np.float32)
         return rows
+
+    def _dense_scoring_args(self):
+        """(corpus, scale) as the fused programs expect them; int4 wraps
+        the packed codes + scales into the ops-level Int4Rows carrier."""
+        if self.dense_dtype == "int4":
+            from verbatim_rag_tpu.ops.dense import Int4Rows
+
+            return Int4Rows(self._dense, self._dense_scale), None
+        return self._dense, self._dense_scale
+
+    def _sketch_scoring_args(self, proj, scale):
+        """Same boundary wrap for a sketch matrix (sp or full-text)."""
+        if self.sketch_dtype == "int4":
+            from verbatim_rag_tpu.ops.dense import Int4Rows
+
+            return Int4Rows(proj, scale), None
+        return proj, scale
 
     @property
     def size(self) -> int:
@@ -522,22 +572,34 @@ class DeviceVectorStore(VectorStore):
         dtype_dense = self._sketch_dtype  # jnp.int8 when sketch_dtype="int8"
 
         def _grow_sketch(arr, scale_arr, proj_new):
-            """Grow a sketch matrix (+ its scale column in int8 mode)."""
-            if self._sketch_is_int8:
-                from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+            """Grow a sketch matrix (+ its scale column in quantized modes)."""
+            if self._sketch_quantized:
+                from verbatim_rag_tpu.ops.dense import (
+                    quantize_rows_int4,
+                    quantize_rows_int8,
+                )
 
-                pq, pscale = quantize_rows_int8(proj_new)
+                if self.sketch_dtype == "int4":
+                    pq, pscale = quantize_rows_int4(proj_new)
+                else:
+                    pq, pscale = quantize_rows_int8(proj_new)
                 return (
-                    _grow(arr, pq, self.projection_dim, jnp.int8),
+                    _grow(arr, pq, self._sketch_width, jnp.int8),
                     _grow(scale_arr, pscale, 1, jnp.float32),
                 )
             return _grow(arr, proj_new, self.projection_dim, dtype_dense), scale_arr
         if dense_new is not None:
-            if self.dense_dtype == "int8":
-                from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+            if self._dense_quantized:
+                from verbatim_rag_tpu.ops.dense import (
+                    quantize_rows_int4,
+                    quantize_rows_int8,
+                )
 
-                q_new, scale_new = quantize_rows_int8(dense_new)
-                self._dense = _grow(self._dense, q_new, self.dense_dim, jnp.int8)
+                if self.dense_dtype == "int4":
+                    q_new, scale_new = quantize_rows_int4(dense_new)
+                else:
+                    q_new, scale_new = quantize_rows_int8(dense_new)
+                self._dense = _grow(self._dense, q_new, self._dense_width, jnp.int8)
                 self._dense_scale = _grow(self._dense_scale, scale_new, 1, jnp.float32)
             else:
                 self._dense = _grow(
@@ -733,10 +795,10 @@ class DeviceVectorStore(VectorStore):
         if self.dense_dim:
             self._dense = self._place(
                 self._grow_capacity(
-                    self._dense, cap, self.dense_dim, self._dense_store_dtype
+                    self._dense, cap, self._dense_width, self._dense_store_dtype
                 )
             )
-            if self.dense_dtype == "int8":
+            if self._dense_quantized:
                 self._dense_scale = self._place(
                     self._grow_capacity(self._dense_scale, cap, 1, jnp.float32)
                 )
@@ -749,9 +811,9 @@ class DeviceVectorStore(VectorStore):
             )
             if self.sparse_mode == "projected":
                 self._sp_proj = self._place(
-                    self._grow_capacity(self._sp_proj, cap, self.projection_dim, dtype_dense)
+                    self._grow_capacity(self._sp_proj, cap, self._sketch_width, dtype_dense)
                 )
-                if self._sketch_is_int8:
+                if self._sketch_quantized:
                     self._sp_proj_scale = self._place(
                         self._grow_capacity(self._sp_proj_scale, cap, 1, jnp.float32)
                     )
@@ -764,9 +826,9 @@ class DeviceVectorStore(VectorStore):
             )
             if self.sparse_mode == "projected":
                 self._ft_proj = self._place(
-                    self._grow_capacity(self._ft_proj, cap, self.projection_dim, dtype_dense)
+                    self._grow_capacity(self._ft_proj, cap, self._sketch_width, dtype_dense)
                 )
-                if self._sketch_is_int8:
+                if self._sketch_quantized:
                     self._ft_proj_scale = self._place(
                         self._grow_capacity(self._ft_proj_scale, cap, 1, jnp.float32)
                     )
@@ -834,6 +896,8 @@ class DeviceVectorStore(VectorStore):
             approx_topk=self.approx_topk,
             auto_compact_threshold=self.auto_compact_threshold,
             allow_exact_at_scale=self.allow_exact_at_scale,
+            rescore_impl=self.rescore_impl,
+            candidate_impl=self.candidate_impl,
         )
         fresh.add_vectors(records)
         fresh.flush()
@@ -1094,6 +1158,7 @@ class DeviceVectorStore(VectorStore):
         k = min(k, self._capacity)
         if name == "dense":
             q = normalize_rows(jnp.asarray(payload, jnp.float32))
+            dense_c, dense_s = self._dense_scoring_args()
             if self.mesh is not None:
                 from verbatim_rag_tpu.parallel.sharded_search import (
                     replicate,
@@ -1101,13 +1166,13 @@ class DeviceVectorStore(VectorStore):
                 )
 
                 scores, rows = sharded_dense_topk(
-                    self._dense, replicate(q, self.mesh), k, mask, self.mesh,
-                    exact_topk=exact_topk, corpus_scale=self._dense_scale,
+                    dense_c, replicate(q, self.mesh), k, mask, self.mesh,
+                    exact_topk=exact_topk, corpus_scale=dense_s,
                 )
             else:
                 scores, rows = dense_topk(
-                    self._dense, q, k, mask,
-                    exact_topk=exact_topk, corpus_scale=self._dense_scale,
+                    dense_c, q, k, mask,
+                    exact_topk=exact_topk, corpus_scale=dense_s,
                 )
             return np.asarray(scores), np.asarray(rows)
 
@@ -1228,6 +1293,10 @@ class DeviceVectorStore(VectorStore):
             q = np.asarray(dense_q, np.float32)
             q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
         q_ids, q_w, q_proj = self._sparse_query_device(sparse_q, self.sparse_vocab)
+        dense_c, dense_s = self._dense_scoring_args()
+        sketch_c, sketch_s = self._sketch_scoring_args(
+            self._sp_proj, self._sp_proj_scale
+        )
 
         if self.mesh is not None:
             from verbatim_rag_tpu.parallel.sharded_search import (
@@ -1236,8 +1305,8 @@ class DeviceVectorStore(VectorStore):
             )
 
             scores, rows = sharded_hybrid_topk(
-                self._dense,
-                self._sp_proj,
+                dense_c,
+                sketch_c,
                 self._sp_ids,
                 self._sp_w,
                 replicate(jnp.asarray(q), self.mesh),
@@ -1253,15 +1322,15 @@ class DeviceVectorStore(VectorStore):
                 sparse_weight=float(weights.get("sparse", 0.5)),
                 rrf_k=rrf_k,
                 exact_topk=exact_topk,
-                dense_scale=self._dense_scale,
-                sketch_scale=self._sp_proj_scale,
+                dense_scale=dense_s,
+                sketch_scale=sketch_s,
                 rescore_impl=self.rescore_impl,
                 candidate_impl=self.candidate_impl,
             )
         else:
             scores, rows = hybrid_fused_topk(
-                self._dense,
-                self._sp_proj,
+                dense_c,
+                sketch_c,
                 self._sp_ids,
                 self._sp_w,
                 jnp.asarray(q),
@@ -1276,8 +1345,8 @@ class DeviceVectorStore(VectorStore):
                 sparse_weight=float(weights.get("sparse", 0.5)),
                 rrf_k=rrf_k,
                 exact_topk=exact_topk,
-                dense_scale=self._dense_scale,
-                sketch_scale=self._sp_proj_scale,
+                dense_scale=dense_s,
+                sketch_scale=sketch_s,
                 rescore_impl=self.rescore_impl,
                 candidate_impl=self.candidate_impl,
             )
@@ -1318,6 +1387,7 @@ class DeviceVectorStore(VectorStore):
 
         depth = min(max(depth_override or self.rescore_depth, 2 * k), self._capacity)
         q_ids, q_w, q_proj = self._sparse_query_device(q_sparse, vocab)
+        proj_corpus, scale_dev = self._sketch_scoring_args(proj_corpus, scale_dev)
         if self.mesh is not None:
             from verbatim_rag_tpu.parallel.sharded_search import (
                 replicate,
@@ -1424,11 +1494,12 @@ class DeviceVectorStore(VectorStore):
         arrays: dict[str, np.ndarray] = {"valid": self._valid[:n]}
         if self._dense is not None:
             arrays["dense"] = self._dense_rows_f32(n)
-            if self.dense_dtype == "int8":
+            if self._dense_quantized:
                 # Persist the codes + scales verbatim so save→load cycles are
                 # round-trip stable (re-quantizing the dequantized f32 rows
                 # would drift codes and scores slightly on every cycle).
-                arrays["dense_i8"] = np.asarray(self._dense[:n], np.int8)
+                key = "dense_i4" if self.dense_dtype == "int4" else "dense_i8"
+                arrays[key] = np.asarray(self._dense[:n], np.int8)
                 arrays["dense_scale"] = np.asarray(self._dense_scale[:n], np.float32)
         if self._sp_ids is not None:
             arrays["sp_ids"] = np.asarray(self._sp_ids[:n])
@@ -1503,16 +1574,17 @@ class DeviceVectorStore(VectorStore):
             records.append(rec)
         store.add_vectors(records)
         store.flush()
+        codes_key = {"int8": "dense_i8", "int4": "dense_i4"}.get(store.dense_dtype)
         if (
-            store.dense_dtype == "int8"
-            and "dense_i8" in arrays
+            codes_key is not None
+            and codes_key in arrays
             and store._dense is not None
         ):
             # Restore the persisted codes verbatim (legacy files without the
             # codes fall back to the re-quantization the flush just did).
             import jax.numpy as jnp
 
-            codes = jnp.asarray(arrays["dense_i8"], jnp.int8)
+            codes = jnp.asarray(arrays[codes_key], jnp.int8)
             scales = jnp.asarray(arrays["dense_scale"], jnp.float32)
             store._dense = store._place(_write_rows()(store._dense, codes, 0))
             store._dense_scale = store._place(
