@@ -17,6 +17,11 @@ tiles it — measured batch sweep on v5e: b=128 → 1991 best QPS, b=256 →
 
 Run: python benchmarks/bench_capacity_4m.py [--batch 512 --n 3997696]
 Prints one JSON line: best + p50 QPS over pipelined windows.
+
+--int4 swaps both quantized matrices to the packed 4-bit tier
+(ops/dense.Int4Rows): dense 0.7 GB + sketches 1.4 GB at 4M. The
+forward index (ids+f32 weights, 8 B/slot) then dominates the corpus —
+at N≈8M the total is ~10.7 GiB, the experiment the flag exists for.
 """
 
 from __future__ import annotations
@@ -38,16 +43,29 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=512)
     parser.add_argument("--windows", type=int, default=8)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--int4", action="store_true", help="packed 4-bit tier")
     args = parser.parse_args()
+
+    import os
 
     import jax
 
-    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+    from verbatim_rag_tpu.utils.jax_cache import (
+        enable_persistent_compilation_cache,
+        pin_platform_from_env,
+    )
 
+    pin_platform_from_env()
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     enable_persistent_compilation_cache()
     import jax.numpy as jnp
 
-    from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+    from verbatim_rag_tpu.ops.dense import (
+        Int4Rows,
+        quantize_rows_int4,
+        quantize_rows_int8,
+    )
     from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk
 
     def mark(msg):
@@ -61,28 +79,36 @@ def main() -> None:
     # Corpus generated on device, quantized in slabs: normalize+quantize of
     # a whole [4M, 768] f32 intermediate would transiently need ~12 GB next
     # to the growing corpus. 8 slabs keep the transient under 2 GB.
-    def build_int8(k, dim, slabs=8):
+    quantize = jax.jit(quantize_rows_int4 if args.int4 else quantize_rows_int8)
+    tier = "int4" if args.int4 else "int8"
+
+    def build_quantized(k, dim, slabs=8):
         rows = n // slabs
         codes, scales = [], []
         for i in range(slabs):
             ki = jax.random.fold_in(k, i)
             x = jax.random.normal(ki, (rows, dim), jnp.float32)
             x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
-            c, s = jax.jit(quantize_rows_int8)(x)
+            c, s = quantize(x)
             c.block_until_ready()
             codes.append(c)
             scales.append(s)
         return jnp.concatenate(codes, axis=0), jnp.concatenate(scales, axis=0)
 
-    dense, dense_scale = build_int8(k_dense, DIM)
-    mark(f"int8 dense [{n}, {DIM}] resident")
-    sketch, sketch_scale = build_int8(k_proj, PROJ_DIM)
-    mark(f"int8 sketches [{n}, {PROJ_DIM}] resident")
+    dense, dense_scale = build_quantized(k_dense, DIM)
+    mark(f"{tier} dense [{n}, {DIM}] resident")
+    sketch, sketch_scale = build_quantized(k_proj, PROJ_DIM)
+    mark(f"{tier} sketches [{n}, {PROJ_DIM}] resident")
+    if args.int4:
+        # The fused programs take Int4Rows carriers with scale=None.
+        dense, dense_scale = Int4Rows(dense, dense_scale), None
+        sketch, sketch_scale = Int4Rows(sketch, sketch_scale), None
     sp_ids = jax.random.randint(k_ids, (n, MAX_NNZ), 1, VOCAB, jnp.int32)
     sp_w = jax.random.uniform(k_w, (n, MAX_NNZ), jnp.float32)
     mask = jnp.ones((n,), bool)
     jnp.asarray(sp_w[:1]).block_until_ready()
-    corpus_gb = (n * DIM + n * PROJ_DIM + n * MAX_NNZ * 8 + n * 8) / 2**30
+    quant_bytes = (n * DIM + n * PROJ_DIM) // (2 if args.int4 else 1)
+    corpus_gb = (quant_bytes + n * MAX_NNZ * 8 + n * 8) / 2**30
     mark(f"forward index resident; corpus ≈ {corpus_gb:.2f} GiB on one chip")
 
     fetch_k = 2 * TOP_K
@@ -139,6 +165,7 @@ def main() -> None:
                 "p50": round(p50, 1),
                 "rows": n,
                 "batch": b,
+                "tier": tier,
                 "corpus_gib": round(corpus_gb, 2),
                 "vs_target_share": round(best / TARGET_PER_CHIP_QPS, 3),
             }

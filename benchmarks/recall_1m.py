@@ -180,6 +180,55 @@ def main() -> None:
             return sys.argv[sys.argv.index(name) + 1]
         return None
 
+    # --- 5b (optional): int4 capacity tier at the same operating point ---
+    if _flag_value("--dense-dtype") == "int4":
+        from verbatim_rag_tpu.ops.dense import quantize_rows_int4
+
+        dq4 = quantize_rows_int4(jnp.asarray(dense))
+        _s, rows4 = hybrid_fused_topk(
+            dq4, d_sketch, d_sp_ids, d_sp_w, jdq, jq_sketch, jq_ids, jq_w,
+            k=K, fetch_k=2 * K, depth=DEPTH, mask=mask, exact_topk=False,
+        )
+        rows4 = np.asarray(rows4)
+        results["hybrid_top10_overlap_int4_vs_bf16"] = round(
+            float(np.mean([
+                len(set(rows4[b]) & set(overlap["approx"][b])) / K for b in range(QB)
+            ])), 4
+        )
+        _s, d_i4 = dense_topk(dq4, jdq, K, mask, exact_topk=False)
+        d_i4 = np.asarray(d_i4)
+        results["dense_recall@10_int4_vs_exact"] = round(
+            float(np.mean([
+                len(set(d_i4[b]) & set(d_gt[b][:K])) / K for b in range(QB)
+            ])), 4
+        )
+
+    if _flag_value("--sketch-dtype") == "int4":
+        from verbatim_rag_tpu.ops.dense import quantize_rows_int4
+
+        sk4 = quantize_rows_int4(jnp.asarray(sketches))
+        _s, rows_s4 = hybrid_fused_topk(
+            d_dense, sk4, d_sp_ids, d_sp_w, jdq, jq_sketch, jq_ids, jq_w,
+            k=K, fetch_k=2 * K, depth=DEPTH, mask=mask, exact_topk=False,
+        )
+        rows_s4 = np.asarray(rows_s4)
+        results["hybrid_top10_overlap_int4sketch_vs_bf16"] = round(
+            float(np.mean([
+                len(set(rows_s4[b]) & set(overlap["approx"][b])) / K
+                for b in range(QB)
+            ])), 4
+        )
+        _s, sp4 = projected_sparse_topk(
+            sk4, d_sp_ids, d_sp_w, jq_sketch, jq_ids, jq_w,
+            k=K, depth=DEPTH, mask=mask, exact_topk=False,
+        )
+        sp4 = np.asarray(sp4)
+        results["sparse_recall@10_int4sketch_vs_groundtruth"] = round(
+            float(np.mean([
+                len(set(sp4[b]) & set(gt_rows[b])) / K for b in range(QB)
+            ])), 4
+        )
+
     # --- 5 (optional): int8 capacity mode at the same operating point ---
     if _flag_value("--dense-dtype") == "int8":
         from verbatim_rag_tpu.ops.dense import quantize_rows_int8
