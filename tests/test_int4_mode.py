@@ -183,6 +183,70 @@ class TestInt4Store:
         assert len(res) == 5
         assert not any(int(h.id[1:]) % 5 == 0 for h in res)
 
+    def test_f16_forward_weights_exact_vs_prerounded(self):
+        """sparse_weight_dtype='float16' must return IDENTICAL results to
+        an f32 store built from pre-rounded (f16→f32) weights — the rescore
+        runs f32 math over numerically identical stored values."""
+        recs = _records()
+        rounded = [
+            {
+                **r,
+                "sparse": {
+                    t: float(np.float16(w)) for t, w in r["sparse"].items()
+                },
+            }
+            for r in recs
+        ]
+        f16 = DeviceVectorStore(
+            dense_dim=DIM, sparse_vocab=VOCAB, sparse_max_nnz=NNZ, block=16,
+            rescore_depth=64, sparse_weight_dtype="float16",
+        )
+        f16.add_vectors([dict(r) for r in recs])
+        f16.flush()
+        ref = DeviceVectorStore(
+            dense_dim=DIM, sparse_vocab=VOCAB, sparse_max_nnz=NNZ, block=16,
+            rescore_depth=64,
+        )
+        ref.add_vectors(rounded)
+        ref.flush()
+        rng = np.random.default_rng(37)
+        qs = [
+            {int(t): float(rng.random() + 0.1) for t in range(1, VOCAB)}
+            for _ in range(2)
+        ]
+        r16 = f16.query_batch(sparse_queries=qs, top_k=8)
+        rr = ref.query_batch(sparse_queries=qs, top_k=8)
+        for a, b in zip(r16, rr):
+            assert [h.id for h in a] == [h.id for h in b]
+            np.testing.assert_allclose(
+                [h.score for h in a], [h.score for h in b], rtol=1e-5
+            )
+
+    def test_f16_weights_save_load_roundtrip(self, tmp_path):
+        store = DeviceVectorStore(
+            dense_dim=DIM, sparse_vocab=VOCAB, sparse_max_nnz=NNZ, block=16,
+            rescore_depth=64, sparse_weight_dtype="float16",
+        )
+        store.add_vectors(_records())
+        store.flush()
+        rng = np.random.default_rng(41)
+        qs = [{int(t): float(rng.random() + 0.1) for t in range(1, VOCAB)}]
+        before = store.query_batch(sparse_queries=qs, top_k=6)
+        path = str(tmp_path / "f16idx")
+        store.save(path)
+        loaded = DeviceVectorStore.load(path)
+        assert loaded.sparse_weight_dtype == "float16"
+        after = loaded.query_batch(sparse_queries=qs, top_k=6)
+        for a, b in zip(before, after):
+            assert [h.id for h in a] == [h.id for h in b]
+            np.testing.assert_allclose(
+                [h.score for h in a], [h.score for h in b], rtol=1e-6
+            )
+
+    def test_invalid_sparse_weight_dtype(self):
+        with pytest.raises(ValueError, match="sparse_weight_dtype"):
+            DeviceVectorStore(dense_dim=DIM, sparse_weight_dtype="int8")
+
     def test_odd_dims_rejected(self):
         with pytest.raises(ValueError, match="even dense_dim"):
             DeviceVectorStore(dense_dim=7, dense_dtype="int4")

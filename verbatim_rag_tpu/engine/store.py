@@ -212,6 +212,7 @@ class DeviceVectorStore(VectorStore):
         allow_exact_at_scale: bool = False,
         rescore_impl: str = "scan",
         candidate_impl: str = "xla",
+        sparse_weight_dtype: str = "float32",
     ):
         if sparse_mode not in ("projected", "exact"):
             raise ValueError(f"sparse_mode must be 'projected' or 'exact', got {sparse_mode!r}")
@@ -237,6 +238,11 @@ class DeviceVectorStore(VectorStore):
             raise ValueError("int4 dense packing needs an even dense_dim")
         if sketch_dtype == "int4" and projection_dim % 2:
             raise ValueError("int4 sketch packing needs an even projection_dim")
+        if sparse_weight_dtype not in ("float32", "float16"):
+            raise ValueError(
+                "sparse_weight_dtype must be 'float32' or 'float16', "
+                f"got {sparse_weight_dtype!r}"
+            )
         if mesh is not None and block % mesh.size != 0:
             raise ValueError(
                 f"block ({block}) must be a multiple of the mesh size ({mesh.size}) "
@@ -300,6 +306,13 @@ class DeviceVectorStore(VectorStore):
         #: dtypes the kernel doesn't serve). Same selection family —
         #: candidate recall knob, not a correctness knob.
         self.candidate_impl = candidate_impl
+        #: Forward-index weight storage. At scale the [N, m] id+weight
+        #: arrays dominate HBM (8 B/slot at 1M x 128 = 1 GB; 4x that at
+        #: the 4M capacity point) — "float16" halves the weight half.
+        #: Exact-rescore math still runs f32; reported scores become
+        #: exact dots of the f16-stored weights (~3 significant digits,
+        #: the SPLADE heads' own training precision).
+        self.sparse_weight_dtype = sparse_weight_dtype
 
         # Host-side record state.
         self._ids: list[str] = []
@@ -370,6 +383,12 @@ class DeviceVectorStore(VectorStore):
     @property
     def _sketch_quantized(self) -> bool:
         return self.sketch_dtype in ("int8", "int4")
+
+    @property
+    def _sp_w_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.float16 if self.sparse_weight_dtype == "float16" else jnp.float32
 
     @property
     def _sketch_width(self) -> int:
@@ -607,7 +626,7 @@ class DeviceVectorStore(VectorStore):
                 )
         if sp_ids_new is not None:
             self._sp_ids = _grow(self._sp_ids, sp_ids_new, self.sparse_max_nnz, jnp.int32)
-            self._sp_w = _grow(self._sp_w, sp_w_new, self.sparse_max_nnz, jnp.float32)
+            self._sp_w = _grow(self._sp_w, sp_w_new, self.sparse_max_nnz, self._sp_w_dtype)
             if self.sparse_mode == "projected":
                 from verbatim_rag_tpu.ops.sparse_projected import project_rows
 
@@ -807,7 +826,7 @@ class DeviceVectorStore(VectorStore):
                 self._grow_capacity(self._sp_ids, cap, self.sparse_max_nnz, jnp.int32)
             )
             self._sp_w = self._place(
-                self._grow_capacity(self._sp_w, cap, self.sparse_max_nnz, jnp.float32)
+                self._grow_capacity(self._sp_w, cap, self.sparse_max_nnz, self._sp_w_dtype)
             )
             if self.sparse_mode == "projected":
                 self._sp_proj = self._place(
@@ -898,6 +917,7 @@ class DeviceVectorStore(VectorStore):
             allow_exact_at_scale=self.allow_exact_at_scale,
             rescore_impl=self.rescore_impl,
             candidate_impl=self.candidate_impl,
+            sparse_weight_dtype=self.sparse_weight_dtype,
         )
         fresh.add_vectors(records)
         fresh.flush()
@@ -1535,6 +1555,7 @@ class DeviceVectorStore(VectorStore):
                         "allow_exact_at_scale": self.allow_exact_at_scale,
                         "rescore_impl": self.rescore_impl,
                         "candidate_impl": self.candidate_impl,
+                        "sparse_weight_dtype": self.sparse_weight_dtype,
                     },
                     "ids": self._ids,
                     "texts": self._texts,
