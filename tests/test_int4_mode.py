@@ -247,6 +247,62 @@ class TestInt4Store:
         with pytest.raises(ValueError, match="sparse_weight_dtype"):
             DeviceVectorStore(dense_dim=DIM, sparse_weight_dtype="int8")
 
+    @pytest.mark.parametrize("sparse_mode", ["projected", "exact"])
+    def test_int16_ids_bit_identical(self, sparse_mode):
+        """Term ids are exact integers: an int16-id store must return
+        results IDENTICAL to the int32 store, in both sparse modes."""
+        ref = DeviceVectorStore(
+            dense_dim=DIM, sparse_vocab=VOCAB, sparse_max_nnz=NNZ, block=16,
+            rescore_depth=64, sparse_mode=sparse_mode,
+        )
+        alt = DeviceVectorStore(
+            dense_dim=DIM, sparse_vocab=VOCAB, sparse_max_nnz=NNZ, block=16,
+            rescore_depth=64, sparse_mode=sparse_mode, sparse_ids_dtype="int16",
+        )
+        for s in (ref, alt):
+            s.add_vectors(_records())
+            s.flush()
+        rng = np.random.default_rng(43)
+        qs = [
+            {int(t): float(rng.random() + 0.1) for t in range(1, VOCAB)}
+            for _ in range(2)
+        ]
+        r_ref = ref.query_batch(sparse_queries=qs, top_k=8)
+        r_alt = alt.query_batch(sparse_queries=qs, top_k=8)
+        for a, b in zip(r_ref, r_alt):
+            assert [h.id for h in a] == [h.id for h in b]
+            np.testing.assert_array_equal(
+                [h.score for h in a], [h.score for h in b]
+            )
+
+    def test_int16_ids_vocab_bound(self):
+        with pytest.raises(ValueError, match="int16"):
+            DeviceVectorStore(
+                dense_dim=DIM, sparse_vocab=100_000, sparse_ids_dtype="int16"
+            )
+
+    def test_int16_ids_save_load(self, tmp_path):
+        store = DeviceVectorStore(
+            dense_dim=DIM, sparse_vocab=VOCAB, sparse_max_nnz=NNZ, block=16,
+            rescore_depth=64, sparse_ids_dtype="int16",
+            sparse_weight_dtype="float16",
+        )
+        store.add_vectors(_records())
+        store.flush()
+        rng = np.random.default_rng(47)
+        qs = [{int(t): float(rng.random() + 0.1) for t in range(1, VOCAB)}]
+        before = store.query_batch(sparse_queries=qs, top_k=6)
+        path = str(tmp_path / "i16idx")
+        store.save(path)
+        loaded = DeviceVectorStore.load(path)
+        assert loaded.sparse_ids_dtype == "int16"
+        after = loaded.query_batch(sparse_queries=qs, top_k=6)
+        for a, b in zip(before, after):
+            assert [h.id for h in a] == [h.id for h in b]
+            np.testing.assert_allclose(
+                [h.score for h in a], [h.score for h in b], rtol=1e-6
+            )
+
     def test_odd_dims_rejected(self):
         with pytest.raises(ValueError, match="even dense_dim"):
             DeviceVectorStore(dense_dim=7, dense_dtype="int4")

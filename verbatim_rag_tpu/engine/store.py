@@ -213,6 +213,7 @@ class DeviceVectorStore(VectorStore):
         rescore_impl: str = "scan",
         candidate_impl: str = "xla",
         sparse_weight_dtype: str = "float32",
+        sparse_ids_dtype: str = "int32",
     ):
         if sparse_mode not in ("projected", "exact"):
             raise ValueError(f"sparse_mode must be 'projected' or 'exact', got {sparse_mode!r}")
@@ -242,6 +243,15 @@ class DeviceVectorStore(VectorStore):
             raise ValueError(
                 "sparse_weight_dtype must be 'float32' or 'float16', "
                 f"got {sparse_weight_dtype!r}"
+            )
+        if sparse_ids_dtype not in ("int32", "int16"):
+            raise ValueError(
+                f"sparse_ids_dtype must be 'int32' or 'int16', got {sparse_ids_dtype!r}"
+            )
+        if sparse_ids_dtype == "int16" and sparse_vocab > 32768:
+            raise ValueError(
+                f"sparse_ids_dtype='int16' holds vocab ids < 32768; "
+                f"sparse_vocab is {sparse_vocab}"
             )
         if mesh is not None and block % mesh.size != 0:
             raise ValueError(
@@ -313,6 +323,10 @@ class DeviceVectorStore(VectorStore):
         #: exact dots of the f16-stored weights (~3 significant digits,
         #: the SPLADE heads' own training precision).
         self.sparse_weight_dtype = sparse_weight_dtype
+        #: Forward-index term-id storage; "int16" (vocab < 32768 — BERT's
+        #: 30522 fits) halves the id half. Ids are exact integers either
+        #: way, so results are bit-identical to int32.
+        self.sparse_ids_dtype = sparse_ids_dtype
 
         # Host-side record state.
         self._ids: list[str] = []
@@ -389,6 +403,12 @@ class DeviceVectorStore(VectorStore):
         import jax.numpy as jnp
 
         return jnp.float16 if self.sparse_weight_dtype == "float16" else jnp.float32
+
+    @property
+    def _sp_ids_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.int16 if self.sparse_ids_dtype == "int16" else jnp.int32
 
     @property
     def _sketch_width(self) -> int:
@@ -625,7 +645,9 @@ class DeviceVectorStore(VectorStore):
                     self._dense, dense_new, self.dense_dim, self._dense_store_dtype
                 )
         if sp_ids_new is not None:
-            self._sp_ids = _grow(self._sp_ids, sp_ids_new, self.sparse_max_nnz, jnp.int32)
+            self._sp_ids = _grow(
+                self._sp_ids, sp_ids_new, self.sparse_max_nnz, self._sp_ids_dtype
+            )
             self._sp_w = _grow(self._sp_w, sp_w_new, self.sparse_max_nnz, self._sp_w_dtype)
             if self.sparse_mode == "projected":
                 from verbatim_rag_tpu.ops.sparse_projected import project_rows
@@ -823,7 +845,9 @@ class DeviceVectorStore(VectorStore):
                 )
         if self.sparse_vocab:
             self._sp_ids = self._place(
-                self._grow_capacity(self._sp_ids, cap, self.sparse_max_nnz, jnp.int32)
+                self._grow_capacity(
+                    self._sp_ids, cap, self.sparse_max_nnz, self._sp_ids_dtype
+                )
             )
             self._sp_w = self._place(
                 self._grow_capacity(self._sp_w, cap, self.sparse_max_nnz, self._sp_w_dtype)
@@ -918,6 +942,7 @@ class DeviceVectorStore(VectorStore):
             rescore_impl=self.rescore_impl,
             candidate_impl=self.candidate_impl,
             sparse_weight_dtype=self.sparse_weight_dtype,
+            sparse_ids_dtype=self.sparse_ids_dtype,
         )
         fresh.add_vectors(records)
         fresh.flush()
@@ -1556,6 +1581,7 @@ class DeviceVectorStore(VectorStore):
                         "rescore_impl": self.rescore_impl,
                         "candidate_impl": self.candidate_impl,
                         "sparse_weight_dtype": self.sparse_weight_dtype,
+                        "sparse_ids_dtype": self.sparse_ids_dtype,
                     },
                     "ids": self._ids,
                     "texts": self._texts,

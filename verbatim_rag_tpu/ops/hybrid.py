@@ -78,7 +78,11 @@ def exact_rescore_device(
     safe = jnp.maximum(cand_rows, 0)
     flat = safe.reshape(-1)
     m = sp_ids.shape[1]
-    cand_ids = jnp.take(sp_ids, flat, axis=0).reshape(*cand_rows.shape, m)
+    # astype int32: the stored ids may be int16 (capacity knob) — the HBM
+    # read stays narrow, comparisons run at the query ids' width.
+    cand_ids = (
+        jnp.take(sp_ids, flat, axis=0).reshape(*cand_rows.shape, m).astype(jnp.int32)
+    )
     cand_w = jnp.take(sp_w, flat, axis=0).reshape(*cand_rows.shape, m).astype(jnp.float32)
 
     def per_term(acc, term):

@@ -113,7 +113,9 @@ def exact_rescore_oneshot(
     safe = jnp.maximum(cand_rows, 0)
     flat = safe.reshape(-1)
     m = sp_ids.shape[1]
-    cand_ids = jnp.take(sp_ids, flat, axis=0).reshape(*cand_rows.shape, m)
+    cand_ids = (
+        jnp.take(sp_ids, flat, axis=0).reshape(*cand_rows.shape, m).astype(jnp.int32)
+    )
     cand_w = jnp.take(sp_w, flat, axis=0).reshape(*cand_rows.shape, m)
     match = cand_ids[..., None] == q_ids[:, None, None, :].astype(jnp.int32)
     contrib = jnp.where(
@@ -139,7 +141,9 @@ def exact_rescore_device_pallas(
     safe = jnp.maximum(cand_rows, 0)
     flat = safe.reshape(-1)
     m = sp_ids.shape[1]
-    cand_ids = jnp.take(sp_ids, flat, axis=0).reshape(*cand_rows.shape, m)
+    cand_ids = (
+        jnp.take(sp_ids, flat, axis=0).reshape(*cand_rows.shape, m).astype(jnp.int32)
+    )
     cand_w = jnp.take(sp_w, flat, axis=0).reshape(*cand_rows.shape, m)
     scores = rescore_pallas(cand_ids, cand_w, q_ids, q_w, interpret=interpret)
     return jnp.where(cand_rows >= 0, scores, NEG_INF)
