@@ -44,6 +44,10 @@ def main() -> None:
     parser.add_argument("--windows", type=int, default=8)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--int4", action="store_true", help="packed 4-bit tier")
+    parser.add_argument(
+        "--slim-index", action="store_true",
+        help="int16 ids + f16 weights in the forward index (4 B/slot)",
+    )
     args = parser.parse_args()
 
     import os
@@ -103,12 +107,15 @@ def main() -> None:
         # The fused programs take Int4Rows carriers with scale=None.
         dense, dense_scale = Int4Rows(dense, dense_scale), None
         sketch, sketch_scale = Int4Rows(sketch, sketch_scale), None
-    sp_ids = jax.random.randint(k_ids, (n, MAX_NNZ), 1, VOCAB, jnp.int32)
-    sp_w = jax.random.uniform(k_w, (n, MAX_NNZ), jnp.float32)
+    ids_dtype = jnp.int16 if args.slim_index else jnp.int32
+    w_dtype = jnp.float16 if args.slim_index else jnp.float32
+    sp_ids = jax.random.randint(k_ids, (n, MAX_NNZ), 1, VOCAB, jnp.int32).astype(ids_dtype)
+    sp_w = jax.random.uniform(k_w, (n, MAX_NNZ), jnp.float32).astype(w_dtype)
     mask = jnp.ones((n,), bool)
     jnp.asarray(sp_w[:1]).block_until_ready()
     quant_bytes = (n * DIM + n * PROJ_DIM) // (2 if args.int4 else 1)
-    corpus_gb = (quant_bytes + n * MAX_NNZ * 8 + n * 8) / 2**30
+    slot_bytes = 4 if args.slim_index else 8
+    corpus_gb = (quant_bytes + n * MAX_NNZ * slot_bytes + n * 8) / 2**30
     mark(f"forward index resident; corpus ≈ {corpus_gb:.2f} GiB on one chip")
 
     fetch_k = 2 * TOP_K
@@ -166,6 +173,7 @@ def main() -> None:
                 "rows": n,
                 "batch": b,
                 "tier": tier,
+                "slim_index": bool(args.slim_index),
                 "corpus_gib": round(corpus_gb, 2),
                 "vs_target_share": round(best / TARGET_PER_CHIP_QPS, 3),
             }
