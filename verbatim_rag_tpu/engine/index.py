@@ -51,6 +51,7 @@ class VerbatimIndex:
         mesh=None,
         dense_dtype: str = "bfloat16",
         sketch_dtype: str | None = None,
+        **store_kwargs,
     ):
         self.dense_provider = dense_provider
         self.sparse_provider = sparse_provider
@@ -58,6 +59,11 @@ class VerbatimIndex:
         self.enable_full_text = enable_full_text
         self.db_path = db_path
         if store is not None:
+            if store_kwargs:
+                raise TypeError(
+                    "store kwargs and an explicit store are mutually exclusive: "
+                    f"{sorted(store_kwargs)}"
+                )
             self.store = store
         else:
             self.store = DeviceVectorStore(
@@ -70,6 +76,10 @@ class VerbatimIndex:
                 # additionally quantizes the (largest) sketch matrix.
                 dense_dtype=dense_dtype,
                 sketch_dtype=sketch_dtype,
+                # Remaining store knobs pass through verbatim (capacity
+                # tiers, kernel impls, rescore depth, ...) — the facade
+                # stays current as the store grows configuration.
+                **store_kwargs,
             )
         #: document_id → {title, source, metadata, num_chunks}
         self.documents: dict[str, dict[str, Any]] = {}
