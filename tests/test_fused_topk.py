@@ -300,6 +300,34 @@ class TestCandidateImplDispatch:
         expect_rows = np.argsort(-scores, axis=1)[:, :8]
         np.testing.assert_array_equal(got[1], expect_rows)
 
+    @pytest.mark.parametrize("variant", ["onedot", "chunked"])
+    def test_int4_corpus_unpacks_in_kernel(self, variant):
+        """Int4Rows corpora stream packed through VMEM and unpack in-body
+        (half-split layout: shifts + lane concat). Bucket maxima must
+        match the XLA int4 scoring path within the pack tolerance."""
+        from verbatim_rag_tpu.ops.dense import (
+            Int4Rows,
+            dense_scores,
+            quantize_rows_int4,
+        )
+
+        n, d, b = 512, 32, 4
+        corpus_f, q = _make(n, d, b, seed=31, dtype=jnp.float32)
+        rows4 = quantize_rows_int4(corpus_f)
+        carrier = Int4Rows(jnp.asarray(rows4.packed), jnp.asarray(rows4.scale))
+        mask = jnp.ones(n, bool)
+        vals, rows = jax.device_get(
+            matmul_bucket_max_v2(
+                carrier, q, mask, variant=variant, chunk_pos=2, interpret=True
+            )
+        )
+        oracle = np.asarray(dense_scores(carrier, q))
+        expect = oracle.reshape(b, n // BUCKET, BUCKET).max(axis=1)
+        np.testing.assert_allclose(vals, expect, rtol=PACK_TOL, atol=1e-6)
+        for qi in range(b):
+            for lane in range(BUCKET):
+                assert rows[qi, lane] % BUCKET == lane
+
     def test_fallback_to_xla_on_bad_geometry(self):
         from verbatim_rag_tpu.ops.dense import candidate_topk
 

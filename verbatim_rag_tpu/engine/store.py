@@ -440,7 +440,7 @@ class DeviceVectorStore(VectorStore):
             packed = np.asarray(self._dense[:n], np.int8)
             lo = np.right_shift(np.left_shift(packed, 4), 4)
             hi = np.right_shift(packed, 4)
-            codes = np.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+            codes = np.concatenate([lo, hi], axis=-1)  # half-split layout
             return codes.astype(np.float32) * np.asarray(
                 self._dense_scale[:n], np.float32
             )

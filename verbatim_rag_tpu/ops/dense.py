@@ -55,8 +55,10 @@ class Int4Rows(NamedTuple):
     """Row matrix quantized to 4 bits, two codes per int8 byte.
 
     The deepest capacity mode: 4× fewer resident HBM bytes than bf16 (2×
-    below int8). Byte ``j`` of a row packs column ``2j`` in its low
-    nibble and ``2j+1`` in its high nibble; codes are symmetric in
+    below int8). Byte ``j`` of a row packs column ``j`` in its low
+    nibble and column ``j + d/2`` in its high nibble (a HALF-SPLIT
+    layout: unpacking is two shifts and a lane-concat — no interleave
+    relayout, in XLA or inside a Pallas kernel). Codes are symmetric in
     [-7, 7] with a per-row f32 scale. A NamedTuple so it flows through
     jit as a pytree and scoring code can isinstance-dispatch on it.
     """
@@ -81,10 +83,11 @@ def quantize_rows_int4(x) -> Int4Rows:
     x = x.astype(xp.float32)
     if x.shape[-1] % 2:
         raise ValueError(f"int4 packing needs an even column count, got {x.shape}")
+    half = x.shape[-1] // 2
     scale = xp.clip(xp.max(xp.abs(x), axis=-1, keepdims=True) / 7.0, 1e-12, None)
     codes = xp.clip(xp.round(x / scale), -7, 7).astype(xp.int8)
-    lo = codes[..., 0::2] & 0xF
-    hi = codes[..., 1::2] & 0xF
+    lo = codes[..., :half] & 0xF
+    hi = codes[..., half:] & 0xF
     packed = (lo | (hi << 4)).astype(xp.int8)
     return Int4Rows(packed, scale.astype(xp.float32))
 
@@ -93,12 +96,11 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
     """[N, d//2] packed bytes → [N, d] int8 codes in [-7, 7].
 
     Arithmetic shifts sign-extend the nibbles ((b << 4) >> 4 for the low
-    one); the interleave restores the original column order.
+    one); the half-split layout restores column order with a concat.
     """
     lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
     hi = jnp.right_shift(packed, 4)
-    n = packed.shape[0]
-    return jnp.stack([lo, hi], axis=-1).reshape(n, -1)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def dense_scores(
@@ -183,9 +185,7 @@ def bucket_kernel_supported(
     corpora need their per-row scale (the kernel rescales in-block)."""
     from .fused_topk import bucket_table_width
 
-    if isinstance(corpus, Int4Rows):
-        return False  # unpack-inside-kernel variant not built yet
-    if corpus.dtype == jnp.int8 and scale is None:
+    if not isinstance(corpus, Int4Rows) and corpus.dtype == jnp.int8 and scale is None:
         return False
     width = bucket_table_width(corpus.shape[0])
     if width is None or (k is not None and k > width):
@@ -228,7 +228,8 @@ def candidate_topk(
 
         if mask is None:
             mask = jnp.ones(corpus.shape[0], bool)
-        q = queries if corpus.dtype == jnp.int8 else queries.astype(corpus.dtype)
+        quantized = isinstance(corpus, Int4Rows) or corpus.dtype == jnp.int8
+        q = queries if quantized else queries.astype(corpus.dtype)
         return fused_candidate_topk_v2(
             corpus, q, k, mask, interpret=interpret, scale=scale
         )

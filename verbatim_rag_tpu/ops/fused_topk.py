@@ -229,9 +229,15 @@ def _packed_chunk_max(s3, mask3, pos0):
     return jnp.max(packed, axis=1)
 
 
-def _raw_dot(q, rows):
-    """[qb, d] x [r, d] → [qb, r]; int8 operands take the MXU int8 path
-    (raw ≤ 127·127·d < 2^24, so the later f32 cast is exact)."""
+def _raw_dot(q, rows, int4: bool = False):
+    """[qb, d] x [r, d(/2 packed)] → [qb, r]; int8 operands take the MXU
+    int8 path (raw ≤ 127·127·d < 2^24, so the later f32 cast is exact).
+    int4 blocks unpack in-body: two shifts + a lane concat (the half-split
+    packing makes column order line up without an interleave relayout)."""
+    if int4:
+        lo = jnp.right_shift(jnp.left_shift(rows, 4), 4)
+        hi = jnp.right_shift(rows, 4)
+        rows = jnp.concatenate([lo, hi], axis=-1)  # [r, d] int8
     acc = jnp.int32 if rows.dtype == jnp.int8 else jnp.float32
     out = jax.lax.dot_general(
         q, rows, (((1,), (1,)), ((), ())), preferred_element_type=acc
@@ -239,21 +245,21 @@ def _raw_dot(q, rows):
     return out.astype(jnp.float32)
 
 
-def _bucket_max_v2_onedot_kernel(*refs, has_scale: bool):
+def _bucket_max_v2_onedot_kernel(*refs, has_scale: bool, int4: bool = False):
     """One MXU dot for the whole block, then a packed second-minor reduce.
 
-    Scales (int8 mode) apply on the [qb, p, 128] view — the corpus scale
-    arrives pre-laid-out [p, 128] (strided bucket geometry, like the
-    mask), so no in-kernel relayout is needed."""
+    Scales (int8/int4 modes) apply on the [qb, p, 128] view — the corpus
+    scale arrives pre-laid-out [p, 128] (strided bucket geometry, like
+    the mask), so no in-kernel relayout is needed."""
     if has_scale:
         q_ref, corpus_ref, mask_ref, qscale_ref, cscale_ref, val_ref, idx_ref = refs
     else:
         q_ref, corpus_ref, mask_ref, val_ref, idx_ref = refs
     q = q_ref[...]  # [qb, d]
-    block = corpus_ref[...]  # [block_rows, d]
+    block = corpus_ref[...]  # [block_rows, d] (or [block_rows, d/2] packed)
     qb, block_rows = q.shape[0], block.shape[0]
     p = block_rows // BUCKET
-    s3 = _raw_dot(q, block).reshape(qb, p, BUCKET)  # (query, pos, lane)
+    s3 = _raw_dot(q, block, int4).reshape(qb, p, BUCKET)  # (query, pos, lane)
     if has_scale:
         s3 = s3 * qscale_ref[...][:, :, None] * cscale_ref[...][None, :, :]
     best = _packed_chunk_max(s3, mask_ref[...], 0)
@@ -262,7 +268,7 @@ def _bucket_max_v2_onedot_kernel(*refs, has_scale: bool):
     idx_ref[...] = winner
 
 
-def _bucket_max_v2_chunked_kernel(*refs, chunk_pos: int, has_scale: bool):
+def _bucket_max_v2_chunked_kernel(*refs, chunk_pos: int, has_scale: bool, int4: bool = False):
     """Chunked variant: the [qb, block] score matrix is never materialized —
     `chunk_pos` 128-row groups at a time go MXU → pack → reduce → running
     max, so live score state is [qb, chunk_pos·128] plus one [qb, 128]
@@ -279,9 +285,9 @@ def _bucket_max_v2_chunked_kernel(*refs, chunk_pos: int, has_scale: bool):
 
     def body(i, running):
         start = pl.multiple_of(i * rows_per_iter, rows_per_iter)
-        rows = corpus_ref[pl.ds(start, rows_per_iter), :]  # [cp·128, d]
+        rows = corpus_ref[pl.ds(start, rows_per_iter), :]  # [cp·128, d(/2)]
         p_start = pl.multiple_of(i * chunk_pos, chunk_pos)
-        s3 = _raw_dot(q, rows).reshape(qb, chunk_pos, BUCKET)
+        s3 = _raw_dot(q, rows, int4).reshape(qb, chunk_pos, BUCKET)
         if has_scale:
             cs = cscale_ref[pl.ds(p_start, chunk_pos), :]  # [cp, 128]
             s3 = s3 * qscale_ref[...][:, :, None] * cs[None, :, :]
@@ -311,8 +317,22 @@ def matmul_bucket_max_v2(
     argmax rows i32). Bucket g = block·128 + lane holds the
     block_rows/128 rows {block·block_rows + pos·128 + lane}; at the
     serving block size (16384) that is one winner per 128 rows, the same
-    granularity as v1/approx_max_k, and finer (better recall) below it."""
-    n, d = corpus.shape
+    granularity as v1/approx_max_k, and finer (better recall) below it.
+
+    `corpus` may be an `ops.dense.Int4Rows` (packed 4-bit capacity tier):
+    blocks stream through VMEM packed and unpack in-kernel."""
+    from .dense import Int4Rows
+
+    int4 = isinstance(corpus, Int4Rows)
+    if int4:
+        scale = corpus.scale
+        n, d = corpus.shape
+        corpus_arr = corpus.packed  # [n, d//2]
+        d_stored = d // 2
+    else:
+        n, d = corpus.shape
+        corpus_arr = corpus
+        d_stored = d
     b = q.shape[0]
     block_rows = choose_block_rows(n)
     if block_rows is None:
@@ -321,17 +341,20 @@ def matmul_bucket_max_v2(
             f"{BUCKET}) or divisible by a block size ≥ {MIN_BLOCK_ROWS}"
         )
     p = block_rows // BUCKET
-    has_scale = corpus.dtype == jnp.int8
+    has_scale = int4 or corpus_arr.dtype == jnp.int8
     if has_scale and scale is None:
-        raise ValueError("int8 corpus requires scale")
+        raise ValueError("quantized corpus requires scale")
     if variant == "chunked":
         if p % chunk_pos != 0:
             raise ValueError(f"chunk_pos ({chunk_pos}) must divide positions ({p})")
         kernel = partial(
-            _bucket_max_v2_chunked_kernel, chunk_pos=chunk_pos, has_scale=has_scale
+            _bucket_max_v2_chunked_kernel,
+            chunk_pos=chunk_pos, has_scale=has_scale, int4=int4,
         )
     elif variant == "onedot":
-        kernel = partial(_bucket_max_v2_onedot_kernel, has_scale=has_scale)
+        kernel = partial(
+            _bucket_max_v2_onedot_kernel, has_scale=has_scale, int4=int4
+        )
     else:
         raise ValueError(f"unknown variant {variant!r}")
 
@@ -340,7 +363,7 @@ def matmul_bucket_max_v2(
 
         q, q_scale = quantize_rows_int8(q)
     else:
-        q = q.astype(corpus.dtype)
+        q = q.astype(corpus_arr.dtype)
         q_scale = None
 
     qb = min(q_block, b) if b % q_block else q_block
@@ -358,10 +381,10 @@ def matmul_bucket_max_v2(
 
     in_specs = [
         pl.BlockSpec((qb, d), lambda j, i: (i, 0)),
-        pl.BlockSpec((block_rows, d), lambda j, i: (j, 0)),
+        pl.BlockSpec((block_rows, d_stored), lambda j, i: (j, 0)),
         pl.BlockSpec((p, BUCKET), lambda j, i: (j, 0)),
     ]
-    inputs = [q, corpus, mask2d]
+    inputs = [q, corpus_arr, mask2d]
     if has_scale:
         in_specs += [
             pl.BlockSpec((qb, 1), lambda j, i: (i, 0)),
