@@ -42,8 +42,13 @@ def main() -> None:
     parser.add_argument("--k", type=int, default=10)
     parser.add_argument("--candidate-impls", nargs="+", default=["xla", "bucket"])
     parser.add_argument("--rescore-impls", nargs="+", default=["scan", "pallas"])
-    parser.add_argument("--int8", action="store_true", help="int8 dense + int8 sketches")
+    parser.add_argument("--int8", action="store_true", help="alias for --tier int8")
+    parser.add_argument(
+        "--tier", default=None, choices=["bf16", "int8", "int4"],
+        help="quantization tier for dense + sketches (default bf16)",
+    )
     args = parser.parse_args()
+    tier = args.tier or ("int8" if args.int8 else "bf16")
 
     import os
 
@@ -53,7 +58,11 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from verbatim_rag_tpu.ops.dense import normalize_rows, quantize_rows_int8
+    from verbatim_rag_tpu.ops.dense import (
+        normalize_rows,
+        quantize_rows_int4,
+        quantize_rows_int8,
+    )
     from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk
 
     if jax.devices()[0].platform not in ("tpu", "axon"):
@@ -66,9 +75,12 @@ def main() -> None:
     dense = jax.jit(normalize_rows)(jax.random.normal(k_dense, (n, args.dim), jnp.float32))
     sketch = jax.jit(normalize_rows)(jax.random.normal(k_sketch, (n, args.proj), jnp.float32))
     dense_scale = sketch_scale = None
-    if args.int8:
+    if tier == "int8":
         dense, dense_scale = jax.jit(quantize_rows_int8)(dense)
         sketch, sketch_scale = jax.jit(quantize_rows_int8)(sketch)
+    elif tier == "int4":
+        dense = jax.jit(quantize_rows_int4)(dense)  # Int4Rows carrier
+        sketch = jax.jit(quantize_rows_int4)(sketch)
     else:
         dense = dense.astype(jnp.bfloat16)
         sketch = sketch.astype(jnp.bfloat16)
@@ -83,7 +95,7 @@ def main() -> None:
 
     config = {
         "n": n, "batch": b, "depth": args.depth,
-        "fetch_k": args.fetch_k, "int8": bool(args.int8),
+        "fetch_k": args.fetch_k, "tier": tier,
     }
     base_rows = None
     for cand_impl, resc_impl in itertools.product(

@@ -26,7 +26,8 @@ run() {
 
 # Decisive first: the full serving program across impl choices.
 run matrix_bf16 benchmarks/bench_program_matrix.py
-run matrix_int8 benchmarks/bench_program_matrix.py --int8
+run matrix_int8 benchmarks/bench_program_matrix.py --tier int8
+run matrix_int4 benchmarks/bench_program_matrix.py --tier int4
 # Stage-level attribution for the write-up.
 run rescore benchmarks/bench_rescore.py
 run bucket benchmarks/bench_fused_bucket.py
