@@ -92,7 +92,7 @@ def main() -> None:
     # the store's serving defaults so the recorded headline measures what
     # the store ships). Env-settable so a driver-run bench can be flipped
     # without a code change.
-    rescore_impl = os.environ.get("VERBATIM_BENCH_RESCORE_IMPL", "scan")
+    rescore_impl = os.environ.get("VERBATIM_BENCH_RESCORE_IMPL", "pallas")
     candidate_impl = os.environ.get("VERBATIM_BENCH_CANDIDATE_IMPL", "xla")
     pipeline_depth = int(os.environ.get("VERBATIM_BENCH_PIPELINE", "4"))
 

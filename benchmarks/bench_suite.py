@@ -39,7 +39,7 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=10)
     # Kernel-impl knobs, same values as DeviceVectorStore (defaults = the
     # store's serving defaults, so the recorded surface measures what ships).
-    parser.add_argument("--rescore-impl", default="scan")
+    parser.add_argument("--rescore-impl", default="pallas")
     parser.add_argument("--candidate-impl", default="xla")
     args = parser.parse_args()
     if args.candidate_impl == "bucket":

@@ -15,7 +15,10 @@ cd "$(dirname "$0")/.."
 TS=$(date +%m%d_%H%M)
 OUT=/tmp/kernel_abs_$TS
 mkdir -p "$OUT"
-export PYTHONPATH=benchmarks
+# Append (never overwrite) PYTHONPATH: some deployments inject the TPU
+# plugin's site dir through it (e.g. /root/.axon_site) — clobbering that
+# drops the backend registration and every run dies at jax.devices().
+export PYTHONPATH="$PWD:$PWD/benchmarks${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
   name=$1

@@ -210,7 +210,7 @@ class DeviceVectorStore(VectorStore):
         approx_topk: bool = True,
         auto_compact_threshold: float | None = None,
         allow_exact_at_scale: bool = False,
-        rescore_impl: str = "scan",
+        rescore_impl: str = "pallas",
         candidate_impl: str = "xla",
         sparse_weight_dtype: str = "float32",
         sparse_ids_dtype: str = "int32",
