@@ -21,8 +21,13 @@ entirely up to the device-program time. Batch 512 and pipeline depth 4 were
 swept (256/512/1024 x depth 2/4): 512@4 wins.
 
 Prints exactly one JSON line:
-  {"metric": "hybrid_qps_1m_per_chip", "value": <best>, "unit": "qps",
-   "vs_baseline": value / 1250, "p50": <median window>}
+  {"metric": "hybrid_qps_1m_per_chip", "value": <p50 window>, "unit": "qps",
+   "vs_baseline": value / 1250, "best": <best window>, "p50": <p50>}
+
+The recorded headline is the MEDIAN window (p50): the chip and tunnel are
+shared, so the best window measures capability while the median measures
+what a typical window actually delivered — the driver-recorded number
+should be the honest one (VERDICT r2 #1).
 """
 
 from __future__ import annotations
@@ -194,9 +199,13 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "hybrid_qps_1m_per_chip",
-                "value": round(best, 1),
+                # p50 window is the recorded headline (the honest "typical"
+                # number on a shared chip); best is kept as the capability
+                # auxiliary — transient contention only ever subtracts.
+                "value": round(p50, 1),
                 "unit": "qps",
-                "vs_baseline": round(best / BASELINE_PER_CHIP_QPS, 3),
+                "vs_baseline": round(p50 / BASELINE_PER_CHIP_QPS, 3),
+                "best": round(best, 1),
                 "p50": round(p50, 1),
             }
         )
