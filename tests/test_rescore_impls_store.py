@@ -120,6 +120,41 @@ def test_invalid_impl_rejected():
         DeviceVectorStore(dense_dim=DIM, rescore_impl="magic")
     with pytest.raises(ValueError, match="candidate_impl"):
         DeviceVectorStore(dense_dim=DIM, candidate_impl="magic")
+    with pytest.raises(ValueError, match="candidate_impl"):
+        DeviceVectorStore(dense_dim=DIM, candidate_impl="magic,xla")
+    with pytest.raises(ValueError, match="candidate_impl"):
+        DeviceVectorStore(dense_dim=DIM, candidate_impl="xla,bucket,xla")
+
+
+def test_split_candidate_impl_spec():
+    from verbatim_rag_tpu.ops.hybrid import split_candidate_impl
+
+    assert split_candidate_impl("xla") == ("xla", "xla")
+    assert split_candidate_impl("bucket") == ("bucket", "bucket")
+    assert split_candidate_impl("bucket,xla") == ("bucket", "xla")
+    assert split_candidate_impl("xla,bucket") == ("xla", "bucket")
+    with pytest.raises(ValueError, match="candidate_impl"):
+        split_candidate_impl("")
+
+
+@pytest.mark.parametrize("impl", ["bucket,xla", "xla,bucket"])
+def test_per_stage_candidate_impl_queries(impl):
+    """The comma pair must flow through the store's fused programs — on a
+    CPU test backend the bucket stage falls back to xla, so results match
+    the plain store exactly (the plumbing, validation, and static-argname
+    hashing are what this exercises; kernel-vs-xla selection parity is
+    covered by tests/test_fused_topk.py in interpret mode)."""
+    rng = np.random.default_rng(17)
+    ref = _build("scan")
+    alt = _build("scan")
+    alt.candidate_impl = impl
+    qd, qs = _query(rng)
+    r_ref = ref.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+    r_alt = alt.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+    assert [h.id for h in r_ref] == [h.id for h in r_alt]
+    s_ref = ref.query_batch(sparse_queries=[qs], top_k=6)[0]
+    s_alt = alt.query_batch(sparse_queries=[qs], top_k=6)[0]
+    assert [h.id for h in s_ref] == [h.id for h in s_alt]
 
 
 def test_impl_knobs_survive_save_load(tmp_path):

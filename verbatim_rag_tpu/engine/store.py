@@ -221,10 +221,9 @@ class DeviceVectorStore(VectorStore):
             raise ValueError(
                 f"rescore_impl must be 'scan', 'oneshot' or 'pallas', got {rescore_impl!r}"
             )
-        if candidate_impl not in ("xla", "bucket"):
-            raise ValueError(
-                f"candidate_impl must be 'xla' or 'bucket', got {candidate_impl!r}"
-            )
+        from ..ops.hybrid import split_candidate_impl
+
+        split_candidate_impl(candidate_impl)  # raises on bad specs
         if dense_dtype not in ("bfloat16", "float32", "int8", "int4"):
             raise ValueError(
                 "dense_dtype must be 'bfloat16', 'float32', 'int8' or 'int4', "
@@ -313,8 +312,10 @@ class DeviceVectorStore(VectorStore):
         #: Candidate-selection strategy (ops/dense.py candidate_topk):
         #: "xla" matmul + approx/exact top-k, or "bucket" the Pallas fused
         #: matmul+bucket-max kernel (auto-falls back off-TPU or on shapes/
-        #: dtypes the kernel doesn't serve). Same selection family —
-        #: candidate recall knob, not a correctness knob.
+        #: dtypes the kernel doesn't serve); a "dense,sketch" comma pair
+        #: picks per stage (ops/hybrid.split_candidate_impl). Same
+        #: selection family — candidate recall knob, not a correctness
+        #: knob.
         self.candidate_impl = candidate_impl
         #: Forward-index weight storage. At scale the [N, m] id+weight
         #: arrays dominate HBM (8 B/slot at 1M x 128 = 1 GB; 4x that at

@@ -84,8 +84,11 @@ def matmul_bucket_max(
             "(store capacities are powers of two of the block size)"
         )
 
-    # Pad queries to a Q_BLOCK multiple (tiny [B, d] pad).
-    qb = min(Q_BLOCK, b) if b % Q_BLOCK else Q_BLOCK
+    # Pad queries to a Q_BLOCK multiple (tiny [B, d] pad). Keep at least
+    # one full 8-row sublane of queries: Mosaic cannot lay out the
+    # [qb, p, 128] reduction views for qb < 8 (observed as a reshape
+    # lowering failure at qb=1 on v5e).
+    qb = max(min(Q_BLOCK, b) if b % Q_BLOCK else Q_BLOCK, 8)
     if b % qb != 0:
         pad = qb - b % qb
         q = jnp.pad(q, ((0, pad), (0, 0)))
@@ -366,7 +369,8 @@ def matmul_bucket_max_v2(
         q = q.astype(corpus_arr.dtype)
         q_scale = None
 
-    qb = min(q_block, b) if b % q_block else q_block
+    # ≥ 8 query rows per tile — see matmul_bucket_max (Mosaic sublane rule).
+    qb = max(min(q_block, b) if b % q_block else q_block, 8)
     if b % qb != 0:
         pad = qb - b % qb
         q = jnp.pad(q, ((0, pad), (0, 0)))

@@ -19,6 +19,26 @@ from .fusion import rrf_fuse_device
 from .sparse import sparse_topk
 
 
+def split_candidate_impl(impl: str) -> tuple[str, str]:
+    """Candidate-impl spec → (dense stage, sketch stage) strategies.
+
+    A bare "xla"/"bucket" applies to both candidate matmuls; a comma pair
+    like "bucket,xla" picks per stage (dense first). The split exists
+    because the two stages sit at different operating points — dense
+    [B, 1M]·d384/fetch_k 20 vs sketch d768/depth 256 — and the fused
+    bucket kernel can win one and lose the other on a given generation.
+    """
+    parts = impl.split(",")
+    if len(parts) == 1:
+        parts = parts + parts
+    if len(parts) != 2 or any(p not in ("xla", "bucket") for p in parts):
+        raise ValueError(
+            "candidate_impl must be 'xla', 'bucket', or a 'dense,sketch' "
+            f"pair of those, got {impl!r}"
+        )
+    return parts[0], parts[1]
+
+
 @partial(jax.jit, static_argnames=("fetch_k", "depth", "exact_topk", "candidate_impl"))
 def hybrid_candidates(
     dense_corpus: jax.Array,  # [N, d] row-normalized bf16
@@ -43,13 +63,15 @@ def hybrid_candidates(
     k-selection uses the TPU-native `approx_max_k` (the hardware MIPS
     top-k) unless ``exact_topk`` — candidate lists feed RRF/rescoring, so
     per-list selection recall folds into the same knob as the sketch depth.
-    ``candidate_impl`` picks the strategy like the other fused programs.
+    ``candidate_impl`` picks the strategy like the other fused programs
+    ("xla", "bucket", or a per-stage "dense,sketch" pair).
     """
+    dense_impl, sketch_impl = split_candidate_impl(candidate_impl)
     d_top, d_rows = candidate_topk(
-        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, candidate_impl
+        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, dense_impl
     )
     s_top, s_rows = candidate_topk(
-        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, candidate_impl
+        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, sketch_impl
     )
     d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
     s_rows = jnp.where(s_top > NEG_INF / 2, s_rows, -1)
@@ -140,8 +162,9 @@ def projected_sparse_topk(
 
     Returns (exact scores [B, k], rows [B, k]; −1/−inf where missing).
     """
+    _, sketch_impl = split_candidate_impl(candidate_impl)
     c_top, cand = candidate_topk(
-        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, candidate_impl
+        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, sketch_impl
     )
     cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
 
@@ -194,13 +217,14 @@ def hybrid_fused_topk(
 
     Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
     """
+    dense_impl, sketch_impl = split_candidate_impl(candidate_impl)
     d_top, d_rows = candidate_topk(
-        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, candidate_impl
+        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, dense_impl
     )
     d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
 
     c_top, cand = candidate_topk(
-        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, candidate_impl
+        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, sketch_impl
     )
     cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
     exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)

@@ -151,8 +151,17 @@ def exact_rescore_device_pallas(
 
 def exact_rescore_dispatch(cand_rows, sp_ids, sp_w, q_ids, q_w) -> jax.Array:
     """Backend dispatch for the "pallas" rescore impl: the kernel on TPU,
-    the one-shot XLA reduction elsewhere (interpret mode is debug-only)."""
+    the one-shot XLA reduction elsewhere (interpret mode is debug-only).
+
+    The kernel's per-candidate fold reshapes [qb, C·m] → [qb, C, m]
+    in-register, which Mosaic only lowers when the slot count ``m`` keeps
+    the minor dim lane-aligned — a sub-128 ``m`` (tiny `sparse_max_nnz`
+    stores) fails hardware compilation with "unsupported shape cast"
+    (observed at m=4 on v5e). Such shapes take the one-shot path; the
+    serving operating point (m=128) takes the kernel.
+    """
     platform = jax.devices()[0].platform
-    if platform in ("tpu", "axon"):
+    m = sp_ids.shape[1]
+    if platform in ("tpu", "axon") and m % 128 == 0:
         return exact_rescore_device_pallas(cand_rows, sp_ids, sp_w, q_ids, q_w)
     return exact_rescore_oneshot(cand_rows, sp_ids, sp_w, q_ids, q_w)

@@ -123,8 +123,9 @@ def sharded_projected_sparse_topk(
     apply per shard inside the shard_map body.
     """
     from verbatim_rag_tpu.ops.dense import candidate_topk
-    from verbatim_rag_tpu.ops.hybrid import rescore_fn
+    from verbatim_rag_tpu.ops.hybrid import rescore_fn, split_candidate_impl
 
+    _, sketch_impl = split_candidate_impl(candidate_impl)
     axis = ("dp", "tp")
     has_sscale = sketch_scale is not None
 
@@ -134,7 +135,7 @@ def sharded_projected_sparse_topk(
         local_depth = min(depth, n_local)
         c_top, cand = candidate_topk(
             sketch_s, qproj, local_depth, mask_s,
-            scales[0] if has_sscale else None, exact_topk, candidate_impl,
+            scales[0] if has_sscale else None, exact_topk, sketch_impl,
         )
         cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
         exact = rescore_fn(rescore_impl)(cand, ids_s, w_s, qids, qw)
@@ -210,8 +211,9 @@ def sharded_hybrid_topk(
     """
     from verbatim_rag_tpu.ops.dense import candidate_topk
     from verbatim_rag_tpu.ops.fusion import rrf_fuse_device
-    from verbatim_rag_tpu.ops.hybrid import rescore_fn
+    from verbatim_rag_tpu.ops.hybrid import rescore_fn, split_candidate_impl
 
+    dense_impl, sketch_impl = split_candidate_impl(candidate_impl)
     axis = ("dp", "tp")
     has_dscale = dense_scale is not None
     has_sscale = sketch_scale is not None
@@ -225,7 +227,7 @@ def sharded_hybrid_topk(
         # Dense: local exact top-fetch_k; global merge is exact.
         lk = min(fetch_k, n_local)
         d_top, d_idx = candidate_topk(
-            dense_s, dq, lk, mask_s, scale_s, exact_topk, candidate_impl
+            dense_s, dq, lk, mask_s, scale_s, exact_topk, dense_impl
         )
         d_idx = jnp.where(d_top > NEG_INF / 2, d_idx + offset, -1)
         d_all_s = jax.lax.all_gather(d_top, axis, axis=1).reshape(d_top.shape[0], -1)
@@ -239,7 +241,7 @@ def sharded_hybrid_topk(
         # by exact score.
         local_depth = min(depth, n_local)
         c_top, cand = candidate_topk(
-            sketch_s, qproj, local_depth, mask_s, sscale_s, exact_topk, candidate_impl
+            sketch_s, qproj, local_depth, mask_s, sscale_s, exact_topk, sketch_impl
         )
         cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
         exact = rescore_fn(rescore_impl)(cand, ids_s, w_s, qids, qw)
