@@ -182,9 +182,17 @@ def bucket_kernel_supported(
     """Whether the fused bucket-max kernel can serve this request: the
     kernel block geometry, a TPU backend (or explicit interpret mode),
     and a bucket table wide enough to supply `k` candidates. int8
-    corpora need their per-row scale (the kernel rescales in-block)."""
+    corpora need their per-row scale (the kernel rescales in-block).
+
+    int4 corpora are interpret-mode only: the in-kernel half-split
+    unpack fails Mosaic hardware compilation on v5e (remote-compile
+    helper exit 1 at every shape tried — scripts/tpu_shape_smoke.py),
+    so on a real backend the int4 tier falls back to the XLA candidate
+    path instead of crashing the serving program."""
     from .fused_topk import bucket_table_width
 
+    if isinstance(corpus, Int4Rows) and not interpret:
+        return False
     if not isinstance(corpus, Int4Rows) and corpus.dtype == jnp.int8 and scale is None:
         return False
     width = bucket_table_width(corpus.shape[0])
