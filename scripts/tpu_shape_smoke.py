@@ -8,10 +8,12 @@ exactly what happened when the 0.4.6 `rescore_impl="pallas"` default met a
 met a single-query batch (sub-sublane tile). This script sweeps the corners
 that matter on a REAL chip with sub-minute compiles per config:
 
-  tier (bf16 / int8 / int4) x sparse_max_nnz (4 / 128) x batch (1 / 5)
-  x candidate_impl (xla / bucket), all under the serving default
+  tier (bf16 / int8 / int4) x sparse_max_nnz (4 / 128 / 256) x batch
+  (1 / 12) x candidate_impl (xla / bucket), all under the serving default
   rescore_impl="pallas", each asserting row parity against the same
-  store config running scan/xla.
+  store config running scan/xla. nnz=256 covers the >128 lane-aligned
+  arm of the rescore dispatch gate; batch=12 covers a non-multiple-of-8
+  query tile (Mosaic sublane alignment).
 
 Run (TPU required): python scripts/tpu_shape_smoke.py
 Prints one JSON line per config; exits non-zero on any FAIL.
@@ -25,7 +27,7 @@ import sys
 
 import numpy as np
 
-DIM, VOCAB, N = 16, 256, 256
+DIM, VOCAB, N = 16, 1024, 128
 
 
 def build(rng, *, tier, nnz, rescore_impl, candidate_impl):
@@ -72,7 +74,7 @@ def main() -> None:
 
     failures = 0
     for tier, nnz, batch, cand in itertools.product(
-        ("bfloat16", "int8", "int4"), (4, 128), (1, 5), ("xla", "bucket")
+        ("bfloat16", "int8", "int4"), (4, 128, 256), (1, 12), ("xla", "bucket")
     ):
         tag = {"tier": tier, "nnz": nnz, "batch": batch, "candidate_impl": cand}
         try:
@@ -97,8 +99,9 @@ def main() -> None:
             ids_got = [[h.id for h in row] for row in got]
             ids_want = [[h.id for h in row] for row in want]
             # The bucket kernel is an approximate selection family; at
-            # N=256 with one winner per 128 rows its candidate table is
-            # exhaustive, so parity is still exact here.
+            # N=128 the block is one 128-row bucket table with exactly
+            # one row per bucket (block_rows=128, p=1), so the table is
+            # exhaustive BY CONSTRUCTION and parity is exact here.
             status = "PASS" if ids_got == ids_want else "MISMATCH"
         except Exception as exc:  # noqa: BLE001 — each config must report
             status = f"{type(exc).__name__}: {str(exc)[:120]}"

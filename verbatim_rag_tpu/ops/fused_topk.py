@@ -84,11 +84,13 @@ def matmul_bucket_max(
             "(store capacities are powers of two of the block size)"
         )
 
-    # Pad queries to a Q_BLOCK multiple (tiny [B, d] pad). Keep at least
-    # one full 8-row sublane of queries: Mosaic cannot lay out the
-    # [qb, p, 128] reduction views for qb < 8 (observed as a reshape
-    # lowering failure at qb=1 on v5e).
+    # Pad queries to a Q_BLOCK multiple (tiny [B, d] pad). Keep the query
+    # tile sublane-aligned: Mosaic cannot lay out the [qb, p, 128]
+    # reduction views for qb < 8 (observed as a reshape lowering failure
+    # at qb=1 on v5e), and sub-8-multiple tiles (qb=9, 12, ...) risk the
+    # same constraint — round qb up to a full 8-row sublane multiple.
     qb = max(min(Q_BLOCK, b) if b % Q_BLOCK else Q_BLOCK, 8)
+    qb = -(-qb // 8) * 8
     if b % qb != 0:
         pad = qb - b % qb
         q = jnp.pad(q, ((0, pad), (0, 0)))
@@ -369,8 +371,10 @@ def matmul_bucket_max_v2(
         q = q.astype(corpus_arr.dtype)
         q_scale = None
 
-    # ≥ 8 query rows per tile — see matmul_bucket_max (Mosaic sublane rule).
+    # Full 8-row sublane multiples of query rows per tile — see
+    # matmul_bucket_max (Mosaic sublane rule).
     qb = max(min(q_block, b) if b % q_block else q_block, 8)
+    qb = -(-qb // 8) * 8
     if b % qb != 0:
         pad = qb - b % qb
         q = jnp.pad(q, ((0, pad), (0, 0)))

@@ -28,7 +28,7 @@ def split_candidate_impl(impl: str) -> tuple[str, str]:
     [B, 1M]·d384/fetch_k 20 vs sketch d768/depth 256 — and the fused
     bucket kernel can win one and lose the other on a given generation.
     """
-    parts = impl.split(",")
+    parts = [p.strip() for p in impl.split(",")]
     if len(parts) == 1:
         parts = parts + parts
     if len(parts) != 2 or any(p not in ("xla", "bucket") for p in parts):

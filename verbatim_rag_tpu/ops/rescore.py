@@ -162,6 +162,6 @@ def exact_rescore_dispatch(cand_rows, sp_ids, sp_w, q_ids, q_w) -> jax.Array:
     """
     platform = jax.devices()[0].platform
     m = sp_ids.shape[1]
-    if platform in ("tpu", "axon") and m % 128 == 0:
+    if platform in ("tpu", "axon") and m and m % 128 == 0:
         return exact_rescore_device_pallas(cand_rows, sp_ids, sp_w, q_ids, q_w)
     return exact_rescore_oneshot(cand_rows, sp_ids, sp_w, q_ids, q_w)
