@@ -22,7 +22,12 @@ swept (256/512/1024 x depth 2/4): 512@4 wins.
 
 Prints exactly one JSON line:
   {"metric": "hybrid_qps_1m_per_chip", "value": <p50 window>, "unit": "qps",
-   "vs_baseline": value / 1250, "best": <best window>, "p50": <p50>}
+   "vs_baseline": value / 1250, "best": <best window>, "p50": <p50>,
+   "device_ms": <per-batch device time>, "device_qps": <batch/device_ms>}
+
+device_ms/device_qps are the environment-independent companions: a
+dispatch-burst synced once, so tunnel RTT and host contention cancel out
+— comparable across sessions where the wall-QPS windows swing 1.7-2.7x.
 
 The recorded headline is the MEDIAN window (p50): the chip and tunnel are
 shared, so the best window measures capability while the median measures
@@ -195,6 +200,26 @@ def main() -> None:
     qps_windows = sorted(QUERY_BATCH * iters / e for e in elapsed_windows)
     best = qps_windows[-1]
     p50 = qps_windows[len(qps_windows) // 2]
+
+    # Environment-independent companion metric (VERDICT r3 weak #2): the
+    # wall-clock windows above swing 1.7-2.7x with tunnel/chip contention
+    # on this shared setup. Dispatch a back-to-back burst and sync ONCE —
+    # the device executes the programs contiguously, so
+    # (total - one readback) / reps is an honest per-batch DEVICE time
+    # that a different session can compare against (same discipline as
+    # benchmarks/profile_stages.py).
+    device_reps = 8
+    queries = [make_queries(10_000 + i) for i in range(device_reps)]
+    device_windows = []
+    for _ in range(3):
+        start = time.perf_counter()
+        out = None
+        for q in queries:
+            out = dispatch(q)
+        host_phase(out)
+        device_windows.append((time.perf_counter() - start) / device_reps)
+    device_ms = min(device_windows) * 1000.0  # min: contention only adds
+    device_qps = QUERY_BATCH / min(device_windows)
     print(
         json.dumps(
             {
@@ -207,6 +232,10 @@ def main() -> None:
                 "vs_baseline": round(p50 / BASELINE_PER_CHIP_QPS, 3),
                 "best": round(best, 1),
                 "p50": round(p50, 1),
+                # Device-honest companions: per-batch device ms and the
+                # device-side QPS it implies (RTT- and contention-free).
+                "device_ms": round(device_ms, 2),
+                "device_qps": round(device_qps, 1),
             }
         )
     )

@@ -1,0 +1,175 @@
+"""Measure the whole-candidate-section kernel (ops/section.py) on hardware.
+
+The round-3 program matrix proved per-stage Pallas kernels lose in
+composition (benchmarks/RESULTS.md); this harness measures the round-4
+answer — ONE kernel for both candidate matmuls + in-VMEM selection — at
+the serving point [B=512, N~1M], against the XLA candidate section it
+must beat:
+
+  xla_section      dense matmul+approx_max_k(20) AND sketch
+                   matmul+approx_max_k(256) composed in one jit (the
+                   serving program's candidate section, overlap included)
+  section[cfg]     the fused kernel at a (block_cols, dot_chunk, q_block)
+                   sweep point, + the table top-ks to the same
+                   (fetch_k, depth) contract
+
+Also records candidate-list overlap vs the exact-scan ground truth for
+both paths (the quality gate: the section kernel's one-winner-per-
+(block_cols/128)-rows family must not lose candidates the serving
+depth/rescore can't recover).
+
+Run: python benchmarks/bench_section.py [--int8] [--n 999424 --batch 512]
+Prints one JSON line per config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from profile_stages import timeit
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n", type=int, default=999_424)
+    parser.add_argument("--batch", type=int, default=512)
+    parser.add_argument("--fetch-k", type=int, default=20)
+    parser.add_argument("--depth", type=int, default=256)
+    parser.add_argument("--int8", action="store_true")
+    parser.add_argument(
+        "--configs", nargs="+", default=None,
+        help="block_cols:dot_chunk:q_block triples (default sweep)",
+    )
+    args = parser.parse_args()
+
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    interpret = jax.devices()[0].platform not in ("tpu", "axon")
+
+    from functools import partial
+
+    from verbatim_rag_tpu.ops.dense import candidate_select, dense_scores
+    from verbatim_rag_tpu.ops.section import section_bucket_tables, table_topk
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dense = jax.random.normal(k1, (args.n, 384), jnp.bfloat16)
+    sketch = jax.random.normal(k2, (args.n, 768), jnp.bfloat16)
+    dq = jax.random.normal(k3, (args.batch, 384), jnp.float32)
+    sq = jax.random.normal(k4, (args.batch, 768), jnp.float32)
+    mask = jnp.ones(args.n, bool)
+    d_scale = s_scale = None
+    if args.int8:
+        from verbatim_rag_tpu.ops.dense import quantize_rows_int8
+
+        dense, d_scale = jax.jit(quantize_rows_int8)(dense)
+        sketch, s_scale = jax.jit(quantize_rows_int8)(sketch)
+
+    # Transposed copies for the section kernel (one-time flush cost in the
+    # store; materialized here outside the timed region).
+    dense_t = jnp.asarray(np.asarray(dense).T.copy())
+    sketch_t = jnp.asarray(np.asarray(sketch).T.copy())
+
+    @jax.jit
+    def xla_section(dn, sk, q1, q2, m, ds, ss):
+        s1 = dense_scores(dn, q1, ds)
+        s1 = jnp.where(m[None, :], s1, -1e30)
+        d_top, d_rows = candidate_select(False)(s1, k=args.fetch_k)
+        s2 = dense_scores(sk, q2, ss)
+        s2 = jnp.where(m[None, :], s2, -1e30)
+        s_top, s_rows = candidate_select(False)(s2, k=args.depth)
+        return d_rows, s_rows
+
+    sync, dev = timeit(xla_section, dense, sketch, dq, sq, mask, d_scale, s_scale)
+    x_rows_d, x_rows_s = jax.jit(xla_section)(
+        dense, sketch, dq, sq, mask, d_scale, s_scale
+    )
+    x_rows_d, x_rows_s = np.asarray(x_rows_d), np.asarray(x_rows_s)
+    print(json.dumps({
+        "impl": "xla_section", "sync_ms": round(sync, 2),
+        "device_ms": round(dev, 2), "int8": args.int8,
+    }), flush=True)
+
+    # Exact ground truth for overlap accounting (f32 matmul on device, in
+    # column chunks to bound memory).
+    def exact_rows(corpus, q, k):
+        outs = []
+        step = 131072
+        scores = []
+        for s0 in range(0, args.n, step):
+            blk = corpus[s0 : s0 + step]
+            if hasattr(blk, "astype") and blk.dtype == jnp.int8:
+                blk = blk.astype(jnp.float32) * (d_scale if corpus is dense else s_scale)[s0 : s0 + step]
+            scores.append(np.asarray(jnp.dot(q, blk.T.astype(jnp.float32))))
+        sc = np.concatenate(scores, axis=1)
+        return np.argsort(-sc, axis=1)[:, :k]
+
+    gt_d = exact_rows(dense, dq, args.fetch_k)
+    gt_s = exact_rows(sketch, sq, args.depth)
+
+    def overlap(rows, gt):
+        return float(np.mean([
+            len(set(rows[i].tolist()) & set(gt[i].tolist())) / gt.shape[1]
+            for i in range(rows.shape[0])
+        ]))
+
+    print(json.dumps({
+        "impl": "xla_section_overlap",
+        "dense_overlap": round(overlap(x_rows_d, gt_d), 4),
+        "sketch_overlap": round(overlap(x_rows_s, gt_s), 4),
+    }), flush=True)
+
+    configs = args.configs or [
+        "8192:2048:512", "8192:2048:256", "16384:2048:512", "4096:2048:512",
+        "8192:1024:512",
+    ]
+    for cfg in configs:
+        bc, dc, qb = (int(x) for x in cfg.split(":"))
+        if args.n % bc:
+            print(json.dumps({"impl": f"section_{cfg}", "skip": "n % block_cols"}))
+            continue
+
+        @partial(jax.jit, static_argnames=())
+        def run_section(dt, st, q1, q2, m, ds, ss, bc=bc, dc=dc, qb=qb):
+            td, ts = section_bucket_tables(
+                (dt, st), (q1, q2), m,
+                scales=(ds, ss) if args.int8 else (),
+                block_cols=bc, dot_chunk=dc, q_block=qb, interpret=interpret,
+            )
+            _, d_rows = table_topk(td, args.fetch_k, bc, args.n)
+            _, s_rows = table_topk(ts, args.depth, bc, args.n)
+            return d_rows, s_rows
+
+        try:
+            sync, dev = timeit(
+                run_section, dense_t, sketch_t, dq, sq, mask, d_scale, s_scale
+            )
+            rows_d, rows_s = run_section(
+                dense_t, sketch_t, dq, sq, mask, d_scale, s_scale
+            )
+            rows_d, rows_s = np.asarray(rows_d), np.asarray(rows_s)
+            print(json.dumps({
+                "impl": f"section_{cfg}", "sync_ms": round(sync, 2),
+                "device_ms": round(dev, 2),
+                "dense_overlap": round(overlap(rows_d, gt_d), 4),
+                "sketch_overlap": round(overlap(rows_s, gt_s), 4),
+                "int8": args.int8,
+            }), flush=True)
+        except Exception as exc:  # noqa: BLE001 — sweep must report and go on
+            print(json.dumps({
+                "impl": f"section_{cfg}",
+                "error": f"{type(exc).__name__}: {str(exc)[:200]}",
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Whole-candidate-section fused kernel: both hybrid matmuls + in-VMEM
+bucket selection in ONE Pallas program.
+
+Why this exists (ROADMAP #2, third design): the serving hybrid program's
+only remaining HBM term above the corpus bytes is the two [B, N] f32 score
+matrices XLA materializes between each matmul and its `approx_max_k`
+(~12.6 ms of the measured 15.4 ms roofline at [512, 1M] bf16). Round-3
+measurements proved per-stage Pallas kernels cannot win: a `pallas_call`
+is an opaque custom call XLA cannot software-pipeline against the rest of
+the program, so replacing EITHER candidate matmul forfeits more overlap
+than the kernel's isolated gain (benchmarks/RESULTS.md, program matrix).
+The conclusion recorded there: a winning kernel must fuse the WHOLE
+candidate section — both matmuls and both selections — so there is
+nothing left for XLA to overlap against. This module is that kernel.
+
+Design rules (all measured, see benchmarks/bench_section.py):
+
+* **Transposed corpus layout [d, N].** The MXU streams the contraction
+  dim from rhs sublanes; a [N, d] row-major block forces Mosaic to
+  relayout 12–24 MB of VMEM per grid step before every dot (the v1/v2
+  bucket kernels' hidden cost — they ran 2.5–4x above their roofline).
+  With [d, N] blocks the dot is layout-native: `q [qb, d] @ cT [d, cols]`.
+* **No reshapes.** Scores are produced in [qb, dot_chunk] f32 tiles and
+  reduced by STATIC 128-lane slices into a running max [qb, 128] — the
+  v2 kernel's [qb, cols] -> [qb, p, 128] shape-cast is a sublane
+  relayout of the whole score tile; slicing lanes at 128-aligned offsets
+  is free.
+* **One packed output table per arm.** Each score's low 7 mantissa bits
+  are overwritten with its in-bucket position before the max (ordering
+  preserved within 127 ulp — candidates feed an exact rescore, and the
+  operands are bf16 anyway), so a single maximum yields value AND row;
+  the kernel writes one [B, n_blocks*128] f32 table per arm and the
+  (value, row) decode happens on the selected top-k only.
+* **Both arms share the grid pass.** Dense [384, N] and sketch [768, N]
+  blocks ride the same grid step, so the corpus is DMA'd exactly once
+  per query tile and the MXU alternates arms while the next block
+  streams in.
+
+Selection semantics: within each corpus block of `block_cols` columns,
+bucket(col) = col % 128 — one winner per block_cols/128 rows, the same
+approximate-selection family as `lax.approx_max_k` (one winner per ~128
+rows at block_cols=16384; FINER at the default 8192). Candidates feed the
+exact rescore + RRF downstream, so selection recall folds into the same
+quality knob as the sketch depth (validated at the 1M serving point by
+benchmarks/recall_1m.py).
+
+Reference capability replaced: the Milvus hybrid search RPC pair
+(`/root/reference/verbatim_rag/vector_stores/milvus_local.py:111-125`,
+`milvus_base.py:366-459`) — re-designed as one TPU program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+LANE = 128  # bucket width: one winner per lane column group
+
+_POS_BITS = 7  # low mantissa bits carrying the in-bucket position
+_POS_MASK = (1 << _POS_BITS) - 1
+
+#: Corpus columns per grid step. 8192 keeps the two transposed blocks at
+#: 12 + 24 MB bf16 (double-buffered: well inside v5e's VMEM) and gives
+#: one winner per 64 rows — finer than approx_max_k's granularity.
+BLOCK_COLS = 8192
+
+#: Columns per MXU dot inside a block: the [qb, DOT_CHUNK] f32 score tile
+#: stays small (1 MB at qb=128) and the per-dot work amortizes issue cost.
+DOT_CHUNK = 2048
+
+#: Queries per grid step. At 512 the whole serving batch rides one tile,
+#: so each corpus block is DMA'd exactly once per batch.
+Q_BLOCK = 512
+
+
+def _pack_pos_const(scores: jax.Array, pos: int) -> jax.Array:
+    """Overwrite the low 7 mantissa bits of f32 `scores` with the STATIC
+    in-block position `pos` (monotone within 127 ulp, sign-magnitude)."""
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    packed = (bits & jnp.int32(~_POS_MASK)) | jnp.int32(pos)
+    return jax.lax.bitcast_convert_type(packed, jnp.float32)
+
+
+def unpack_table(best: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(value with low mantissa bits cleared, in-block position) from a
+    packed table slice — applied to the SELECTED top-k, not the table."""
+    bits = jax.lax.bitcast_convert_type(best, jnp.int32)
+    vals = jax.lax.bitcast_convert_type(bits & jnp.int32(~_POS_MASK), jnp.float32)
+    return vals, bits & jnp.int32(_POS_MASK)
+
+
+def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
+                         quantized: tuple[bool, ...]):
+    """Build the kernel body for `n_arms` corpora sharing one grid pass.
+
+    Ref order: [q_0..q_{A-1}, cT_0..cT_{A-1}, mask,
+    (qscale_a, cscale_a for each quantized arm a)] then one packed-table
+    output ref per arm. Fully static unroll: block_cols/dot_chunk dots per
+    arm, dot_chunk/128 pack+max slices per dot.
+    """
+    n_chunks = block_cols // dot_chunk
+    slices = dot_chunk // LANE
+
+    def kernel(*refs):
+        q_refs = refs[:n_arms]
+        c_refs = refs[n_arms : 2 * n_arms]
+        mask_ref = refs[2 * n_arms]
+        scale_refs = refs[2 * n_arms + 1 : 2 * n_arms + 1 + 2 * sum(quantized)]
+        out_refs = refs[-n_arms:]
+
+        qs = [q_refs[a][...] for a in range(n_arms)]
+        qb = qs[0].shape[0]
+        accs = [jnp.full((qb, LANE), NEG_INF, jnp.float32) for _ in range(n_arms)]
+        si = 0
+        qscales = []
+        cscale_refs = []
+        for a in range(n_arms):
+            if quantized[a]:
+                qscales.append(scale_refs[si][...])  # [qb, 1] f32
+                cscale_refs.append(scale_refs[si + 1])  # [1, block_cols] f32
+                si += 2
+            else:
+                qscales.append(None)
+                cscale_refs.append(None)
+
+        for ci in range(n_chunks):
+            col0 = ci * dot_chunk
+            for a in range(n_arms):
+                acc_t = jnp.int32 if quantized[a] else jnp.float32
+                s = jax.lax.dot_general(
+                    qs[a],
+                    c_refs[a][:, pl.ds(col0, dot_chunk)],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=acc_t,
+                )  # [qb, dot_chunk]
+                if quantized[a]:
+                    cs = cscale_refs[a][:, pl.ds(col0, dot_chunk)]  # [1, dc]
+                    s = s.astype(jnp.float32) * qscales[a] * cs
+                for g in range(slices):
+                    pos = ci * slices + g
+                    sl = s[:, g * LANE : (g + 1) * LANE]  # [qb, 128]
+                    m = mask_ref[:, pl.ds(col0 + g * LANE, LANE)]  # [1, 128]
+                    packed = _pack_pos_const(sl, pos)
+                    accs[a] = jnp.maximum(
+                        accs[a], jnp.where(m != 0, packed, NEG_INF)
+                    )
+        for a in range(n_arms):
+            out_refs[a][...] = accs[a]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("block_cols", "dot_chunk", "q_block", "interpret"),
+)
+def section_bucket_tables(
+    corpora_t: tuple,  # per arm: [d_a, N] bf16/f32, or int8
+    queries: tuple,  # per arm: [B, d_a]
+    mask: jax.Array,  # [N] bool
+    scales: tuple = (),  # per arm: [N, 1] f32 for int8 arms, else None
+    block_cols: int = BLOCK_COLS,
+    dot_chunk: int = DOT_CHUNK,
+    q_block: int = Q_BLOCK,
+    interpret: bool = False,
+) -> tuple:
+    """One grid pass over TRANSPOSED corpora -> one packed bucket table
+    [B, (N/block_cols)*128] f32 per arm.
+
+    Table column c covers block j = c // 128, lane l = c % 128; its value
+    is the masked max over positions p of score(row = j*block_cols +
+    p*128 + l), with the winning p packed in the low 7 mantissa bits.
+    Decode selected entries with `unpack_table` + `table_rows`.
+    """
+    n_arms = len(corpora_t)
+    if not scales:
+        scales = (None,) * n_arms
+    n = corpora_t[0].shape[1]
+    b = queries[0].shape[0]
+    if n % block_cols:
+        raise ValueError(f"corpus cols ({n}) must be a {block_cols}-multiple")
+    if block_cols % dot_chunk or dot_chunk % LANE:
+        raise ValueError("block_cols % dot_chunk == 0 == dot_chunk % 128 required")
+    if block_cols // LANE > (1 << _POS_BITS):
+        raise ValueError(f"block_cols ({block_cols}) overflows the 7-bit pos pack")
+
+    quantized = tuple(c.dtype == jnp.int8 for c in corpora_t)
+    qs, qscales = [], []
+    for a in range(n_arms):
+        if quantized[a]:
+            if scales[a] is None:
+                raise ValueError("int8 arm requires its per-row scale")
+            from .dense import quantize_rows_int8
+
+            qi, qsc = quantize_rows_int8(queries[a])
+            qs.append(qi)
+            qscales.append(qsc)
+        else:
+            qs.append(queries[a].astype(corpora_t[a].dtype))
+            qscales.append(None)
+
+    # Sublane-aligned query tile (Mosaic cannot lay out sub-8-row tiles).
+    qb = max(min(q_block, b) if b % q_block else q_block, 8)
+    qb = -(-qb // 8) * 8
+    if b % qb:
+        pad = qb - b % qb
+        qs = [jnp.pad(q, ((0, pad), (0, 0))) for q in qs]
+        qscales = [
+            None if s is None else jnp.pad(s, ((0, pad), (0, 0))) for s in qscales
+        ]
+    b_padded = qs[0].shape[0]
+
+    n_blocks = n // block_cols
+    mask_row = mask.astype(jnp.int8).reshape(1, n)
+
+    # Grid: query tiles innermost -> each corpus block is DMA'd once and
+    # reused across the whole batch (one tile at the serving qb=512).
+    in_specs = []
+    inputs = []
+    for a in range(n_arms):
+        d = corpora_t[a].shape[0]
+        in_specs.append(pl.BlockSpec((qb, d), lambda j, i: (i, 0)))
+        inputs.append(qs[a])
+    for a in range(n_arms):
+        d = corpora_t[a].shape[0]
+        in_specs.append(pl.BlockSpec((d, block_cols), lambda j, i: (0, j)))
+        inputs.append(corpora_t[a])
+    in_specs.append(pl.BlockSpec((1, block_cols), lambda j, i: (0, j)))
+    inputs.append(mask_row)
+    for a in range(n_arms):
+        if quantized[a]:
+            in_specs.append(pl.BlockSpec((qb, 1), lambda j, i: (i, 0)))
+            inputs.append(qscales[a])
+            in_specs.append(pl.BlockSpec((1, block_cols), lambda j, i: (0, j)))
+            inputs.append(scales[a].reshape(1, n))
+
+    kernel = _make_section_kernel(n_arms, block_cols, dot_chunk, quantized)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, b_padded // qb),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((qb, LANE), lambda j, i: (i, j)) for _ in range(n_arms)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_padded, n_blocks * LANE), jnp.float32)
+            for _ in range(n_arms)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return tuple(t[:b] for t in out)
+
+
+def table_topk(
+    table: jax.Array,  # [B, W] packed bucket table
+    k: int,
+    block_cols: int,
+    n: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k over a packed table -> (values [B, k] f32, global rows [B, k]
+    i32; -1 where masked/absent). The packed low bits perturb ordering by
+    <=127 ulp — the approx-selection family's contract — so the top-k runs
+    directly on the packed values and only the k winners are decoded."""
+    k = min(k, table.shape[1])
+    top_packed, cols = jax.lax.top_k(table, k)
+    vals, pos = unpack_table(top_packed)
+    rows = (cols // LANE) * block_cols + pos * LANE + (cols % LANE)
+    rows = jnp.minimum(rows, n - 1)  # all-masked buckets decode junk pos
+    rows = jnp.where(top_packed > NEG_INF / 2, rows, -1)
+    return vals, rows
