@@ -41,7 +41,13 @@ def main() -> None:
     parser.add_argument("--int8", action="store_true")
     parser.add_argument(
         "--configs", nargs="+", default=None,
-        help="block_cols:dot_chunk:q_block triples (default sweep)",
+        help="block_cols:dot_chunk:q_block[:vmem_mb] tuples (default sweep)",
+    )
+    parser.add_argument("--skip-xla", action="store_true")
+    parser.add_argument(
+        "--full", action="store_true",
+        help="A/B the FULL hybrid program (candidates + rescore + RRF): "
+        "hybrid_section_topk vs hybrid_fused_topk (the serving default)",
     )
     args = parser.parse_args()
 
@@ -79,6 +85,11 @@ def main() -> None:
     dense_t = jnp.asarray(np.asarray(dense).T.copy())
     sketch_t = jnp.asarray(np.asarray(sketch).T.copy())
 
+    if args.full:
+        run_full_program_ab(args, dense, sketch, dense_t, sketch_t, dq, sq,
+                            mask, d_scale, s_scale, interpret)
+        return
+
     @jax.jit
     def xla_section(dn, sk, q1, q2, m, ds, ss):
         s1 = dense_scores(dn, q1, ds)
@@ -89,15 +100,16 @@ def main() -> None:
         s_top, s_rows = candidate_select(False)(s2, k=args.depth)
         return d_rows, s_rows
 
-    sync, dev = timeit(xla_section, dense, sketch, dq, sq, mask, d_scale, s_scale)
+    if not args.skip_xla:
+        sync, dev = timeit(xla_section, dense, sketch, dq, sq, mask, d_scale, s_scale)
+        print(json.dumps({
+            "impl": "xla_section", "sync_ms": round(sync, 2),
+            "device_ms": round(dev, 2), "int8": args.int8,
+        }), flush=True)
     x_rows_d, x_rows_s = jax.jit(xla_section)(
         dense, sketch, dq, sq, mask, d_scale, s_scale
     )
     x_rows_d, x_rows_s = np.asarray(x_rows_d), np.asarray(x_rows_s)
-    print(json.dumps({
-        "impl": "xla_section", "sync_ms": round(sync, 2),
-        "device_ms": round(dev, 2), "int8": args.int8,
-    }), flush=True)
 
     # Exact ground truth for overlap accounting (f32 matmul on device, in
     # column chunks to bound memory).
@@ -133,17 +145,20 @@ def main() -> None:
         "8192:1024:512",
     ]
     for cfg in configs:
-        bc, dc, qb = (int(x) for x in cfg.split(":"))
+        parts = [int(x) for x in cfg.split(":")]
+        bc, dc, qb = parts[:3]
+        vmem = parts[3] if len(parts) > 3 else 100
         if args.n % bc:
             print(json.dumps({"impl": f"section_{cfg}", "skip": "n % block_cols"}))
             continue
 
         @partial(jax.jit, static_argnames=())
-        def run_section(dt, st, q1, q2, m, ds, ss, bc=bc, dc=dc, qb=qb):
+        def run_section(dt, st, q1, q2, m, ds, ss, bc=bc, dc=dc, qb=qb, vmem=vmem):
             td, ts = section_bucket_tables(
                 (dt, st), (q1, q2), m,
                 scales=(ds, ss) if args.int8 else (),
-                block_cols=bc, dot_chunk=dc, q_block=qb, interpret=interpret,
+                block_cols=bc, dot_chunk=dc, q_block=qb, vmem_mb=vmem,
+                interpret=interpret,
             )
             _, d_rows = table_topk(td, args.fetch_k, bc, args.n)
             _, s_rows = table_topk(ts, args.depth, bc, args.n)
@@ -167,6 +182,85 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — sweep must report and go on
             print(json.dumps({
                 "impl": f"section_{cfg}",
+                "error": f"{type(exc).__name__}: {str(exc)[:200]}",
+            }), flush=True)
+
+
+def run_full_program_ab(args, dense, sketch, dense_t, sketch_t, dq, sq,
+                        mask, d_scale, s_scale, interpret):
+    """Device-honest A/B of the FULL hybrid serving program."""
+    import jax
+    import jax.numpy as jnp
+
+    from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk
+    from verbatim_rag_tpu.ops.section import hybrid_section_topk
+
+    n, batch = args.n, args.batch
+    key = jax.random.PRNGKey(7)
+    k_ids, k_w, k_qi, k_qw = jax.random.split(key, 4)
+    sp_ids = jax.random.randint(k_ids, (n, 128), 1, 30522, jnp.int32)
+    sp_w = jax.random.uniform(k_w, (n, 128), jnp.float32)
+    q_ids = jax.random.randint(k_qi, (batch, 32), 1, 30522, jnp.int32)
+    q_w = jax.random.uniform(k_qw, (batch, 32), jnp.float32)
+    top_k, fetch_k, depth = 10, 20, args.depth
+    dqn = dq / jnp.linalg.norm(dq, axis=1, keepdims=True)
+
+    def baseline(dn, sk, q1, q2, qi, qw, m, ds, ss):
+        return hybrid_fused_topk(
+            dn, sk, sp_ids, sp_w, q1, q2, qi, qw,
+            k=top_k, fetch_k=fetch_k, depth=depth, mask=m,
+            exact_topk=False, dense_scale=ds, sketch_scale=ss,
+            rescore_impl="pallas", candidate_impl="xla",
+        )
+
+    sync, dev = timeit(baseline, dense, sketch, dqn, sq, q_ids, q_w, mask,
+                       d_scale, s_scale)
+    base_scores, base_rows = jax.jit(baseline)(
+        dense, sketch, dqn, sq, q_ids, q_w, mask, d_scale, s_scale
+    )
+    base_rows = np.asarray(base_rows)
+    print(json.dumps({
+        "impl": "full_xla_pallas_rescore", "sync_ms": round(sync, 2),
+        "device_ms": round(dev, 2),
+        "device_qps": round(batch / dev * 1000, 1), "int8": args.int8,
+    }), flush=True)
+
+    configs = args.configs or ["16384:4096:512"]
+    for cfg in configs:
+        parts = [int(x) for x in cfg.split(":")]
+        bc, dc, qb = parts[:3]
+        vmem = parts[3] if len(parts) > 3 else 100
+
+        def section_prog(dt, st, q1, q2, qi, qw, m, ds, ss,
+                         bc=bc, dc=dc, qb=qb, vmem=vmem):
+            return hybrid_section_topk(
+                dt, st, sp_ids, sp_w, q1, q2, qi, qw,
+                k=top_k, fetch_k=fetch_k, depth=depth, mask=m,
+                dense_scale=ds, sketch_scale=ss, rescore_impl="pallas",
+                block_cols=bc, dot_chunk=dc, q_block=qb, vmem_mb=vmem,
+                interpret=interpret,
+            )
+
+        try:
+            sync, dev = timeit(section_prog, dense_t, sketch_t, dqn, sq,
+                               q_ids, q_w, mask, d_scale, s_scale)
+            _, rows = jax.jit(section_prog)(
+                dense_t, sketch_t, dqn, sq, q_ids, q_w, mask, d_scale, s_scale
+            )
+            rows = np.asarray(rows)
+            ovl = float(np.mean([
+                len(set(rows[i].tolist()) & set(base_rows[i].tolist())) / top_k
+                for i in range(batch)
+            ]))
+            print(json.dumps({
+                "impl": f"full_section_{cfg}", "sync_ms": round(sync, 2),
+                "device_ms": round(dev, 2),
+                "device_qps": round(batch / dev * 1000, 1),
+                "top10_overlap_vs_xla": round(ovl, 4), "int8": args.int8,
+            }), flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(json.dumps({
+                "impl": f"full_section_{cfg}",
                 "error": f"{type(exc).__name__}: {str(exc)[:200]}",
             }), flush=True)
 

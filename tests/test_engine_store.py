@@ -317,6 +317,83 @@ class TestHybridFastPathConsistency:
         del jnp
 
 
+class TestThreeWayFusedFastPath:
+    def test_3way_fused_program_matches_host_fusion(self):
+        """With enable_full_text the serving path runs the 3-way fused
+        device program (hybrid_fused_topk_3way); it must rank exactly like
+        the generic per-method + host-RRF path it replaced."""
+        store = make_store(enable_full_text=True, full_text_vocab=1 << 12)
+        records = []
+        for i in range(12):
+            topic = ["solar panels", "wind turbines", "hydro dams"][i % 3]
+            records.append(
+                {
+                    "id": f"t{i}",
+                    "text": f"Document {i} about {topic} and energy grids.",
+                    "metadata": {},
+                    "dense": _unit(i),
+                    "sparse": {i % 50: 1.0, (i + 7) % 50: 0.3},
+                }
+            )
+        store.add_vectors(records)
+        store.flush()
+
+        dense_q = _unit(4)
+        sparse_q = {4: 1.0, 11: 0.4}
+        text_q = "solar panels energy"
+        weights = {"dense": 0.3, "sparse": 0.3, "full_text": 0.4}
+
+        fused = store.query(
+            dense_query=dense_q, sparse_query=sparse_q, text_query=text_q,
+            hybrid_weights=weights, top_k=5,
+        )
+
+        from verbatim_rag_tpu.ops.fusion import rrf_fuse_np
+
+        mask = store._build_mask(None)
+        arms = []
+        for name, payload in (
+            ("dense", dense_q[None, :]),
+            ("sparse", [sparse_q]),
+            ("full_text", [text_q]),
+        ):
+            scores, rows = store._run_method(name, payload, 10, mask)
+            arms.append(np.where(scores > -1e29, rows, -1))
+        _, rows = rrf_fuse_np(
+            np.stack(arms),
+            np.asarray([0.3, 0.3, 0.4], np.float32),
+            k=5,
+        )
+        expected_ids = [store._ids[r] for r in rows[0] if r >= 0]
+        assert [h.id for h in fused] == expected_ids
+
+    def test_3way_fused_program_int8_sketches(self):
+        """The 3-way arm carries the int8 sketch scales through the fused
+        program (all three corpora quantized)."""
+        store = make_store(
+            enable_full_text=True, full_text_vocab=1 << 12,
+            dense_dtype="int8", sketch_dtype="int8",
+        )
+        records = []
+        for i in range(10):
+            records.append(
+                {
+                    "id": f"q{i}",
+                    "text": f"Row {i} mentions topic{i % 4} repeatedly topic{i % 4}.",
+                    "metadata": {},
+                    "dense": _unit(i),
+                    "sparse": {i % 50: 1.0},
+                }
+            )
+        store.add_vectors(records)
+        store.flush()
+        hits = store.query(
+            dense_query=_unit(2), sparse_query={2: 1.0},
+            text_query="topic2", top_k=4,
+        )
+        assert hits and any("topic2" in h.text for h in hits)
+
+
 class TestPendingDuplicates:
     def test_duplicate_id_in_pending_buffer_rejected(self):
         from verbatim_rag_tpu.engine.store import DeviceVectorStore

@@ -344,6 +344,70 @@ class TestMeshStore:
                 rtol=1e-4, atol=1e-5,
             )
 
+    def test_3way_fused_hybrid_parity(self, mesh):
+        """dense+sparse+full_text on a mesh store rides the sharded 3-way
+        fused program (ft_arm of sharded_hybrid_topk); it must rank like
+        the single-device 3-way fused program."""
+        from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+        def build(mesh_arg):
+            store = DeviceVectorStore(
+                dense_dim=16, sparse_vocab=64, sparse_max_nnz=8, block=64,
+                projection_dim=32, rescore_depth=512,
+                enable_full_text=True, full_text_vocab=256,
+                full_text_max_nnz=16, mesh=mesh_arg,
+            )
+            rng = np.random.default_rng(11)
+            store.add_vectors(
+                [
+                    {
+                        "id": f"d{i}",
+                        "text": "solar " * (i % 7 + 1) + f"grid unique{i} "
+                        + "turbine " * (i // 7 + 1),
+                        "dense": rng.normal(size=16).astype(np.float32),
+                        "sparse": {int(i % 60) + 1: 1.0 + 0.01 * i},
+                    }
+                    for i in range(64)
+                ]
+            )
+            store.flush()
+            return store
+
+        plain, sharded = build(None), build(mesh)
+        rng = np.random.default_rng(12)
+        q = rng.normal(size=(2, 16)).astype(np.float32)
+        qs = [{3: 1.0, 9: 0.5}, {40: 2.0, 5: 0.1}]
+        texts = ["solar grid", "turbine unique3"]
+        weights = {"dense": 0.4, "sparse": 0.3, "full_text": 0.3}
+        res_p = plain.query_batch(
+            dense_queries=q, sparse_queries=qs, text_queries=texts,
+            hybrid_weights=weights, top_k=6,
+        )
+        res_s = sharded.query_batch(
+            dense_queries=q, sparse_queries=qs, text_queries=texts,
+            hybrid_weights=weights, top_k=6,
+        )
+        # RRF produces exact score ties (docs appearing in a single arm at
+        # the same rank score identically); tie members may permute between
+        # the single-device and merged orderings — compare scores exactly
+        # and ids per tie GROUP.
+        for hits_p, hits_s in zip(res_p, res_s):
+            np.testing.assert_allclose(
+                [h.score for h in hits_p], [h.score for h in hits_s],
+                rtol=1e-5, atol=1e-7,
+            )
+            groups_p, groups_s = {}, {}
+            for h in hits_p:
+                groups_p.setdefault(round(h.score, 6), set()).add(h.id)
+            for h in hits_s:
+                groups_s.setdefault(round(h.score, 6), set()).add(h.id)
+            assert groups_p.keys() == groups_s.keys()
+            for score, ids_p in groups_p.items():
+                ids_s = groups_s[score]
+                assert len(ids_p) == len(ids_s)
+                if len(ids_p) == 1:
+                    assert ids_p == ids_s, f"non-tied rank differs at {score}"
+
     def test_full_text_parity(self, mesh):
         from verbatim_rag_tpu.engine.store import DeviceVectorStore
 

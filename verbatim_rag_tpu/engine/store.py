@@ -1098,15 +1098,20 @@ class DeviceVectorStore(VectorStore):
         fetch_k = min(top_k * 2, n)
 
         if (
-            set(methods) == {"dense", "sparse"}
+            set(methods) in ({"dense", "sparse"}, {"dense", "sparse", "full_text"})
             and self.sparse_mode == "projected"
             and self._dense is not None
             and self._sp_proj is not None
+            and ("full_text" not in methods or self._ft_proj is not None)
         ):
-            # Serving fast path: both candidate matmuls in one device program.
+            # Serving fast path: every candidate matmul in one device
+            # program — 2-way, or 3-way when BM25 full text rides along
+            # (the enable_full_text configuration keeps the single-sync
+            # design instead of three dispatches + host fusion).
             scores, rows = self._hybrid_projected(
                 methods["dense"], methods["sparse"], top_k, fetch_k, mask,
                 weights, rrf_k, exact_topk=exact_topk, depth_override=depth_override,
+                text_q=methods.get("full_text"),
             )
             return self._materialize(scores, rows)
         all_rows, w_list = [], []
@@ -1320,17 +1325,22 @@ class DeviceVectorStore(VectorStore):
         rrf_k: int,
         exact_topk: bool = True,
         depth_override: int | None = None,
+        text_q: Sequence[str] | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """The hybrid serving fast path: candidate matmuls, exact sparse
         rescore, and weighted RRF all in ONE device program — a single sync
         per batch and no host-side fusion loop (`ops/hybrid.py`
         hybrid_fused_topk). With device-handoff inputs the whole
         encode→search chain has exactly one host sync: the final [B, k]
-        readback."""
+        readback. With ``text_q`` the BM25 full-text method joins as a
+        third arm of the SAME program (hybrid_fused_topk_3way)."""
         import jax.numpy as jnp
 
         from verbatim_rag_tpu.ops.dense import normalize_rows
-        from verbatim_rag_tpu.ops.hybrid import hybrid_fused_topk
+        from verbatim_rag_tpu.ops.hybrid import (
+            hybrid_fused_topk,
+            hybrid_fused_topk_3way,
+        )
 
         depth = min(max(depth_override or self.rescore_depth, fetch_k), self._capacity)
         if _is_device_array(dense_q):
@@ -1344,12 +1354,33 @@ class DeviceVectorStore(VectorStore):
             self._sp_proj, self._sp_proj_scale
         )
 
+        ft_args = None
+        if text_q is not None:
+            ft_qids, ft_qw, ft_qproj = self._sparse_query_device(
+                self._bm25_query_sparse(text_q), self.full_text_vocab
+            )
+            ft_sketch, ft_scale = self._sketch_scoring_args(
+                self._ft_proj, self._ft_proj_scale
+            )
+            ft_args = (ft_sketch, ft_qids, ft_qw, ft_qproj, ft_scale)
+
         if self.mesh is not None:
             from verbatim_rag_tpu.parallel.sharded_search import (
                 replicate,
                 sharded_hybrid_topk,
             )
 
+            ft_arm = None
+            if ft_args is not None:
+                ft_sketch, ft_qids, ft_qw, ft_qproj, ft_scale = ft_args
+                ft_arm = (
+                    ft_sketch, self._ft_ids, self._ft_w,
+                    replicate(ft_qproj, self.mesh),
+                    replicate(ft_qids, self.mesh),
+                    replicate(ft_qw, self.mesh),
+                    float(weights.get("full_text", 0.5)),
+                    ft_scale,
+                )
             scores, rows = sharded_hybrid_topk(
                 dense_c,
                 sketch_c,
@@ -1370,6 +1401,39 @@ class DeviceVectorStore(VectorStore):
                 exact_topk=exact_topk,
                 dense_scale=dense_s,
                 sketch_scale=sketch_s,
+                rescore_impl=self.rescore_impl,
+                candidate_impl=self.candidate_impl,
+                ft_arm=ft_arm,
+            )
+        elif ft_args is not None:
+            ft_sketch, ft_qids, ft_qw, ft_qproj, ft_scale = ft_args
+            scores, rows = hybrid_fused_topk_3way(
+                dense_c,
+                sketch_c,
+                self._sp_ids,
+                self._sp_w,
+                ft_sketch,
+                self._ft_ids,
+                self._ft_w,
+                jnp.asarray(q),
+                q_proj,
+                q_ids,
+                q_w,
+                ft_qproj,
+                ft_qids,
+                ft_qw,
+                k=min(top_k, fetch_k),
+                fetch_k=fetch_k,
+                depth=depth,
+                mask=mask,
+                dense_weight=float(weights.get("dense", 1 / 3)),
+                sparse_weight=float(weights.get("sparse", 1 / 3)),
+                ft_weight=float(weights.get("full_text", 1 / 3)),
+                rrf_k=rrf_k,
+                exact_topk=exact_topk,
+                dense_scale=dense_s,
+                sketch_scale=sketch_s,
+                ft_scale=ft_scale,
                 rescore_impl=self.rescore_impl,
                 candidate_impl=self.candidate_impl,
             )

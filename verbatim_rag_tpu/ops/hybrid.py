@@ -171,8 +171,44 @@ def projected_sparse_topk(
     exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
     top_scores, pos = jax.lax.top_k(exact, k)
     rows = jnp.take_along_axis(cand, pos, axis=1)
-    rows = jnp.where(top_scores > NEG_INF / 2, rows, -1)
+    # Zero exact score = no term overlap → not a hit (Milvus parity; see
+    # `_projected_arm`).
+    rows = jnp.where(top_scores > 0.0, rows, -1)
     return top_scores, rows
+
+
+def _projected_arm(
+    sketch_corpus,
+    sp_ids,
+    sp_w,
+    sketch_q,
+    q_ids,
+    q_w,
+    fetch_k: int,
+    depth: int,
+    mask,
+    exact_topk: bool,
+    sketch_scale,
+    rescore_impl: str,
+    sketch_impl: str,
+) -> jax.Array:
+    """One projected-sparse arm of a fused hybrid program: sketch-matmul
+    candidates → exact forward-index rescore → top-`fetch_k` rows
+    ([B, fetch_k] i32; −1 pads). Shared by the sparse and full-text arms —
+    BM25 full text is the same machinery over the BM25-saturated forward
+    index and idf query weights."""
+    c_top, cand = candidate_topk(
+        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, sketch_impl
+    )
+    cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
+    exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
+    r_top, r_pos = jax.lax.top_k(exact, fetch_k)
+    rows = jnp.take_along_axis(cand, r_pos, axis=1)
+    # Zero exact score = no term overlap: an inverted index never surfaces
+    # such docs (Milvus parity), and crediting them RRF rank would let an
+    # arbitrary zero-score tail distort the fusion (term weights are
+    # nonnegative — SPLADE activations and BM25 are ≥ 0 by construction).
+    return jnp.where(r_top > 0.0, rows, -1)
 
 
 @partial(
@@ -223,20 +259,94 @@ def hybrid_fused_topk(
     )
     d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
 
-    c_top, cand = candidate_topk(
-        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, sketch_impl
+    s_rows = _projected_arm(
+        sketch_corpus, sp_ids, sp_w, sketch_q, q_ids, q_w, fetch_k, depth,
+        mask, exact_topk, sketch_scale, rescore_impl, sketch_impl,
     )
-    cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
-    exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
-    r_top, r_pos = jax.lax.top_k(exact, fetch_k)
-    s_rows = jnp.take_along_axis(cand, r_pos, axis=1)
-    s_rows = jnp.where(r_top > NEG_INF / 2, s_rows, -1)
 
     total = dense_weight + sparse_weight
     weights = jnp.stack(
         [jnp.asarray(dense_weight, jnp.float32), jnp.asarray(sparse_weight, jnp.float32)]
     ) / jnp.asarray(total, jnp.float32)
     stacked = jnp.stack([d_rows, s_rows])  # [2, B, fetch_k]
+    return rrf_fuse_device(stacked, weights, k=min(k, fetch_k), rrf_k=rrf_k)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k",
+        "fetch_k",
+        "depth",
+        "rrf_k",
+        "exact_topk",
+        "rescore_impl",
+        "candidate_impl",
+    ),
+)
+def hybrid_fused_topk_3way(
+    dense_corpus: jax.Array,  # [N, d] row-normalized
+    sketch_corpus: jax.Array,  # [N, d_p] SPLADE sketches
+    sp_ids: jax.Array,  # [N, m] SPLADE forward index
+    sp_w: jax.Array,  # [N, m]
+    ft_sketch: jax.Array,  # [N, d_p] BM25 sketches
+    ft_ids: jax.Array,  # [N, fm] BM25 forward index
+    ft_w: jax.Array,  # [N, fm] BM25-saturated weights
+    dense_q: jax.Array,  # [B, d] row-normalized
+    sketch_q: jax.Array,  # [B, d_p]
+    q_ids: jax.Array,  # [B, qm] padded SPLADE query terms
+    q_w: jax.Array,  # [B, qm]
+    ft_q_proj: jax.Array,  # [B, d_p] BM25 query sketches
+    ft_q_ids: jax.Array,  # [B, fqm] padded BM25 query terms
+    ft_q_w: jax.Array,  # [B, fqm] idf weights
+    k: int,
+    fetch_k: int,
+    depth: int,
+    mask: jax.Array | None = None,
+    dense_weight: jax.Array | float = 1.0,
+    sparse_weight: jax.Array | float = 1.0,
+    ft_weight: jax.Array | float = 1.0,
+    rrf_k: int = 60,
+    exact_topk: bool = True,
+    dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
+    sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
+    ft_scale: jax.Array | None = None,  # [N, 1] — int8 BM25 sketches only
+    rescore_impl: str = "scan",
+    candidate_impl: str = "xla",
+) -> tuple[jax.Array, jax.Array]:
+    """The 3-way hybrid (dense + SPLADE + BM25 full text) as ONE device
+    program: three candidate generations, two exact forward-index rescores,
+    3-way weighted RRF — the `enable_full_text` serving configuration keeps
+    the single-sync design instead of dropping to three dispatches + host
+    fusion. Reference contract: the 3-way weighted hybrid of
+    `milvus_base.py:366-459` (three Milvus sub-searches + client merge).
+
+    Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
+    """
+    dense_impl, sketch_impl = split_candidate_impl(candidate_impl)
+    d_top, d_rows = candidate_topk(
+        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, dense_impl
+    )
+    d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
+
+    s_rows = _projected_arm(
+        sketch_corpus, sp_ids, sp_w, sketch_q, q_ids, q_w, fetch_k, depth,
+        mask, exact_topk, sketch_scale, rescore_impl, sketch_impl,
+    )
+    f_rows = _projected_arm(
+        ft_sketch, ft_ids, ft_w, ft_q_proj, ft_q_ids, ft_q_w, fetch_k, depth,
+        mask, exact_topk, ft_scale, rescore_impl, sketch_impl,
+    )
+
+    total = dense_weight + sparse_weight + ft_weight
+    weights = jnp.stack(
+        [
+            jnp.asarray(dense_weight, jnp.float32),
+            jnp.asarray(sparse_weight, jnp.float32),
+            jnp.asarray(ft_weight, jnp.float32),
+        ]
+    ) / jnp.asarray(total, jnp.float32)
+    stacked = jnp.stack([d_rows, s_rows, f_rows])  # [3, B, fetch_k]
     return rrf_fuse_device(stacked, weights, k=min(k, fetch_k), rrf_k=rrf_k)
 
 

@@ -81,7 +81,12 @@ Q_BLOCK = 512
 
 def _pack_pos_const(scores: jax.Array, pos: int) -> jax.Array:
     """Overwrite the low 7 mantissa bits of f32 `scores` with the STATIC
-    in-block position `pos` (monotone within 127 ulp, sign-magnitude)."""
+    in-block position `pos` (monotone within 127 ulp, sign-magnitude).
+
+    The clearing AND is required for a correct decode — an OR-only pack
+    leaves the score's own low bits in the pos field (measured: row decode
+    collapses to ~2% match). Bitcasts are register reinterprets (free);
+    the pack costs 2 VPU ops per score element."""
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
     packed = (bits & jnp.int32(~_POS_MASK)) | jnp.int32(pos)
     return jax.lax.bitcast_convert_type(packed, jnp.float32)
@@ -145,11 +150,11 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                 for g in range(slices):
                     pos = ci * slices + g
                     sl = s[:, g * LANE : (g + 1) * LANE]  # [qb, 128]
+                    # Mask arrives ADDITIVE f32 ({0, NEG_INF} per column):
+                    # x + 0.0 == x bit-exactly, x + NEG_INF ≈ NEG_INF —
+                    # one VPU add instead of compare+select per element.
                     m = mask_ref[:, pl.ds(col0 + g * LANE, LANE)]  # [1, 128]
-                    packed = _pack_pos_const(sl, pos)
-                    accs[a] = jnp.maximum(
-                        accs[a], jnp.where(m != 0, packed, NEG_INF)
-                    )
+                    accs[a] = jnp.maximum(accs[a], _pack_pos_const(sl, pos) + m)
         for a in range(n_arms):
             out_refs[a][...] = accs[a]
 
@@ -158,7 +163,7 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
 
 @partial(
     jax.jit,
-    static_argnames=("block_cols", "dot_chunk", "q_block", "interpret"),
+    static_argnames=("block_cols", "dot_chunk", "q_block", "vmem_mb", "interpret"),
 )
 def section_bucket_tables(
     corpora_t: tuple,  # per arm: [d_a, N] bf16/f32, or int8
@@ -168,6 +173,7 @@ def section_bucket_tables(
     block_cols: int = BLOCK_COLS,
     dot_chunk: int = DOT_CHUNK,
     q_block: int = Q_BLOCK,
+    vmem_mb: int = 100,
     interpret: bool = False,
 ) -> tuple:
     """One grid pass over TRANSPOSED corpora -> one packed bucket table
@@ -217,7 +223,9 @@ def section_bucket_tables(
     b_padded = qs[0].shape[0]
 
     n_blocks = n // block_cols
-    mask_row = mask.astype(jnp.int8).reshape(1, n)
+    # Additive mask: 0.0 keeps a score bit-exactly, NEG_INF drowns it —
+    # one VPU add per element inside the kernel (vs compare+select).
+    mask_row = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32).reshape(1, n)
 
     # Grid: query tiles innermost -> each corpus block is DMA'd once and
     # reused across the whole batch (one tile at the serving qb=512).
@@ -253,11 +261,85 @@ def section_bucket_tables(
             for _ in range(n_arms)
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=vmem_mb * 1024 * 1024
         ),
         interpret=interpret,
     )(*inputs)
     return tuple(t[:b] for t in out)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "fetch_k", "depth", "rrf_k", "rescore_impl",
+        "block_cols", "dot_chunk", "q_block", "vmem_mb", "interpret",
+    ),
+)
+def hybrid_section_topk(
+    dense_t: jax.Array,  # [d, N] TRANSPOSED row-normalized corpus
+    sketch_t: jax.Array,  # [d_p, N] TRANSPOSED sparse sketches
+    sp_ids: jax.Array,  # [N, m] forward index
+    sp_w: jax.Array,  # [N, m]
+    dense_q: jax.Array,  # [B, d] row-normalized
+    sketch_q: jax.Array,  # [B, d_p]
+    q_ids: jax.Array,  # [B, qm] padded query terms
+    q_w: jax.Array,  # [B, qm]
+    k: int,
+    fetch_k: int,
+    depth: int,
+    mask: jax.Array,  # [N] bool
+    dense_weight: jax.Array | float = 0.5,
+    sparse_weight: jax.Array | float = 0.5,
+    rrf_k: int = 60,
+    dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
+    sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
+    rescore_impl: str = "pallas",
+    block_cols: int = BLOCK_COLS,
+    dot_chunk: int = DOT_CHUNK,
+    q_block: int = Q_BLOCK,
+    vmem_mb: int = 100,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """The full hybrid query with the SECTION KERNEL as its candidate
+    stage: one Pallas program for both matmuls + in-VMEM selection (the
+    [B, N] score matrices never touch HBM), then the tiny bucket-table
+    top-ks, the exact forward-index rescore, and weighted RRF — still one
+    jitted program, one sync. Drop-in contract of
+    `ops/hybrid.py::hybrid_fused_topk` with TRANSPOSED corpora.
+
+    Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
+    """
+    from .hybrid import rescore_fn
+    from .fusion import rrf_fuse_device
+
+    n = dense_t.shape[1]
+    scales = ()
+    if dense_scale is not None or sketch_scale is not None:
+        scales = (dense_scale, sketch_scale)
+    td, ts = section_bucket_tables(
+        (dense_t, sketch_t), (dense_q, sketch_q), mask, scales=scales,
+        block_cols=block_cols, dot_chunk=dot_chunk, q_block=q_block,
+        vmem_mb=vmem_mb, interpret=interpret,
+    )
+    _, d_rows = table_topk(td, fetch_k, block_cols, n)
+
+    _, cand = table_topk(ts, depth, block_cols, n)
+    exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
+    r_top, r_pos = jax.lax.top_k(exact, min(fetch_k, depth))
+    s_rows = jnp.take_along_axis(cand, r_pos, axis=1)
+    # Zero exact score = no term overlap → not a hit (Milvus parity, same
+    # rule as ops/hybrid.py `_projected_arm`).
+    s_rows = jnp.where(r_top > 0.0, s_rows, -1)
+    if s_rows.shape[1] < fetch_k:
+        s_rows = jnp.pad(s_rows, ((0, 0), (0, fetch_k - s_rows.shape[1])),
+                         constant_values=-1)
+
+    total = dense_weight + sparse_weight
+    weights = jnp.stack(
+        [jnp.asarray(dense_weight, jnp.float32), jnp.asarray(sparse_weight, jnp.float32)]
+    ) / jnp.asarray(total, jnp.float32)
+    stacked = jnp.stack([d_rows, s_rows])  # [2, B, fetch_k]
+    return rrf_fuse_device(stacked, weights, k=min(k, fetch_k), rrf_k=rrf_k)
 
 
 def table_topk(

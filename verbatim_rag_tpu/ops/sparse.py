@@ -81,7 +81,11 @@ def sparse_topk(
     scores = jnp.moveaxis(scores, 0, 1).reshape(q_dense.shape[0], n_rows)  # [B, N]
     if mask is not None:
         scores = jnp.where(mask[None, :], scores, NEG_INF)
-    return jax.lax.top_k(scores, k)
+    top, rows = jax.lax.top_k(scores, k)
+    # Zero score = no term overlap → not a hit: an inverted index never
+    # surfaces non-matching docs (Milvus parity; term weights are
+    # nonnegative), and downstream RRF must not credit rank to them.
+    return top, jnp.where(top > 0.0, rows, -1)
 
 
 def bm25_saturate(

@@ -151,7 +151,9 @@ def sharded_projected_sparse_topk(
         gk = min(k, flat_scores.shape[1])
         final_scores, pos = jax.lax.top_k(flat_scores, gk)
         final_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
-        final_idx = jnp.where(final_scores > NEG_INF / 2, final_idx, -1)
+        # Zero exact score = no term overlap → not a hit (Milvus parity;
+        # see ops/hybrid.py `_projected_arm`).
+        final_idx = jnp.where(final_scores > 0.0, final_idx, -1)
         return _pad_cols(final_scores, k, NEG_INF), _pad_cols(final_idx, k, -1)
 
     from jax import shard_map
@@ -200,6 +202,8 @@ def sharded_hybrid_topk(
     sketch_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 sketches
     rescore_impl: str = "scan",
     candidate_impl: str = "xla",
+    ft_arm: tuple | None = None,  # (ft_sketch, ft_ids, ft_w [row-sharded],
+    #  ft_q_proj, ft_q_ids, ft_q_w [replicated], ft_weight, ft_scale|None)
 ) -> tuple[jax.Array, jax.Array]:
     """The full hybrid query distributed over the mesh, still ONE program:
     per-shard dense + sketch candidates, per-shard exact sparse rescore,
@@ -207,7 +211,9 @@ def sharded_hybrid_topk(
 
     This is the multi-chip serving path of `DeviceVectorStore` — the scaling
     story Milvus delegates to its cluster (`milvus_base.py:189-313`). The
-    kernel impl knobs apply per shard inside the shard_map body.
+    kernel impl knobs apply per shard inside the shard_map body. With
+    ``ft_arm`` the BM25 full-text method rides the same program as a third
+    projected arm (3-way weighted RRF, `milvus_base.py:366-459`).
     """
     from verbatim_rag_tpu.ops.dense import candidate_topk
     from verbatim_rag_tpu.ops.fusion import rrf_fuse_device
@@ -217,10 +223,47 @@ def sharded_hybrid_topk(
     axis = ("dp", "tp")
     has_dscale = dense_scale is not None
     has_sscale = sketch_scale is not None
+    has_ft = ft_arm is not None
+    if has_ft:
+        ft_sketch, ft_ids, ft_w, ft_qproj, ft_qids, ft_qw, ft_weight, ft_scale = ft_arm
+        has_fscale = ft_scale is not None
+    else:
+        ft_weight, ft_scale, has_fscale = 0.0, None, False
 
-    def local(dense_s, sketch_s, ids_s, w_s, mask_s, dq, qproj, qids, qw, *scales):
-        scale_s = scales[0] if has_dscale else None
-        sscale_s = scales[1 if has_dscale else 0] if has_sscale else None
+    def projected_arm_merged(
+        sketch_s, ids_s, w_s, mask_s, qproj, qids, qw, sscale_s, offset
+    ):
+        """Local sketch candidates → local exact rescore → ICI merge by
+        exact score → global top-fetch_k rows."""
+        n_local = sketch_s.shape[0]
+        local_depth = min(depth, n_local)
+        c_top, cand = candidate_topk(
+            sketch_s, qproj, local_depth, mask_s, sscale_s, exact_topk, sketch_impl
+        )
+        cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
+        exact = rescore_fn(rescore_impl)(cand, ids_s, w_s, qids, qw)
+        lrk = min(fetch_k, local_depth)
+        r_top, r_pos = jax.lax.top_k(exact, lrk)
+        s_idx = jnp.take_along_axis(cand, r_pos, axis=1)
+        s_idx = jnp.where(r_top > NEG_INF / 2, s_idx + offset, -1)
+        s_all_s = jax.lax.all_gather(r_top, axis, axis=1).reshape(r_top.shape[0], -1)
+        s_all_i = jax.lax.all_gather(s_idx, axis, axis=1).reshape(s_idx.shape[0], -1)
+        sgk = min(fetch_k, s_all_s.shape[1])
+        s_gs, s_pos = jax.lax.top_k(s_all_s, sgk)
+        s_rows = jnp.take_along_axis(s_all_i, s_pos, axis=1)
+        # Zero exact score = no term overlap → not a hit (Milvus parity;
+        # see ops/hybrid.py `_projected_arm`).
+        return jnp.where(s_gs > 0.0, s_rows, -1)
+
+    def local(dense_s, sketch_s, ids_s, w_s, mask_s, dq, qproj, qids, qw, *rest):
+        rest = list(rest)
+        ft_s = ft_i = ft_v = fqp = fqi = fqw = None
+        if has_ft:
+            ft_s, ft_i, ft_v, fqp, fqi, fqw = rest[:6]
+            rest = rest[6:]
+        scale_s = rest.pop(0) if has_dscale else None
+        sscale_s = rest.pop(0) if has_sscale else None
+        fscale_s = rest.pop(0) if has_fscale else None
         n_local = dense_s.shape[0]
         offset = jax.lax.axis_index(axis) * n_local
 
@@ -237,33 +280,24 @@ def sharded_hybrid_topk(
         d_rows = jnp.take_along_axis(d_all_i, d_pos, axis=1)
         d_rows = jnp.where(d_gs > NEG_INF / 2, d_rows, -1)
 
-        # Sparse: local sketch candidates → local exact rescore → global merge
-        # by exact score.
-        local_depth = min(depth, n_local)
-        c_top, cand = candidate_topk(
-            sketch_s, qproj, local_depth, mask_s, sscale_s, exact_topk, sketch_impl
+        s_rows = projected_arm_merged(
+            sketch_s, ids_s, w_s, mask_s, qproj, qids, qw, sscale_s, offset
         )
-        cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
-        exact = rescore_fn(rescore_impl)(cand, ids_s, w_s, qids, qw)
-        lrk = min(fetch_k, local_depth)
-        r_top, r_pos = jax.lax.top_k(exact, lrk)
-        s_idx = jnp.take_along_axis(cand, r_pos, axis=1)
-        s_idx = jnp.where(r_top > NEG_INF / 2, s_idx + offset, -1)
-        s_all_s = jax.lax.all_gather(r_top, axis, axis=1).reshape(r_top.shape[0], -1)
-        s_all_i = jax.lax.all_gather(s_idx, axis, axis=1).reshape(s_idx.shape[0], -1)
-        sgk = min(fetch_k, s_all_s.shape[1])
-        s_gs, s_pos = jax.lax.top_k(s_all_s, sgk)
-        s_rows = jnp.take_along_axis(s_all_i, s_pos, axis=1)
-        s_rows = jnp.where(s_gs > NEG_INF / 2, s_rows, -1)
+        arms = [d_rows, s_rows]
+        raw_weights = [dense_weight, sparse_weight]
+        if has_ft:
+            arms.append(
+                projected_arm_merged(
+                    ft_s, ft_i, ft_v, mask_s, fqp, fqi, fqw, fscale_s, offset
+                )
+            )
+            raw_weights.append(ft_weight)
 
-        width = max(d_rows.shape[1], s_rows.shape[1])
-        stacked = jnp.stack([_pad_cols(d_rows, width, -1), _pad_cols(s_rows, width, -1)])
-        total = dense_weight + sparse_weight
+        width = max(a.shape[1] for a in arms)
+        stacked = jnp.stack([_pad_cols(a, width, -1) for a in arms])
+        total = sum(raw_weights)
         weights = jnp.stack(
-            [
-                jnp.asarray(dense_weight, jnp.float32),
-                jnp.asarray(sparse_weight, jnp.float32),
-            ]
+            [jnp.asarray(w, jnp.float32) for w in raw_weights]
         ) / jnp.asarray(total, jnp.float32)
         return rrf_fuse_device(stacked, weights, k=min(k, width), rrf_k=rrf_k)
 
@@ -271,12 +305,18 @@ def sharded_hybrid_topk(
 
     in_specs = (P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(), P(), P())
     args = (dense_corpus, sketch_corpus, sp_ids, sp_w, mask, dense_q, sketch_q, q_ids, q_w)
+    if has_ft:
+        in_specs += (P(axis), P(axis), P(axis), P(), P(), P())
+        args += (ft_sketch, ft_ids, ft_w, ft_qproj, ft_qids, ft_qw)
     if dense_scale is not None:
         in_specs += (P(axis),)
         args += (dense_scale,)
     if sketch_scale is not None:
         in_specs += (P(axis),)
         args += (sketch_scale,)
+    if has_fscale:
+        in_specs += (P(axis),)
+        args += (ft_scale,)
     fn = shard_map(
         local,
         mesh=mesh,
@@ -335,7 +375,9 @@ def sharded_sparse_topk(
         flat_scores = all_scores.reshape(all_scores.shape[0], -1)
         flat_idx = all_idx.reshape(all_idx.shape[0], -1)
         final_scores, pos = jax.lax.top_k(flat_scores, k)
-        return final_scores, jnp.take_along_axis(flat_idx, pos, axis=1)
+        final_idx = jnp.take_along_axis(flat_idx, pos, axis=1)
+        # Zero score = no term overlap → not a hit (ops/sparse.py parity).
+        return final_scores, jnp.where(final_scores > 0.0, final_idx, -1)
 
     from jax import shard_map
 
