@@ -2,8 +2,10 @@
 
 The CI stand-in for multi-slice TPU scale-out (SURVEY.md §2.9 DCN row):
 spawns two fresh CPU processes, forms an 8-device global mesh spanning them,
-and runs `sharded_dense_topk` whose all_gather merge crosses the process
-boundary over Gloo. Exercises `parallel/distributed.py` beyond a no-op.
+and runs the REAL programs across the boundary over Gloo: dense top-k, the
+full hybrid serving program (sketch candidates -> exact rescore -> ICI
+merges -> device RRF, verified against the single-device fused program),
+and one sharded train step (DP+TP+SP) asserting a finite loss.
 """
 
 import os
@@ -62,3 +64,7 @@ def test_two_process_mesh_search():
     for pid, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out[-2000:]}"
         assert f"DCN-OK process={pid}/2" in out
+        # The real programs crossed the boundary: hybrid serving (rescore +
+        # RRF collectives) and one sharded train step with a finite loss.
+        assert "hybrid-top10 verified" in out
+        assert "train-loss=" in out
