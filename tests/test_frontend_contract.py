@@ -128,6 +128,74 @@ class TestScriptedUISession:
 
             # -- facts view: the card list the fact-click path iterates.
             assert all(c["text"] in docs[c["doc_index"]]["content"] for c in citations)
+
+            # -- citation-click → span-flash: renderDocument emits one mark
+            #    per highlight with id `hl-{answer}-{doc}-{idx}`; clicking a
+            #    [n] chip calls flashHighlight which getElementById's that
+            #    exact id. Re-build the emitted id set and assert every
+            #    citation's flash target exists (a drifting id scheme on
+            #    either side would break the flash silently).
+            answer_idx = 0
+            mark_ids = {
+                f"hl-{answer_idx}-{di}-{hi}"
+                for di, d in enumerate(docs)
+                for hi in range(len(d.get("highlights", [])))
+            }
+            for c in citations:
+                target = f"hl-{answer_idx}-{c['doc_index']}-{c['highlight_index']}"
+                assert target in mark_ids, f"flash target {target} unrendered"
+        finally:
+            await client.close()
+
+    async def test_options_panel_template_mode_and_search_type(self, app):
+        """The ⚙ panel's template-mode and search-type selects ride the
+        wire end to end (per-query override, graceful fallback, 400 on a
+        typo'd search_type)."""
+        client = await _session(app)
+        try:
+            t = await (await client.get("/api/templates")).json()
+            assert t["current_mode"] == "static"
+            assert "random" in t["available_modes"]
+
+            q = {"question": "how do solar panels work", "k": 2}
+            r1 = await (await client.post("/api/query", json=q)).json()
+            assert r1["answer"].startswith("## Response")  # static default
+
+            r2 = await (
+                await client.post("/api/query", json={**q, "template_mode": "random"})
+            ).json()
+            assert r2["answer"] and not r2["answer"].startswith("## Response")
+
+            # Unknown template mode falls back to the default — never a 500.
+            r3 = await (
+                await client.post("/api/query", json={**q, "template_mode": "nope"})
+            ).json()
+            assert r3["answer"].startswith("## Response")
+
+            r4 = await client.post("/api/query", json={**q, "search_type": "dense"})
+            assert r4.status == 200
+
+            r5 = await client.post("/api/query", json={**q, "search_type": "cosine"})
+            assert r5.status == 400
+            assert "search_type" in (await r5.json())["detail"]
+
+            # The stream route accepts the same knobs (template override
+            # visible in the final answer event) and 400s BEFORE streaming.
+            r6 = await client.post(
+                "/api/query/stream",
+                json={**q, "template_mode": "random", "search_type": "dense"},
+            )
+            assert r6.status == 200
+            events = [
+                json.loads(ln) for ln in (await r6.text()).splitlines() if ln.strip()
+            ]
+            assert events[-1]["type"] == "answer"
+            assert not events[-1]["data"]["answer"].startswith("## Response")
+
+            r7 = await client.post(
+                "/api/query/stream", json={**q, "search_type": "fuzzy"}
+            )
+            assert r7.status == 400
         finally:
             await client.close()
 

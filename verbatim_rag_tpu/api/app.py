@@ -60,6 +60,20 @@ async def handle_templates(request: web.Request) -> web.Response:
     return web.json_response(tm.info())
 
 
+_SEARCH_TYPES = {"dense", "sparse", "hybrid", "full_text"}
+
+
+def _validate_search_type(data) -> web.Response | None:
+    """400 on an unknown search_type BEFORE the query runs (the UI's ⚙
+    panel sends it; a typo must not surface as a 500)."""
+    st = data.get("search_type")
+    if st is not None and st not in _SEARCH_TYPES:
+        return _json_error(
+            f"unknown search_type {st!r} (expected one of {sorted(_SEARCH_TYPES)})"
+        )
+    return None
+
+
 async def handle_query(request: web.Request) -> web.Response:
     config = deps.get_config()
     try:
@@ -75,6 +89,9 @@ async def handle_query(request: web.Request) -> web.Response:
     # to_thread: first-time construction (index load + model init) takes
     # seconds and shares a lock with the warmup thread — calling it inline
     # would freeze the event loop for every other connection.
+    err = _validate_search_type(data)
+    if err:
+        return err
     rag = await asyncio.to_thread(deps.get_rag)
     params = {
         "k": data.get("k"),
@@ -82,6 +99,8 @@ async def handle_query(request: web.Request) -> web.Response:
         "hybrid_weights": data.get("hybrid_weights"),
         "rrf_k": data.get("rrf_k", 60),
         "search_params": data.get("search_params"),
+        "search_type": data.get("search_type"),
+        "template_mode": data.get("template_mode"),
     }
     try:
         batcher = deps.get_batcher()
@@ -98,6 +117,8 @@ async def handle_query(request: web.Request) -> web.Response:
                 params["hybrid_weights"],
                 params["rrf_k"],
                 params["search_params"],
+                params["search_type"],
+                params["template_mode"],
             )
     except FilterExpressionError as exc:
         return _json_error(f"invalid filter expression: {exc}", status=400)
@@ -116,6 +137,9 @@ async def handle_query_async(request: web.Request) -> web.Response:
     question = _validate_question(data, config.max_question_length)
     if question is None:
         return _json_error("invalid question")
+    err = _validate_search_type(data)
+    if err:
+        return err
     rag = await asyncio.to_thread(deps.get_rag)
     try:
         response = await rag.query_async(
@@ -125,6 +149,8 @@ async def handle_query_async(request: web.Request) -> web.Response:
             hybrid_weights=data.get("hybrid_weights"),
             rrf_k=data.get("rrf_k", 60),
             search_params=data.get("search_params"),
+            search_type=data.get("search_type"),
+            template_mode=data.get("template_mode"),
         )
     except FilterExpressionError as exc:
         return _json_error(f"invalid filter expression: {exc}", status=400)
@@ -197,6 +223,9 @@ async def handle_query_stream(request: web.Request) -> web.StreamResponse:
     question = _validate_question(data, config.max_question_length)
     if question is None:
         return _json_error("invalid question")
+    err = _validate_search_type(data)
+    if err:
+        return err
     # Parse string filters BEFORE the stream starts: a client mistake must
     # surface as the same 400 the non-streaming routes return, not as a
     # mid-stream error event that a Retry would resubmit verbatim.
@@ -233,6 +262,8 @@ async def handle_query_stream(request: web.Request) -> web.StreamResponse:
             hybrid_weights=data.get("hybrid_weights"),
             rrf_k=data.get("rrf_k", 60),
             search_params=data.get("search_params"),
+            search_type=data.get("search_type"),
+            template_mode=data.get("template_mode"),
         ):
             await response.write((json.dumps(event) + "\n").encode())
     except Exception as exc:

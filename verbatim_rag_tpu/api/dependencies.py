@@ -101,6 +101,8 @@ def get_batcher():
                     hybrid_weights=params.get("hybrid_weights"),
                     rrf_k=params.get("rrf_k", 60),
                     search_params=params.get("search_params"),
+                    search_type=params.get("search_type"),
+                    template_mode=params.get("template_mode"),
                 )
 
             _state["batcher"] = MicroBatcher(

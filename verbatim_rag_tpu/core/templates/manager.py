@@ -89,25 +89,41 @@ class TemplateManager:
 
     # -- processing ---------------------------------------------------------------
 
+    def resolve_mode(self, mode: str | None) -> str:
+        """A per-query mode override, falling back to the active mode when
+        the override is unknown or unavailable (e.g. needs an LLM client)."""
+        if mode and mode in self.strategies and self.strategies[mode] is not None:
+            return mode
+        if mode:
+            logger.warning(
+                "Requested template mode %r unavailable; using %s",
+                mode, self.current_mode,
+            )
+        return self.current_mode
+
     def process(
         self,
         question: str,
         display_spans: list[SpanData],
         citation_spans: list[SpanData],
+        mode: str | None = None,
     ) -> str:
         all_spans, citation_count = self._get_template_inputs(display_spans, citation_spans)
-        template = self.strategy.generate(question, all_spans, citation_count)
-        return self.strategy.fill(template, display_spans, citation_spans)
+        strategy = self.strategies[self.resolve_mode(mode)]
+        template = strategy.generate(question, all_spans, citation_count)
+        return strategy.fill(template, display_spans, citation_spans)
 
     async def process_async(
         self,
         question: str,
         display_spans: list[SpanData],
         citation_spans: list[SpanData],
+        mode: str | None = None,
     ) -> str:
         all_spans, citation_count = self._get_template_inputs(display_spans, citation_spans)
-        strategy = self.strategy
-        if self.current_mode == "contextual" and hasattr(strategy, "generate_async"):
+        resolved = self.resolve_mode(mode)
+        strategy = self.strategies[resolved]
+        if resolved == "contextual" and hasattr(strategy, "generate_async"):
             template = await strategy.generate_async(question, all_spans, citation_count)
         else:
             template = strategy.generate(question, all_spans, citation_count)

@@ -101,7 +101,8 @@ def unpack_table(best: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
-                         quantized: tuple[bool, ...]):
+                         quantized: tuple[bool, ...],
+                         score_bf16: bool = False):
     """Build the kernel body for `n_arms` corpora sharing one grid pass.
 
     Ref order: [q_0..q_{A-1}, cT_0..cT_{A-1}, mask,
@@ -137,7 +138,16 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
         for ci in range(n_chunks):
             col0 = ci * dot_chunk
             for a in range(n_arms):
-                acc_t = jnp.int32 if quantized[a] else jnp.float32
+                if quantized[a]:
+                    acc_t = jnp.int32
+                elif score_bf16:
+                    # bf16 MXU epilogue: halves the [qb, dot_chunk] score
+                    # temp's VMEM write+read (the dominant non-MXU term);
+                    # selection precision drops to bf16 — same family as
+                    # the bucket tolerance, candidates feed exact rescore.
+                    acc_t = jnp.bfloat16
+                else:
+                    acc_t = jnp.float32
                 s = jax.lax.dot_general(
                     qs[a],
                     c_refs[a][:, pl.ds(col0, dot_chunk)],
@@ -150,6 +160,8 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                 for g in range(slices):
                     pos = ci * slices + g
                     sl = s[:, g * LANE : (g + 1) * LANE]  # [qb, 128]
+                    if sl.dtype != jnp.float32:
+                        sl = sl.astype(jnp.float32)
                     # Mask arrives ADDITIVE f32 ({0, NEG_INF} per column):
                     # x + 0.0 == x bit-exactly, x + NEG_INF ≈ NEG_INF —
                     # one VPU add instead of compare+select per element.
@@ -163,7 +175,9 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
 
 @partial(
     jax.jit,
-    static_argnames=("block_cols", "dot_chunk", "q_block", "vmem_mb", "interpret"),
+    static_argnames=(
+        "block_cols", "dot_chunk", "q_block", "vmem_mb", "score_bf16", "interpret"
+    ),
 )
 def section_bucket_tables(
     corpora_t: tuple,  # per arm: [d_a, N] bf16/f32, or int8
@@ -174,6 +188,7 @@ def section_bucket_tables(
     dot_chunk: int = DOT_CHUNK,
     q_block: int = Q_BLOCK,
     vmem_mb: int = 100,
+    score_bf16: bool = False,
     interpret: bool = False,
 ) -> tuple:
     """One grid pass over TRANSPOSED corpora -> one packed bucket table
@@ -248,7 +263,9 @@ def section_bucket_tables(
             in_specs.append(pl.BlockSpec((1, block_cols), lambda j, i: (0, j)))
             inputs.append(scales[a].reshape(1, n))
 
-    kernel = _make_section_kernel(n_arms, block_cols, dot_chunk, quantized)
+    kernel = _make_section_kernel(
+        n_arms, block_cols, dot_chunk, quantized, score_bf16=score_bf16
+    )
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks, b_padded // qb),

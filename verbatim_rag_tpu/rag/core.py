@@ -106,6 +106,8 @@ class VerbatimRAG:
         hybrid_weights: Mapping[str, float] | None = None,
         rrf_k: int = 60,
         search_params: Mapping[str, Any] | None = None,
+        search_type: str | None = None,
+        template_mode: str | None = None,
     ) -> QueryResponse:
         decision = self._detect_intent(question)
         if decision is not None and decision.route != "continue":
@@ -115,18 +117,21 @@ class VerbatimRAG:
             question,
             k=k or self.k,
             filter=filter,
+            search_type=search_type,
             hybrid_weights=hybrid_weights,
             rrf_k=rrf_k,
             search_params=search_params,
         )
         results = self._apply_reranker(question, results)
 
-        if self.template_manager.get_current_mode() == "structured":
+        if self.template_manager.resolve_mode(template_mode) == "structured":
             return self._query_structured(question, results)
 
         relevant_spans = self.extractor.extract_spans(question, results)
         display, citation = self._rank_and_split_spans(relevant_spans)
-        answer = self.template_manager.process(question, display, citation)
+        answer = self.template_manager.process(
+            question, display, citation, mode=template_mode
+        )
         answer = self.response_builder.clean_answer(answer)
         return self.response_builder.build_response(
             question=question,
@@ -146,6 +151,8 @@ class VerbatimRAG:
         hybrid_weights: Mapping[str, float] | None = None,
         rrf_k: int = 60,
         search_params: Mapping[str, Any] | None = None,
+        search_type: str | None = None,
+        template_mode: str | None = None,
     ) -> QueryResponse:
         import asyncio
 
@@ -163,7 +170,7 @@ class VerbatimRAG:
             question,
             k or self.k,
             filter,
-            None,
+            search_type,
             hybrid_weights,
             rrf_k,
             search_params,
@@ -174,12 +181,14 @@ class VerbatimRAG:
             except Exception as exc:
                 logger.warning("Reranker failed; keeping retrieval order: %s", exc)
 
-        if self.template_manager.get_current_mode() == "structured":
+        if self.template_manager.resolve_mode(template_mode) == "structured":
             return await asyncio.to_thread(self._query_structured, question, results)
 
         relevant_spans = await self.extractor.extract_spans_async(question, results)
         display, citation = self._rank_and_split_spans(relevant_spans)
-        answer = await self.template_manager.process_async(question, display, citation)
+        answer = await self.template_manager.process_async(
+            question, display, citation, mode=template_mode
+        )
         answer = self.response_builder.clean_answer(answer)
         return self.response_builder.build_response(
             question=question,
@@ -197,6 +206,8 @@ class VerbatimRAG:
         hybrid_weights: Mapping[str, float] | None = None,
         rrf_k: int = 60,
         search_params: Mapping[str, Any] | None = None,
+        search_type: str | None = None,
+        template_mode: str | None = None,
     ) -> list[QueryResponse]:
         """Serve many questions with ONE batched retrieval dispatch.
 
@@ -208,11 +219,12 @@ class VerbatimRAG:
         queries. The batched-serving entry the reference lacks (its query
         path is strictly one-question, `core.py:210-277`).
         """
-        if self.template_manager.get_current_mode() == "structured":
+        if self.template_manager.resolve_mode(template_mode) == "structured":
             return [
                 self.query(
                     q, k=k, filter=filter, hybrid_weights=hybrid_weights,
                     rrf_k=rrf_k, search_params=search_params,
+                    search_type=search_type, template_mode=template_mode,
                 )
                 for q in questions
             ]
@@ -232,6 +244,7 @@ class VerbatimRAG:
             live_questions,
             k=k or self.k,
             filter=filter,
+            search_type=search_type,
             hybrid_weights=hybrid_weights,
             rrf_k=rrf_k,
             search_params=search_params,
@@ -253,7 +266,9 @@ class VerbatimRAG:
         responses = []
         for question, results, relevant_spans in zip(questions, reranked, spans_per_q):
             display, citation = self._rank_and_split_spans(relevant_spans)
-            answer = self.template_manager.process(question, display, citation)
+            answer = self.template_manager.process(
+                question, display, citation, mode=template_mode
+            )
             answer = self.response_builder.clean_answer(answer)
             responses.append(
                 self.response_builder.build_response(

@@ -36,6 +36,8 @@ class StreamingRAG:
         hybrid_weights: Mapping[str, float] | None = None,
         rrf_k: int = 60,
         search_params: Mapping[str, Any] | None = None,
+        search_type: str | None = None,
+        template_mode: str | None = None,
     ) -> AsyncIterator[dict[str, Any]]:
         rag = self.rag
         from verbatim_rag_tpu.utils.profiling import StageTimer
@@ -58,7 +60,7 @@ class StreamingRAG:
         try:
             with timer.stage("retrieve"):
                 results = await asyncio.to_thread(
-                    rag.index.query, question, k or rag.k, filter, None,
+                    rag.index.query, question, k or rag.k, filter, search_type,
                     hybrid_weights, rrf_k, search_params,
                 )
             if rag.reranker is not None:
@@ -127,7 +129,9 @@ class StreamingRAG:
         try:
             with timer.stage("template"):
                 display, citation = rag._rank_and_split_spans(relevant_spans)
-                answer = await rag.template_manager.process_async(question, display, citation)
+                answer = await rag.template_manager.process_async(
+                    question, display, citation, mode=template_mode
+                )
                 answer = rag.response_builder.clean_answer(answer)
                 response = rag.response_builder.build_response(
                     question=question,
