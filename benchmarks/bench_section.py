@@ -44,6 +44,11 @@ def main() -> None:
         help="block_cols:dot_chunk:q_block[:vmem_mb] tuples (default sweep)",
     )
     parser.add_argument("--skip-xla", action="store_true")
+    parser.add_argument("--score-bf16", action="store_true")
+    parser.add_argument(
+        "--arms", default="both", choices=("both", "dense", "sketch"),
+        help="single-arm decomposition probe",
+    )
     parser.add_argument(
         "--full", action="store_true",
         help="A/B the FULL hybrid program (candidates + rescore + RRF): "
@@ -112,9 +117,9 @@ def main() -> None:
     x_rows_d, x_rows_s = np.asarray(x_rows_d), np.asarray(x_rows_s)
 
     # Exact ground truth for overlap accounting (f32 matmul on device, in
-    # column chunks to bound memory).
+    # column chunks to bound memory; top-k via argpartition — a full
+    # argsort of [512, 1M] takes minutes on this 1-vCPU host).
     def exact_rows(corpus, q, k):
-        outs = []
         step = 131072
         scores = []
         for s0 in range(0, args.n, step):
@@ -123,7 +128,8 @@ def main() -> None:
                 blk = blk.astype(jnp.float32) * (d_scale if corpus is dense else s_scale)[s0 : s0 + step]
             scores.append(np.asarray(jnp.dot(q, blk.T.astype(jnp.float32))))
         sc = np.concatenate(scores, axis=1)
-        return np.argsort(-sc, axis=1)[:, :k]
+        part = np.argpartition(-sc, k, axis=1)[:, :k]
+        return part  # an unordered top-k set — overlap() only needs the set
 
     gt_d = exact_rows(dense, dq, args.fetch_k)
     gt_s = exact_rows(sketch, sq, args.depth)
@@ -154,31 +160,45 @@ def main() -> None:
 
         @partial(jax.jit, static_argnames=())
         def run_section(dt, st, q1, q2, m, ds, ss, bc=bc, dc=dc, qb=qb, vmem=vmem):
-            td, ts = section_bucket_tables(
-                (dt, st), (q1, q2), m,
-                scales=(ds, ss) if args.int8 else (),
+            if args.arms == "both":
+                corpora, queries = (dt, st), (q1, q2)
+                scales = (ds, ss) if args.int8 else ()
+                ks = (args.fetch_k, args.depth)
+            elif args.arms == "dense":
+                corpora, queries = (dt,), (q1,)
+                scales = (ds,) if args.int8 else ()
+                ks = (args.fetch_k,)
+            else:
+                corpora, queries = (st,), (q2,)
+                scales = (ss,) if args.int8 else ()
+                ks = (args.depth,)
+            tables = section_bucket_tables(
+                corpora, queries, m, scales=scales,
                 block_cols=bc, dot_chunk=dc, q_block=qb, vmem_mb=vmem,
-                interpret=interpret,
+                score_bf16=args.score_bf16, interpret=interpret,
             )
-            _, d_rows = table_topk(td, args.fetch_k, bc, args.n)
-            _, s_rows = table_topk(ts, args.depth, bc, args.n)
-            return d_rows, s_rows
+            return tuple(
+                table_topk(t, kk, bc, args.n)[1] for t, kk in zip(tables, ks)
+            )
 
         try:
             sync, dev = timeit(
                 run_section, dense_t, sketch_t, dq, sq, mask, d_scale, s_scale
             )
-            rows_d, rows_s = run_section(
-                dense_t, sketch_t, dq, sq, mask, d_scale, s_scale
-            )
-            rows_d, rows_s = np.asarray(rows_d), np.asarray(rows_s)
-            print(json.dumps({
+            rows = run_section(dense_t, sketch_t, dq, sq, mask, d_scale, s_scale)
+            out = {
                 "impl": f"section_{cfg}", "sync_ms": round(sync, 2),
-                "device_ms": round(dev, 2),
-                "dense_overlap": round(overlap(rows_d, gt_d), 4),
-                "sketch_overlap": round(overlap(rows_s, gt_s), 4),
-                "int8": args.int8,
-            }), flush=True)
+                "device_ms": round(dev, 2), "int8": args.int8,
+                "arms": args.arms, "score_bf16": args.score_bf16,
+            }
+            if args.arms == "both":
+                out["dense_overlap"] = round(overlap(np.asarray(rows[0]), gt_d), 4)
+                out["sketch_overlap"] = round(overlap(np.asarray(rows[1]), gt_s), 4)
+            elif args.arms == "dense":
+                out["dense_overlap"] = round(overlap(np.asarray(rows[0]), gt_d), 4)
+            else:
+                out["sketch_overlap"] = round(overlap(np.asarray(rows[0]), gt_s), 4)
+            print(json.dumps(out), flush=True)
         except Exception as exc:  # noqa: BLE001 — sweep must report and go on
             print(json.dumps({
                 "impl": f"section_{cfg}",
