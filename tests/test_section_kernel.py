@@ -92,6 +92,32 @@ class TestSectionTables:
         )
         assert overlap > 0.9  # bf16 selection: same approx family
 
+    def test_maskless_and_or_only_pack_decode(self):
+        """mask=None (no-tombstone serving) + score_bf16 (OR-only pack):
+        the decoded rows must still be exact — the bf16 upcast's zero low
+        mantissa bits are what make dropping the AND legal."""
+        n, d, b, bc = 512, 32, 8, 256
+        c = RNG.normal(size=(n, d)).astype(np.float32)
+        q = RNG.normal(size=(b, d)).astype(np.float32)
+        (t,) = section_bucket_tables(
+            (jnp.asarray(c.T),), (jnp.asarray(q),), None,
+            block_cols=bc, dot_chunk=256, q_block=8,
+            score_bf16=True, interpret=True,
+        )
+        # Reference at bf16 score precision (the epilogue's selection dtype).
+        scores = (q @ c.T).astype(np.float32)
+        scores_bf16 = jnp.asarray(scores).astype(jnp.bfloat16).astype(jnp.float32)
+        ref_vals, ref_rows = _bucket_reference(
+            np.asarray(scores_bf16), np.ones(n, bool), bc
+        )
+        got = np.asarray(t)
+        vals, pos = (np.asarray(x) for x in unpack_table(jnp.asarray(got)))
+        cols = np.arange(got.shape[1])
+        rows = (cols[None, :] // LANE) * bc + pos * LANE + (cols[None, :] % LANE)
+        # Ties at bf16 precision may pick either row; demand near-total match.
+        assert (rows == ref_rows).mean() > 0.99
+        np.testing.assert_allclose(vals, ref_vals, rtol=1e-2, atol=1e-2)
+
     def test_int8_arm(self):
         n, d, b, bc = 1024, 64, 16, 512
         c = RNG.normal(size=(n, d)).astype(np.float32)

@@ -79,17 +79,20 @@ DOT_CHUNK = 2048
 Q_BLOCK = 512
 
 
-def _pack_pos_const(scores: jax.Array, pos: int) -> jax.Array:
+def _pack_pos_const(scores: jax.Array, pos: int, clear: bool = True) -> jax.Array:
     """Overwrite the low 7 mantissa bits of f32 `scores` with the STATIC
     in-block position `pos` (monotone within 127 ulp, sign-magnitude).
 
     The clearing AND is required for a correct decode — an OR-only pack
     leaves the score's own low bits in the pos field (measured: row decode
-    collapses to ~2% match). Bitcasts are register reinterprets (free);
-    the pack costs 2 VPU ops per score element."""
+    collapses to ~2% match). Exception: scores upcast from a bf16 MXU
+    epilogue have their low 16 mantissa bits ZERO by construction, so
+    ``clear=False`` legally drops the AND (this chain runs once per score
+    element — each op is ~0.5 ms at the [512, 1M] serving point)."""
     bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
-    packed = (bits & jnp.int32(~_POS_MASK)) | jnp.int32(pos)
-    return jax.lax.bitcast_convert_type(packed, jnp.float32)
+    if clear:
+        bits = bits & jnp.int32(~_POS_MASK)
+    return jax.lax.bitcast_convert_type(bits | jnp.int32(pos), jnp.float32)
 
 
 def unpack_table(best: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -102,7 +105,8 @@ def unpack_table(best: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                          quantized: tuple[bool, ...],
-                         score_bf16: bool = False):
+                         score_bf16: bool = False,
+                         has_mask: bool = True):
     """Build the kernel body for `n_arms` corpora sharing one grid pass.
 
     Ref order: [q_0..q_{A-1}, cT_0..cT_{A-1}, mask,
@@ -116,8 +120,13 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
     def kernel(*refs):
         q_refs = refs[:n_arms]
         c_refs = refs[n_arms : 2 * n_arms]
-        mask_ref = refs[2 * n_arms]
-        scale_refs = refs[2 * n_arms + 1 : 2 * n_arms + 1 + 2 * sum(quantized)]
+        if has_mask:
+            mask_ref = refs[2 * n_arms]
+            rest0 = 2 * n_arms + 1
+        else:
+            mask_ref = None
+            rest0 = 2 * n_arms
+        scale_refs = refs[rest0 : rest0 + 2 * sum(quantized)]
         out_refs = refs[-n_arms:]
 
         qs = [q_refs[a][...] for a in range(n_arms)]
@@ -157,16 +166,20 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                 if quantized[a]:
                     cs = cscale_refs[a][:, pl.ds(col0, dot_chunk)]  # [1, dc]
                     s = s.astype(jnp.float32) * qscales[a] * cs
+                # bf16 upcast guarantees zero low mantissa bits -> OR-only.
+                clear = not (score_bf16 and not quantized[a])
                 for g in range(slices):
                     pos = ci * slices + g
                     sl = s[:, g * LANE : (g + 1) * LANE]  # [qb, 128]
                     if sl.dtype != jnp.float32:
                         sl = sl.astype(jnp.float32)
-                    # Mask arrives ADDITIVE f32 ({0, NEG_INF} per column):
-                    # x + 0.0 == x bit-exactly, x + NEG_INF ≈ NEG_INF —
-                    # one VPU add instead of compare+select per element.
-                    m = mask_ref[:, pl.ds(col0 + g * LANE, LANE)]  # [1, 128]
-                    accs[a] = jnp.maximum(accs[a], _pack_pos_const(sl, pos) + m)
+                    packed = _pack_pos_const(sl, pos, clear=clear)
+                    if mask_ref is not None:
+                        # Mask arrives ADDITIVE f32 ({0, NEG_INF} per
+                        # column): x + 0.0 == x bit-exactly, x + NEG_INF
+                        # ≈ NEG_INF — one VPU add vs compare+select.
+                        packed = packed + mask_ref[:, pl.ds(col0 + g * LANE, LANE)]
+                    accs[a] = jnp.maximum(accs[a], packed)
         for a in range(n_arms):
             out_refs[a][...] = accs[a]
 
@@ -182,7 +195,8 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
 def section_bucket_tables(
     corpora_t: tuple,  # per arm: [d_a, N] bf16/f32, or int8
     queries: tuple,  # per arm: [B, d_a]
-    mask: jax.Array,  # [N] bool
+    mask: jax.Array | None,  # [N] bool; None = every row live (saves one
+    #   VPU add per score element — the common no-tombstone serving case)
     scales: tuple = (),  # per arm: [N, 1] f32 for int8 arms, else None
     block_cols: int = BLOCK_COLS,
     dot_chunk: int = DOT_CHUNK,
@@ -240,7 +254,11 @@ def section_bucket_tables(
     n_blocks = n // block_cols
     # Additive mask: 0.0 keeps a score bit-exactly, NEG_INF drowns it —
     # one VPU add per element inside the kernel (vs compare+select).
-    mask_row = jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32).reshape(1, n)
+    mask_row = (
+        None
+        if mask is None
+        else jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32).reshape(1, n)
+    )
 
     # Grid: query tiles innermost -> each corpus block is DMA'd once and
     # reused across the whole batch (one tile at the serving qb=512).
@@ -254,8 +272,9 @@ def section_bucket_tables(
         d = corpora_t[a].shape[0]
         in_specs.append(pl.BlockSpec((d, block_cols), lambda j, i: (0, j)))
         inputs.append(corpora_t[a])
-    in_specs.append(pl.BlockSpec((1, block_cols), lambda j, i: (0, j)))
-    inputs.append(mask_row)
+    if mask_row is not None:
+        in_specs.append(pl.BlockSpec((1, block_cols), lambda j, i: (0, j)))
+        inputs.append(mask_row)
     for a in range(n_arms):
         if quantized[a]:
             in_specs.append(pl.BlockSpec((qb, 1), lambda j, i: (i, 0)))
@@ -264,7 +283,8 @@ def section_bucket_tables(
             inputs.append(scales[a].reshape(1, n))
 
     kernel = _make_section_kernel(
-        n_arms, block_cols, dot_chunk, quantized, score_bf16=score_bf16
+        n_arms, block_cols, dot_chunk, quantized, score_bf16=score_bf16,
+        has_mask=mask_row is not None,
     )
     out = pl.pallas_call(
         kernel,
@@ -304,7 +324,7 @@ def hybrid_section_topk(
     k: int,
     fetch_k: int,
     depth: int,
-    mask: jax.Array,  # [N] bool
+    mask: jax.Array | None,  # [N] bool; None = every row live
     dense_weight: jax.Array | float = 0.5,
     sparse_weight: jax.Array | float = 0.5,
     rrf_k: int = 60,
