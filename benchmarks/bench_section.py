@@ -46,6 +46,11 @@ def main() -> None:
     parser.add_argument("--skip-xla", action="store_true")
     parser.add_argument("--score-bf16", action="store_true")
     parser.add_argument(
+        "--no-mask", action="store_true",
+        help="mask=None (bulk-loaded store, capacity == rows): saves one "
+        "VPU add per score element in the kernel",
+    )
+    parser.add_argument(
         "--arms", default="both", choices=("both", "dense", "sketch"),
         help="single-arm decomposition probe",
     )
@@ -173,7 +178,7 @@ def main() -> None:
                 scales = (ss,) if args.int8 else ()
                 ks = (args.depth,)
             tables = section_bucket_tables(
-                corpora, queries, m, scales=scales,
+                corpora, queries, None if args.no_mask else m, scales=scales,
                 block_cols=bc, dot_chunk=dc, q_block=qb, vmem_mb=vmem,
                 score_bf16=args.score_bf16, interpret=interpret,
             )

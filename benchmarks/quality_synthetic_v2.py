@@ -186,6 +186,14 @@ def main() -> None:
         "best-F1 checkpoint of an interrupted run) through the same "
         "dataset/decode pipeline.",
     )
+    parser.add_argument(
+        "--full-size",
+        action="store_true",
+        help="Train the PRODUCTION 150M ModernBERT config end to end "
+        "(VERDICT r3 #7: validates the full-scale train->decode pipeline "
+        "on-chip, not just the tiny config). Defaults tuned for a short "
+        "on-TPU run: pass --epochs 3-6.",
+    )
     args = parser.parse_args()
 
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
@@ -202,14 +210,25 @@ def main() -> None:
     from verbatim_rag_tpu.training.token_dataset import TokenDatasetEncoder
     from verbatim_rag_tpu.training.trainer import Trainer
 
-    config = tiny_test_config(
-        vocab_size=4096,
-        hidden_size=64,
-        num_layers=3,
-        num_heads=4,
-        intermediate_size=128,
-        max_position_embeddings=512,
-    )
+    if args.full_size:
+        from verbatim_rag_tpu.models.config import modernbert_base_config
+
+        # The production highlighter backbone (22 layers, 768 hidden,
+        # flash attention) trained from scratch on the v2 task — a short
+        # run can't reach the tiny config's converged band on held-out
+        # OOD rows, but it must clear the random floor decisively and the
+        # decode sensitivity must move; both validate the full-scale
+        # train->decode pipeline on real hardware.
+        config = modernbert_base_config(max_position_embeddings=512)
+    else:
+        config = tiny_test_config(
+            vocab_size=4096,
+            hidden_size=64,
+            num_layers=3,
+            num_heads=4,
+            intermediate_size=128,
+            max_position_embeddings=512,
+        )
     data = make_dataset(6000, seed=11)
     train = [e for e in data if e.split == "train"]
     dev = [e for e in data if e.split == "dev"][:100]
@@ -222,16 +241,18 @@ def main() -> None:
     if args.score_checkpoint:
         trained_params = Trainer.load_checkpoint(args.score_checkpoint, params)
     else:
+        lr = 3e-4 if args.full_size else 1e-3
         trainer = Trainer(
             params,
             config,
             TrainingConfig(
-                learning_rate=1e-3,
+                learning_rate=lr,
                 num_epochs=args.epochs,
                 batch_size=16,
                 warmup_steps=min(500, args.epochs * 4),
             ),
-            output_dir="/tmp/quality_synth_v2_ckpt",
+            output_dir="/tmp/quality_synth_v2_ckpt"
+            + ("_full" if args.full_size else ""),
             loss_fn=token_loss,
             total_steps=args.epochs * (len(train) // 16 + 1),
         )
@@ -278,7 +299,8 @@ def main() -> None:
 
     f1 = score(trained_params)
     result = {
-        "metric": "micro_word_f1_synthetic_v2_100row",
+        "metric": "micro_word_f1_synthetic_v2_100row"
+        + ("_150m" if args.full_size else ""),
         "trained": f1,
         "random_init_control": score(init_highlighter_params(jax.random.PRNGKey(1), config)),
         # Decode-sensitivity probe: these MUST differ from `trained` on a

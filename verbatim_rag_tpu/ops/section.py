@@ -147,16 +147,7 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
         for ci in range(n_chunks):
             col0 = ci * dot_chunk
             for a in range(n_arms):
-                if quantized[a]:
-                    acc_t = jnp.int32
-                elif score_bf16:
-                    # bf16 MXU epilogue: halves the [qb, dot_chunk] score
-                    # temp's VMEM write+read (the dominant non-MXU term);
-                    # selection precision drops to bf16 — same family as
-                    # the bucket tolerance, candidates feed exact rescore.
-                    acc_t = jnp.bfloat16
-                else:
-                    acc_t = jnp.float32
+                acc_t = jnp.int32 if quantized[a] else jnp.float32
                 s = jax.lax.dot_general(
                     qs[a],
                     c_refs[a][:, pl.ds(col0, dot_chunk)],
@@ -166,6 +157,13 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                 if quantized[a]:
                     cs = cscale_refs[a][:, pl.ds(col0, dot_chunk)]  # [1, dc]
                     s = s.astype(jnp.float32) * qscales[a] * cs
+                elif score_bf16:
+                    # bf16 score epilogue: halves the [qb, dot_chunk] score
+                    # temp's VMEM traffic (Mosaic's matmul acc must stay
+                    # 32-bit, so the narrowing is a cast on the way out);
+                    # selection precision drops to bf16 — same approximate
+                    # family, candidates feed the exact rescore.
+                    s = s.astype(jnp.bfloat16)
                 # bf16 upcast guarantees zero low mantissa bits -> OR-only.
                 clear = not (score_bf16 and not quantized[a])
                 for g in range(slices):
