@@ -44,7 +44,17 @@ def main() -> None:
         help="block_cols:dot_chunk:q_block[:vmem_mb] tuples (default sweep)",
     )
     parser.add_argument("--skip-xla", action="store_true")
+    parser.add_argument(
+        "--skip-gt", action="store_true",
+        help="skip exact-scan ground truth + overlap accounting (pure "
+        "timing sweeps; the quality gate run must omit this)",
+    )
     parser.add_argument("--score-bf16", action="store_true")
+    parser.add_argument(
+        "--no-pack", action="store_true",
+        help="skeleton probe: running max WITHOUT the position pack "
+        "(row decode meaningless — timing only, measures the dot+max floor)",
+    )
     parser.add_argument(
         "--no-mask", action="store_true",
         help="mask=None (bulk-loaded store, capacity == rows): saves one "
@@ -53,6 +63,15 @@ def main() -> None:
     parser.add_argument(
         "--arms", default="both", choices=("both", "dense", "sketch"),
         help="single-arm decomposition probe",
+    )
+    parser.add_argument(
+        "--table-select", default="exact", choices=("exact", "approx"),
+        help="table top-k impl: exact lax.top_k vs approx_max_k(0.99)",
+    )
+    parser.add_argument(
+        "--no-topk", action="store_true",
+        help="time the Pallas kernel ALONE (skip the table top-k decode) — "
+        "separates kernel cost from lax.top_k over the bucket table",
     )
     parser.add_argument(
         "--full", action="store_true",
@@ -65,8 +84,11 @@ def main() -> None:
 
     import jax
 
+    from verbatim_rag_tpu.utils.jax_cache import enable_persistent_compilation_cache
+
     if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    enable_persistent_compilation_cache()
     import jax.numpy as jnp
 
     interpret = jax.devices()[0].platform not in ("tpu", "axon")
@@ -121,23 +143,35 @@ def main() -> None:
     )
     x_rows_d, x_rows_s = np.asarray(x_rows_d), np.asarray(x_rows_s)
 
-    # Exact ground truth for overlap accounting (f32 matmul on device, in
-    # column chunks to bound memory; top-k via argpartition — a full
-    # argsort of [512, 1M] takes minutes on this 1-vCPU host).
+    # Exact ground truth for overlap accounting. The top-k runs ON DEVICE
+    # per column chunk (readback = [B, k] per chunk, not the [B, N] score
+    # matrix — a 2 GB readback over the tunnel cost the first version of
+    # this harness ~7 min), then a host merge of the per-chunk winners.
     def exact_rows(corpus, q, k):
         step = 131072
-        scores = []
+
+        @jax.jit
+        def chunk_topk(blk, scale, q):
+            s = blk.astype(jnp.float32)
+            if scale is not None:
+                s = s * scale
+            return jax.lax.top_k(jnp.dot(q, s.T), k)
+
+        vals, idxs = [], []
         for s0 in range(0, args.n, step):
             blk = corpus[s0 : s0 + step]
-            if hasattr(blk, "astype") and blk.dtype == jnp.int8:
-                blk = blk.astype(jnp.float32) * (d_scale if corpus is dense else s_scale)[s0 : s0 + step]
-            scores.append(np.asarray(jnp.dot(q, blk.T.astype(jnp.float32))))
-        sc = np.concatenate(scores, axis=1)
-        part = np.argpartition(-sc, k, axis=1)[:, :k]
-        return part  # an unordered top-k set — overlap() only needs the set
-
-    gt_d = exact_rows(dense, dq, args.fetch_k)
-    gt_s = exact_rows(sketch, sq, args.depth)
+            scale = None
+            if hasattr(blk, "dtype") and blk.dtype == jnp.int8:
+                scale = (d_scale if corpus is dense else s_scale)[s0 : s0 + step]
+            v, i = chunk_topk(blk, scale, q)
+            vals.append(np.asarray(v))
+            idxs.append(np.asarray(i) + s0)
+        v = np.concatenate(vals, axis=1)
+        i = np.concatenate(idxs, axis=1)
+        if v.shape[1] <= k:
+            return i
+        sel = np.argpartition(-v, k, axis=1)[:, :k]
+        return np.take_along_axis(i, sel, axis=1)  # unordered top-k set
 
     def overlap(rows, gt):
         return float(np.mean([
@@ -145,11 +179,16 @@ def main() -> None:
             for i in range(rows.shape[0])
         ]))
 
-    print(json.dumps({
-        "impl": "xla_section_overlap",
-        "dense_overlap": round(overlap(x_rows_d, gt_d), 4),
-        "sketch_overlap": round(overlap(x_rows_s, gt_s), 4),
-    }), flush=True)
+    if args.skip_gt:
+        gt_d = gt_s = None
+    else:
+        gt_d = exact_rows(dense, dq, args.fetch_k)
+        gt_s = exact_rows(sketch, sq, args.depth)
+        print(json.dumps({
+            "impl": "xla_section_overlap",
+            "dense_overlap": round(overlap(x_rows_d, gt_d), 4),
+            "sketch_overlap": round(overlap(x_rows_s, gt_s), 4),
+        }), flush=True)
 
     configs = args.configs or [
         "8192:2048:512", "8192:2048:256", "16384:2048:512", "4096:2048:512",
@@ -180,10 +219,14 @@ def main() -> None:
             tables = section_bucket_tables(
                 corpora, queries, None if args.no_mask else m, scales=scales,
                 block_cols=bc, dot_chunk=dc, q_block=qb, vmem_mb=vmem,
-                score_bf16=args.score_bf16, interpret=interpret,
+                score_bf16=args.score_bf16, pack=not args.no_pack,
+                interpret=interpret,
             )
+            if args.no_topk:
+                return tables
             return tuple(
-                table_topk(t, kk, bc, args.n)[1] for t, kk in zip(tables, ks)
+                table_topk(t, kk, bc, args.n, select_impl=args.table_select)[1]
+                for t, kk in zip(tables, ks)
             )
 
         try:
@@ -196,13 +239,20 @@ def main() -> None:
                 "device_ms": round(dev, 2), "int8": args.int8,
                 "arms": args.arms, "score_bf16": args.score_bf16,
             }
-            if args.arms == "both":
-                out["dense_overlap"] = round(overlap(np.asarray(rows[0]), gt_d), 4)
-                out["sketch_overlap"] = round(overlap(np.asarray(rows[1]), gt_s), 4)
-            elif args.arms == "dense":
-                out["dense_overlap"] = round(overlap(np.asarray(rows[0]), gt_d), 4)
-            else:
-                out["sketch_overlap"] = round(overlap(np.asarray(rows[0]), gt_s), 4)
+            if args.no_pack:
+                out["no_pack"] = True
+                gt_d = gt_s = None  # row decode is meaningless in this probe
+            if args.no_topk:
+                out["no_topk"] = True
+                gt_d = gt_s = None  # tables, not rows — nothing to overlap
+            if gt_d is not None:
+                if args.arms == "both":
+                    out["dense_overlap"] = round(overlap(np.asarray(rows[0]), gt_d), 4)
+                    out["sketch_overlap"] = round(overlap(np.asarray(rows[1]), gt_s), 4)
+                elif args.arms == "dense":
+                    out["dense_overlap"] = round(overlap(np.asarray(rows[0]), gt_d), 4)
+                else:
+                    out["sketch_overlap"] = round(overlap(np.asarray(rows[0]), gt_s), 4)
             print(json.dumps(out), flush=True)
         except Exception as exc:  # noqa: BLE001 — sweep must report and go on
             print(json.dumps({

@@ -106,7 +106,8 @@ def unpack_table(best: jax.Array) -> tuple[jax.Array, jax.Array]:
 def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                          quantized: tuple[bool, ...],
                          score_bf16: bool = False,
-                         has_mask: bool = True):
+                         has_mask: bool = True,
+                         pack: bool = True):
     """Build the kernel body for `n_arms` corpora sharing one grid pass.
 
     Ref order: [q_0..q_{A-1}, cT_0..cT_{A-1}, mask,
@@ -171,7 +172,9 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                     sl = s[:, g * LANE : (g + 1) * LANE]  # [qb, 128]
                     if sl.dtype != jnp.float32:
                         sl = sl.astype(jnp.float32)
-                    packed = _pack_pos_const(sl, pos, clear=clear)
+                    # pack=False: bench-only skeleton probe (values right,
+                    # row decode meaningless) — measures the dot+max floor.
+                    packed = _pack_pos_const(sl, pos, clear=clear) if pack else sl
                     if mask_ref is not None:
                         # Mask arrives ADDITIVE f32 ({0, NEG_INF} per
                         # column): x + 0.0 == x bit-exactly, x + NEG_INF
@@ -187,7 +190,8 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
 @partial(
     jax.jit,
     static_argnames=(
-        "block_cols", "dot_chunk", "q_block", "vmem_mb", "score_bf16", "interpret"
+        "block_cols", "dot_chunk", "q_block", "vmem_mb", "score_bf16",
+        "pack", "interpret"
     ),
 )
 def section_bucket_tables(
@@ -201,6 +205,7 @@ def section_bucket_tables(
     q_block: int = Q_BLOCK,
     vmem_mb: int = 100,
     score_bf16: bool = False,
+    pack: bool = True,
     interpret: bool = False,
 ) -> tuple:
     """One grid pass over TRANSPOSED corpora -> one packed bucket table
@@ -282,7 +287,7 @@ def section_bucket_tables(
 
     kernel = _make_section_kernel(
         n_arms, block_cols, dot_chunk, quantized, score_bf16=score_bf16,
-        has_mask=mask_row is not None,
+        has_mask=mask_row is not None, pack=pack,
     )
     out = pl.pallas_call(
         kernel,
@@ -382,13 +387,24 @@ def table_topk(
     k: int,
     block_cols: int,
     n: int,
+    select_impl: str = "exact",
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k over a packed table -> (values [B, k] f32, global rows [B, k]
     i32; -1 where masked/absent). The packed low bits perturb ordering by
     <=127 ulp — the approx-selection family's contract — so the top-k runs
-    directly on the packed values and only the k winners are decoded."""
+    directly on the packed values and only the k winners are decoded.
+
+    select_impl="approx" uses `lax.approx_max_k` (recall 0.99, aggregated
+    to an exact top-k of the survivors) — the table is already an
+    approximate selection, so the extra approximation layer composes
+    inside the same quality knob; measured A/B in bench_section.py."""
     k = min(k, table.shape[1])
-    top_packed, cols = jax.lax.top_k(table, k)
+    if select_impl == "approx":
+        top_packed, cols = jax.lax.approx_max_k(
+            table, k, recall_target=0.99, aggregate_to_topk=True
+        )
+    else:
+        top_packed, cols = jax.lax.top_k(table, k)
     vals, pos = unpack_table(top_packed)
     rows = (cols // LANE) * block_cols + pos * LANE + (cols % LANE)
     rows = jnp.minimum(rows, n - 1)  # all-masked buckets decode junk pos
