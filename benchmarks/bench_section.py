@@ -56,6 +56,11 @@ def main() -> None:
         "(row decode meaningless — timing only, measures the dot+max floor)",
     )
     parser.add_argument(
+        "--no-reduce", action="store_true",
+        help="skeleton probe: skip the running-max reads of 15/16 of each "
+        "score tile — measures the MXU+DMA floor (timing only)",
+    )
+    parser.add_argument(
         "--no-mask", action="store_true",
         help="mask=None (bulk-loaded store, capacity == rows): saves one "
         "VPU add per score element in the kernel",
@@ -220,10 +225,14 @@ def main() -> None:
                 corpora, queries, None if args.no_mask else m, scales=scales,
                 block_cols=bc, dot_chunk=dc, q_block=qb, vmem_mb=vmem,
                 score_bf16=args.score_bf16, pack=not args.no_pack,
+                reduce=not args.no_reduce,
                 interpret=interpret,
             )
             if args.no_topk:
-                return tables
+                # Reduce to [B] per arm: the table readback (16 MB) costs
+                # ~400 ms on the tunnel and would swamp the kernel timing;
+                # one jnp.max over the table is ~0.02 ms of HBM traffic.
+                return tuple(jnp.max(t, axis=1) for t in tables)
             return tuple(
                 table_topk(t, kk, bc, args.n, select_impl=args.table_select)[1]
                 for t, kk in zip(tables, ks)
@@ -242,6 +251,9 @@ def main() -> None:
             if args.no_pack:
                 out["no_pack"] = True
                 gt_d = gt_s = None  # row decode is meaningless in this probe
+            if args.no_reduce:
+                out["no_reduce"] = True
+                gt_d = gt_s = None
             if args.no_topk:
                 out["no_topk"] = True
                 gt_d = gt_s = None  # tables, not rows — nothing to overlap
@@ -312,6 +324,7 @@ def run_full_program_ab(args, dense, sketch, dense_t, sketch_t, dq, sq,
                 dt, st, sp_ids, sp_w, q1, q2, qi, qw,
                 k=top_k, fetch_k=fetch_k, depth=depth, mask=m,
                 dense_scale=ds, sketch_scale=ss, rescore_impl="pallas",
+                table_select=args.table_select,
                 block_cols=bc, dot_chunk=dc, q_block=qb, vmem_mb=vmem,
                 interpret=interpret,
             )

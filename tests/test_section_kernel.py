@@ -137,6 +137,24 @@ class TestSectionTables:
         )
         assert overlap > 0.9
 
+    def test_table_topk_select_impls_agree(self):
+        """select_impl='approx' must decode the same (value, row) contract
+        as the exact path. On CPU approx_max_k lowers to an exact top-k,
+        so this pins the decode plumbing; the recall trade is measured on
+        hardware (bench_section.py --table-select)."""
+        n, d, b, bc = 512, 16, 4, 128
+        c = RNG.normal(size=(n, d)).astype(np.float32)
+        q = RNG.normal(size=(b, d)).astype(np.float32)
+        (t,) = section_bucket_tables(
+            (jnp.asarray(c.T.copy()),), (jnp.asarray(q),),
+            jnp.ones(n, bool), block_cols=bc, dot_chunk=128, q_block=8,
+            interpret=True,
+        )
+        ve, re_ = table_topk(t, 10, bc, n, select_impl="exact")
+        va, ra = table_topk(t, 10, bc, n, select_impl="approx")
+        np.testing.assert_allclose(np.asarray(va), np.asarray(ve), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(ra), np.asarray(re_))
+
     def test_geometry_validation(self):
         c = jnp.zeros((16, 300))
         q = jnp.zeros((4, 16))

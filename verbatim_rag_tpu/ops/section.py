@@ -107,7 +107,8 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                          quantized: tuple[bool, ...],
                          score_bf16: bool = False,
                          has_mask: bool = True,
-                         pack: bool = True):
+                         pack: bool = True,
+                         reduce: bool = True):
     """Build the kernel body for `n_arms` corpora sharing one grid pass.
 
     Ref order: [q_0..q_{A-1}, cT_0..cT_{A-1}, mask,
@@ -155,6 +156,14 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=acc_t,
                 )  # [qb, dot_chunk]
+                if not reduce:
+                    # Bench-only MXU/DMA floor probe: touch ONE lane slice
+                    # per chunk so the dot stays live but the VPU never
+                    # reads the other 15/16ths of the score tile.
+                    accs[a] = jnp.maximum(
+                        accs[a], s[:, :LANE].astype(jnp.float32)
+                    )
+                    continue
                 if quantized[a]:
                     cs = cscale_refs[a][:, pl.ds(col0, dot_chunk)]  # [1, dc]
                     s = s.astype(jnp.float32) * qscales[a] * cs
@@ -191,7 +200,7 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
     jax.jit,
     static_argnames=(
         "block_cols", "dot_chunk", "q_block", "vmem_mb", "score_bf16",
-        "pack", "interpret"
+        "pack", "reduce", "interpret"
     ),
 )
 def section_bucket_tables(
@@ -206,6 +215,7 @@ def section_bucket_tables(
     vmem_mb: int = 100,
     score_bf16: bool = False,
     pack: bool = True,
+    reduce: bool = True,
     interpret: bool = False,
 ) -> tuple:
     """One grid pass over TRANSPOSED corpora -> one packed bucket table
@@ -287,7 +297,7 @@ def section_bucket_tables(
 
     kernel = _make_section_kernel(
         n_arms, block_cols, dot_chunk, quantized, score_bf16=score_bf16,
-        has_mask=mask_row is not None, pack=pack,
+        has_mask=mask_row is not None, pack=pack, reduce=reduce,
     )
     out = pl.pallas_call(
         kernel,
@@ -311,7 +321,7 @@ def section_bucket_tables(
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "fetch_k", "depth", "rrf_k", "rescore_impl",
+        "k", "fetch_k", "depth", "rrf_k", "rescore_impl", "table_select",
         "block_cols", "dot_chunk", "q_block", "vmem_mb", "interpret",
     ),
 )
@@ -334,6 +344,7 @@ def hybrid_section_topk(
     dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
     sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
     rescore_impl: str = "pallas",
+    table_select: str = "approx",
     block_cols: int = BLOCK_COLS,
     dot_chunk: int = DOT_CHUNK,
     q_block: int = Q_BLOCK,
@@ -361,9 +372,9 @@ def hybrid_section_topk(
         block_cols=block_cols, dot_chunk=dot_chunk, q_block=q_block,
         vmem_mb=vmem_mb, interpret=interpret,
     )
-    _, d_rows = table_topk(td, fetch_k, block_cols, n)
+    _, d_rows = table_topk(td, fetch_k, block_cols, n, select_impl=table_select)
 
-    _, cand = table_topk(ts, depth, block_cols, n)
+    _, cand = table_topk(ts, depth, block_cols, n, select_impl=table_select)
     exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
     r_top, r_pos = jax.lax.top_k(exact, min(fetch_k, depth))
     s_rows = jnp.take_along_axis(cand, r_pos, axis=1)
