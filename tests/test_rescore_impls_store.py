@@ -203,3 +203,106 @@ def test_bucket_candidate_impl_store_parity():
     r_ref = ref.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
     r_alt = alt.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
     assert [h.id for h in r_ref] == [h.id for h in r_alt]
+
+
+def _build_section_pair(n=300, seed=31):
+    """(xla store, section store) over the same corpus at a section-servable
+    capacity (block=8192 → capacity 8192)."""
+    rng = np.random.default_rng(seed)
+    dense = rng.normal(size=(n, DIM)).astype(np.float32)
+    sparse_rows = [
+        {
+            int(t): float(rng.random() + 0.05)
+            for t in rng.choice(np.arange(1, VOCAB), size=NNZ, replace=False)
+        }
+        for _ in range(n)
+    ]
+    stores = []
+    for impl in ("xla", "section"):
+        s = DeviceVectorStore(
+            dense_dim=DIM,
+            sparse_vocab=VOCAB,
+            sparse_max_nnz=NNZ,
+            block=8192,
+            candidate_impl=impl,
+        )
+        s.add_vectors(
+            [
+                {
+                    "id": f"r{i}",
+                    "text": f"text {i}",
+                    "metadata": {},
+                    "dense": dense[i],
+                    "sparse": sparse_rows[i],
+                }
+                for i in range(n)
+            ]
+        )
+        s.flush()
+        stores.append(s)
+    return stores
+
+
+def test_section_candidate_impl_store_parity(monkeypatch):
+    """candidate_impl='section' (interpret mode, forced via env) must agree
+    with the XLA hybrid program on hybrid queries: the bucket table at
+    block_cols=8192 over an 8192-capacity store is exhaustive enough that
+    the exact-rescore + RRF top-k coincide on small corpora."""
+    monkeypatch.setenv("VERBATIM_SECTION_INTERPRET", "1")
+    rng = np.random.default_rng(7)
+    ref, alt = _build_section_pair()
+    qd, qs = _query(rng)
+    r_ref = ref.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+    r_alt = alt.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+    # The dense arm's bucket table keeps one winner per 64 rows, so its
+    # candidate set is approximate — require rank-1 agreement and high
+    # top-6 overlap rather than exact list equality.
+    assert r_ref and r_alt
+    assert r_ref[0].id == r_alt[0].id
+    overlap = len({h.id for h in r_ref} & {h.id for h in r_alt})
+    assert overlap >= 4, (r_ref, r_alt)
+    # Single-method queries silently take the per-stage 'xla' impl.
+    s_ref = ref.query_batch(sparse_queries=[qs], top_k=6)[0]
+    s_alt = alt.query_batch(sparse_queries=[qs], top_k=6)[0]
+    assert [h.id for h in s_ref] == [h.id for h in s_alt]
+
+
+def test_section_falls_back_off_tpu_and_on_geometry():
+    """Without the interpret override on CPU, and on non-8192 capacities,
+    'section' serves through the XLA program with identical results."""
+    rng = np.random.default_rng(9)
+    ref = _build("scan")
+    alt = DeviceVectorStore(
+        dense_dim=DIM,
+        sparse_vocab=VOCAB,
+        sparse_max_nnz=NNZ,
+        block=16,  # capacity 48: fails the section geometry gate too
+        candidate_impl="section",
+    )
+    rng2 = np.random.default_rng(11)  # same corpus as _build(..., seed=11)
+    dense = rng2.normal(size=(48, DIM)).astype(np.float32)
+    alt.add_vectors(
+        [
+            {
+                "id": f"r{i}",
+                "text": f"text {i}",
+                "metadata": {},
+                "dense": dense[i],
+                "sparse": {
+                    int(t): float(rng2.random() + 0.05)
+                    for t in rng2.choice(np.arange(1, VOCAB), size=NNZ, replace=False)
+                },
+            }
+            for i in range(48)
+        ]
+    )
+    alt.flush()
+    qd, qs = _query(rng)
+    r_ref = ref.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+    r_alt = alt.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
+    assert [h.id for h in r_ref] == [h.id for h in r_alt]
+
+
+def test_section_rejects_int4_and_mesh():
+    with pytest.raises(ValueError, match="int4"):
+        DeviceVectorStore(dense_dim=DIM, dense_dtype="int4", candidate_impl="section")

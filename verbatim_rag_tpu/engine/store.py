@@ -223,7 +223,26 @@ class DeviceVectorStore(VectorStore):
             )
         from ..ops.hybrid import split_candidate_impl
 
-        split_candidate_impl(candidate_impl)  # raises on bad specs
+        if candidate_impl == "section":
+            # Whole-candidate-section Pallas program (ops/section.py): both
+            # hybrid matmuls + in-VMEM selection in ONE kernel over
+            # TRANSPOSED corpora. Not a per-stage impl, so it bypasses the
+            # split; constraints checked here so misconfiguration fails at
+            # construction, not first query.
+            if dense_dtype == "int4" or sketch_dtype == "int4":
+                raise ValueError(
+                    "candidate_impl='section' does not serve the int4 tier "
+                    "(the section kernel streams int8/bf16 blocks; no packed "
+                    "4-bit unpack) — use 'xla' for int4 stores"
+                )
+            if mesh is not None:
+                raise ValueError(
+                    "candidate_impl='section' is single-device for now; "
+                    "mesh-sharded stores use 'xla' (per-shard kernels in "
+                    "parallel/sharded_search.py)"
+                )
+        else:
+            split_candidate_impl(candidate_impl)  # raises on bad specs
         if dense_dtype not in ("bfloat16", "float32", "int8", "int4"):
             raise ValueError(
                 "dense_dtype must be 'bfloat16', 'float32', 'int8' or 'int4', "
@@ -317,6 +336,7 @@ class DeviceVectorStore(VectorStore):
         #: selection family — candidate recall knob, not a correctness
         #: knob.
         self.candidate_impl = candidate_impl
+        self._warned_section_fallback = False
         #: Forward-index weight storage. At scale the [N, m] id+weight
         #: arrays dominate HBM (8 B/slot at 1M x 128 = 1 GB; 4x that at
         #: the 4M capacity point) — "float16" halves the weight half.
@@ -359,6 +379,13 @@ class DeviceVectorStore(VectorStore):
 
         self._valid_dev = None  # [cap]
         self._capacity = 0
+        #: Lazily-materialized TRANSPOSED ([d, cap]) corpus copies for
+        #: candidate_impl="section" (ops/section.py wants the contraction
+        #: dim on sublanes). Built on first section query, dropped whenever
+        #: the backing arrays change (flush/reserve/compact — deletes only
+        #: flip the mask, which is passed fresh per query). Costs one extra
+        #: corpus copy in HBM (~2.3 GB at 1M bf16, ~1.2 GB int8).
+        self._section_t = None
 
         # Full-text corpus stats (host).
         self._doc_len = np.zeros(0, dtype=np.float32)
@@ -466,6 +493,32 @@ class DeviceVectorStore(VectorStore):
 
             return Int4Rows(proj, scale), None
         return proj, scale
+
+    @property
+    def _per_stage_candidate_impl(self) -> str:
+        """'section' is a whole-program impl (both arms in one kernel); the
+        per-stage kernels (single-method queries, the 3-way/sharded
+        programs) take the stage-wise default instead."""
+        return "xla" if self.candidate_impl == "section" else self.candidate_impl
+
+    def _section_transposed(self):
+        """[d, cap] device transposes of (dense, sketch) for the section
+        kernel, built once per backing-array generation (see _section_t)."""
+        if self._section_t is None:
+            import jax.numpy as jnp
+
+            dense_c, _ = self._dense_scoring_args()
+            sketch_c, _ = self._sketch_scoring_args(
+                self._sp_proj, self._sp_proj_scale
+            )
+            # Eager device transposes: one [cap, d] read + [d, cap] write
+            # each — a few ms at 1M, amortized over every query until the
+            # next flush/compact.
+            self._section_t = (
+                jnp.swapaxes(dense_c, 0, 1),
+                jnp.swapaxes(sketch_c, 0, 1),
+            )
+        return self._section_t
 
     @property
     def size(self) -> int:
@@ -691,6 +744,7 @@ class DeviceVectorStore(VectorStore):
         valid_padded[: self._valid.size] = self._valid
         self._valid_dev = self._place(jnp.asarray(valid_padded))
         self._capacity = new_cap
+        self._section_t = None  # backing arrays changed
 
     def _place(self, arr):
         """Row-shard an index array over the mesh (no-op without one)."""
@@ -881,6 +935,7 @@ class DeviceVectorStore(VectorStore):
         valid_padded[: self._valid.size] = self._valid
         self._valid_dev = self._place(jnp.asarray(valid_padded))
         self._capacity = cap
+        self._section_t = None  # backing arrays changed
 
     def compact(self, min_dead_fraction: float = 0.0) -> int:
         """Reclaim tombstoned rows by rebuilding the arrays densely.
@@ -1402,7 +1457,7 @@ class DeviceVectorStore(VectorStore):
                 dense_scale=dense_s,
                 sketch_scale=sketch_s,
                 rescore_impl=self.rescore_impl,
-                candidate_impl=self.candidate_impl,
+                candidate_impl=self._per_stage_candidate_impl,
                 ft_arm=ft_arm,
             )
         elif ft_args is not None:
@@ -1435,7 +1490,39 @@ class DeviceVectorStore(VectorStore):
                 sketch_scale=sketch_s,
                 ft_scale=ft_scale,
                 rescore_impl=self.rescore_impl,
-                candidate_impl=self.candidate_impl,
+                candidate_impl=self._per_stage_candidate_impl,
+            )
+        elif self.candidate_impl == "section" and self._section_serves():
+            import jax
+
+            from verbatim_rag_tpu.ops.section import hybrid_section_topk
+
+            dense_t, sketch_t = self._section_transposed()
+            interp = jax.devices()[0].platform not in ("tpu", "axon")
+            scores, rows = hybrid_section_topk(
+                dense_t,
+                sketch_t,
+                self._sp_ids,
+                self._sp_w,
+                jnp.asarray(q),
+                q_proj,
+                q_ids,
+                q_w,
+                k=min(top_k, fetch_k),
+                fetch_k=fetch_k,
+                depth=depth,
+                mask=mask,
+                dense_weight=float(weights.get("dense", 0.5)),
+                sparse_weight=float(weights.get("sparse", 0.5)),
+                rrf_k=rrf_k,
+                dense_scale=dense_s,
+                sketch_scale=sketch_s,
+                rescore_impl=self.rescore_impl,
+                # exact_topk maps onto the table-selection layer: the
+                # bucket table itself stays the approx family either way.
+                table_select="exact" if exact_topk else "approx",
+                block_cols=16384 if self._capacity % 16384 == 0 else 8192,
+                interpret=interp,
             )
         else:
             scores, rows = hybrid_fused_topk(
@@ -1458,9 +1545,45 @@ class DeviceVectorStore(VectorStore):
                 dense_scale=dense_s,
                 sketch_scale=sketch_s,
                 rescore_impl=self.rescore_impl,
-                candidate_impl=self.candidate_impl,
+                candidate_impl=self._per_stage_candidate_impl,
             )
         return np.asarray(scores), np.asarray(rows)
+
+    def _section_serves(self) -> bool:
+        """Whether the section kernel can serve this query/backend.
+
+        Geometry: the kernel grids the corpus in block_cols-column steps,
+        so capacity must be a multiple of 8192 (the default allocation
+        block guarantees it; tiny custom-block stores fall back). Backend:
+        off-TPU the Pallas program would need interpret mode (debug-only
+        speed) — fall back to the XLA hybrid program, like the rescore
+        dispatch does (ops/rescore.exact_rescore_dispatch). Tests force
+        interpret via VERBATIM_SECTION_INTERPRET=1."""
+        import os
+
+        import jax
+
+        reason = None
+        if self._capacity % 8192 != 0:
+            reason = (
+                f"capacity {self._capacity} is not a multiple of the section "
+                "kernel's 8192-column grid (custom block size?)"
+            )
+        elif (
+            os.environ.get("VERBATIM_SECTION_INTERPRET") != "1"
+            and jax.devices()[0].platform not in ("tpu", "axon")
+        ):
+            reason = "no TPU backend"
+        if reason is None:
+            return True
+        if not self._warned_section_fallback:
+            logger.warning(
+                "candidate_impl='section' cannot serve this store (%s); "
+                "using the XLA hybrid program instead",
+                reason,
+            )
+            self._warned_section_fallback = True
+        return False
 
     def _bm25_query_sparse(self, texts: Sequence[str]) -> list[dict[int, float]]:
         """BM25 query side: {term: idf(term)} per text."""
@@ -1518,7 +1641,7 @@ class DeviceVectorStore(VectorStore):
                 exact_topk=exact_topk,
                 sketch_scale=scale_dev,
                 rescore_impl=self.rescore_impl,
-                candidate_impl=self.candidate_impl,
+                candidate_impl=self._per_stage_candidate_impl,
             )
         else:
             top_scores, top_rows = projected_sparse_topk(
@@ -1534,7 +1657,7 @@ class DeviceVectorStore(VectorStore):
                 exact_topk=exact_topk,
                 sketch_scale=scale_dev,
                 rescore_impl=self.rescore_impl,
-                candidate_impl=self.candidate_impl,
+                candidate_impl=self._per_stage_candidate_impl,
             )
         return np.asarray(top_scores), np.asarray(top_rows)
 

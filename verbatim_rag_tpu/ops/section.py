@@ -373,10 +373,15 @@ def hybrid_section_topk(
         vmem_mb=vmem_mb, interpret=interpret,
     )
     _, d_rows = table_topk(td, fetch_k, block_cols, n, select_impl=table_select)
+    if d_rows.shape[1] < fetch_k:  # narrow table (tiny capacity)
+        d_rows = jnp.pad(d_rows, ((0, 0), (0, fetch_k - d_rows.shape[1])),
+                         constant_values=-1)
 
     _, cand = table_topk(ts, depth, block_cols, n, select_impl=table_select)
     exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
-    r_top, r_pos = jax.lax.top_k(exact, min(fetch_k, depth))
+    # cand can be narrower than depth when the bucket table itself is
+    # narrow (tiny capacities: width = (N/block_cols)*128).
+    r_top, r_pos = jax.lax.top_k(exact, min(fetch_k, depth, exact.shape[1]))
     s_rows = jnp.take_along_axis(cand, r_pos, axis=1)
     # Zero exact score = no term overlap → not a hit (Milvus parity, same
     # rule as ops/hybrid.py `_projected_arm`).
