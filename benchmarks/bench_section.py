@@ -203,12 +203,14 @@ def main() -> None:
         parts = [int(x) for x in cfg.split(":")]
         bc, dc, qb = parts[:3]
         vmem = parts[3] if len(parts) > 3 else 100
+        qsub = parts[4] if len(parts) > 4 else 128
         if args.n % bc:
             print(json.dumps({"impl": f"section_{cfg}", "skip": "n % block_cols"}))
             continue
 
         @partial(jax.jit, static_argnames=())
-        def run_section(dt, st, q1, q2, m, ds, ss, bc=bc, dc=dc, qb=qb, vmem=vmem):
+        def run_section(dt, st, q1, q2, m, ds, ss, bc=bc, dc=dc, qb=qb,
+                        vmem=vmem, qsub=qsub):
             if args.arms == "both":
                 corpora, queries = (dt, st), (q1, q2)
                 scales = (ds, ss) if args.int8 else ()
@@ -225,7 +227,7 @@ def main() -> None:
                 corpora, queries, None if args.no_mask else m, scales=scales,
                 block_cols=bc, dot_chunk=dc, q_block=qb, vmem_mb=vmem,
                 score_bf16=args.score_bf16, pack=not args.no_pack,
-                reduce=not args.no_reduce,
+                reduce=not args.no_reduce, q_sub=qsub,
                 interpret=interpret,
             )
             if args.no_topk:

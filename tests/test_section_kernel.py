@@ -74,6 +74,20 @@ class TestSectionTables:
         self._check_arm(c1, q1, t1, mask, bc)
         self._check_arm(c2, q2, t2, mask, bc)
 
+    def test_query_subtiling_matches_whole_tile(self):
+        """q_sub splits the query tile into register-resident sub-dots;
+        the packed tables must be bit-identical to the whole-tile path."""
+        n, d, b, bc = 1024, 32, 16, 512
+        c = RNG.normal(size=(n, d)).astype(np.float32)
+        q = RNG.normal(size=(b, d)).astype(np.float32)
+        mask = np.ones(n, bool)
+        mask[100:160] = False
+        args = ((jnp.asarray(c.T),), (jnp.asarray(q),), jnp.asarray(mask))
+        kw = dict(block_cols=bc, dot_chunk=256, q_block=16, interpret=True)
+        (whole,) = section_bucket_tables(*args, q_sub=0, **kw)
+        (sub,) = section_bucket_tables(*args, q_sub=8, **kw)
+        np.testing.assert_array_equal(np.asarray(whole), np.asarray(sub))
+
     def test_bf16_score_epilogue(self):
         n, d, b, bc = 512, 32, 8, 256
         c = RNG.normal(size=(n, d)).astype(np.float32)

@@ -108,13 +108,21 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
                          score_bf16: bool = False,
                          has_mask: bool = True,
                          pack: bool = True,
-                         reduce: bool = True):
+                         reduce: bool = True,
+                         q_sub: int = 0):
     """Build the kernel body for `n_arms` corpora sharing one grid pass.
 
     Ref order: [q_0..q_{A-1}, cT_0..cT_{A-1}, mask,
     (qscale_a, cscale_a for each quantized arm a)] then one packed-table
     output ref per arm. Fully static unroll: block_cols/dot_chunk dots per
     arm, dot_chunk/128 pack+max slices per dot.
+
+    ``q_sub`` (0 = whole tile) splits the query tile into q_sub-row
+    sub-dots so each sub-tile's running max ([q_sub, 128] f32 — 16 vregs
+    at 128) can live in vector registers across a chunk instead of
+    bouncing a [qb, 128] accumulator (64+ vregs: larger than the VREG
+    file) through VMEM on every lane-slice maximum. 128 keeps the MXU's
+    M dimension full.
     """
     n_chunks = block_cols // dot_chunk
     slices = dot_chunk // LANE
@@ -133,7 +141,13 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
 
         qs = [q_refs[a][...] for a in range(n_arms)]
         qb = qs[0].shape[0]
-        accs = [jnp.full((qb, LANE), NEG_INF, jnp.float32) for _ in range(n_arms)]
+        qsub = q_sub if q_sub and qb % q_sub == 0 else qb
+        n_sub = qb // qsub
+        # accs[a][t]: running max of query sub-tile t, arm a.
+        accs = [
+            [jnp.full((qsub, LANE), NEG_INF, jnp.float32) for _ in range(n_sub)]
+            for _ in range(n_arms)
+        ]
         si = 0
         qscales = []
         cscale_refs = []
@@ -150,48 +164,55 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
             col0 = ci * dot_chunk
             for a in range(n_arms):
                 acc_t = jnp.int32 if quantized[a] else jnp.float32
-                s = jax.lax.dot_general(
-                    qs[a],
-                    c_refs[a][:, pl.ds(col0, dot_chunk)],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=acc_t,
-                )  # [qb, dot_chunk]
-                if not reduce:
-                    # Bench-only MXU/DMA floor probe: touch ONE lane slice
-                    # per chunk so the dot stays live but the VPU never
-                    # reads the other 15/16ths of the score tile.
-                    accs[a] = jnp.maximum(
-                        accs[a], s[:, :LANE].astype(jnp.float32)
-                    )
-                    continue
-                if quantized[a]:
-                    cs = cscale_refs[a][:, pl.ds(col0, dot_chunk)]  # [1, dc]
-                    s = s.astype(jnp.float32) * qscales[a] * cs
-                elif score_bf16:
-                    # bf16 score epilogue: halves the [qb, dot_chunk] score
-                    # temp's VMEM traffic (Mosaic's matmul acc must stay
-                    # 32-bit, so the narrowing is a cast on the way out);
-                    # selection precision drops to bf16 — same approximate
-                    # family, candidates feed the exact rescore.
-                    s = s.astype(jnp.bfloat16)
-                # bf16 upcast guarantees zero low mantissa bits -> OR-only.
-                clear = not (score_bf16 and not quantized[a])
-                for g in range(slices):
-                    pos = ci * slices + g
-                    sl = s[:, g * LANE : (g + 1) * LANE]  # [qb, 128]
-                    if sl.dtype != jnp.float32:
-                        sl = sl.astype(jnp.float32)
-                    # pack=False: bench-only skeleton probe (values right,
-                    # row decode meaningless) — measures the dot+max floor.
-                    packed = _pack_pos_const(sl, pos, clear=clear) if pack else sl
-                    if mask_ref is not None:
-                        # Mask arrives ADDITIVE f32 ({0, NEG_INF} per
-                        # column): x + 0.0 == x bit-exactly, x + NEG_INF
-                        # ≈ NEG_INF — one VPU add vs compare+select.
-                        packed = packed + mask_ref[:, pl.ds(col0 + g * LANE, LANE)]
-                    accs[a] = jnp.maximum(accs[a], packed)
+                for t in range(n_sub):
+                    r0 = t * qsub
+                    s = jax.lax.dot_general(
+                        qs[a][r0 : r0 + qsub],
+                        c_refs[a][:, pl.ds(col0, dot_chunk)],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=acc_t,
+                    )  # [qsub, dot_chunk]
+                    if not reduce:
+                        # Bench-only MXU/DMA floor probe: touch ONE lane
+                        # slice per chunk so the dot stays live but the VPU
+                        # never reads the other 15/16ths of the score tile.
+                        accs[a][t] = jnp.maximum(
+                            accs[a][t], s[:, :LANE].astype(jnp.float32)
+                        )
+                        continue
+                    if quantized[a]:
+                        cs = cscale_refs[a][:, pl.ds(col0, dot_chunk)]  # [1, dc]
+                        s = s.astype(jnp.float32) * qscales[a][r0 : r0 + qsub] * cs
+                    elif score_bf16:
+                        # bf16 score epilogue: halves the [qsub, dot_chunk]
+                        # score temp's VMEM traffic (Mosaic's matmul acc must
+                        # stay 32-bit, so the narrowing is a cast on the way
+                        # out); selection precision drops to bf16 — same
+                        # approximate family, candidates feed the exact
+                        # rescore.
+                        s = s.astype(jnp.bfloat16)
+                    # bf16 upcast guarantees zero low mantissa bits -> OR-only.
+                    clear = not (score_bf16 and not quantized[a])
+                    for g in range(slices):
+                        pos = ci * slices + g
+                        sl = s[:, g * LANE : (g + 1) * LANE]  # [qsub, 128]
+                        if sl.dtype != jnp.float32:
+                            sl = sl.astype(jnp.float32)
+                        # pack=False: bench-only skeleton probe (values
+                        # right, row decode meaningless) — measures the
+                        # dot+max floor.
+                        packed = _pack_pos_const(sl, pos, clear=clear) if pack else sl
+                        if mask_ref is not None:
+                            # Mask arrives ADDITIVE f32 ({0, NEG_INF} per
+                            # column): x + 0.0 == x bit-exactly, x + NEG_INF
+                            # ≈ NEG_INF — one VPU add vs compare+select.
+                            packed = packed + mask_ref[:, pl.ds(col0 + g * LANE, LANE)]
+                        accs[a][t] = jnp.maximum(accs[a][t], packed)
         for a in range(n_arms):
-            out_refs[a][...] = accs[a]
+            if len(accs[a]) == 1:
+                out_refs[a][...] = accs[a][0]
+            else:
+                out_refs[a][...] = jnp.concatenate(accs[a], axis=0)
 
     return kernel
 
@@ -200,7 +221,7 @@ def _make_section_kernel(n_arms: int, block_cols: int, dot_chunk: int,
     jax.jit,
     static_argnames=(
         "block_cols", "dot_chunk", "q_block", "vmem_mb", "score_bf16",
-        "pack", "reduce", "interpret"
+        "pack", "reduce", "q_sub", "interpret"
     ),
 )
 def section_bucket_tables(
@@ -216,6 +237,7 @@ def section_bucket_tables(
     score_bf16: bool = False,
     pack: bool = True,
     reduce: bool = True,
+    q_sub: int = 128,
     interpret: bool = False,
 ) -> tuple:
     """One grid pass over TRANSPOSED corpora -> one packed bucket table
@@ -298,6 +320,7 @@ def section_bucket_tables(
     kernel = _make_section_kernel(
         n_arms, block_cols, dot_chunk, quantized, score_bf16=score_bf16,
         has_mask=mask_row is not None, pack=pack, reduce=reduce,
+        q_sub=q_sub,
     )
     out = pl.pallas_call(
         kernel,
