@@ -127,12 +127,17 @@ def main() -> None:
     sp_w = jax.random.uniform(k_w, (N_CHUNKS, MAX_NNZ), jnp.float32)
     mask = jnp.ones((N_CHUNKS,), bool)
 
-    if candidate_impl == "bucket":
+    dense_t = sp_proj_t = None
+    section_block_cols = 16384  # the measured approx-select winner
+    if candidate_impl in ("bucket", "section"):
         # 1M is neither a 16384- nor an 8192-multiple; pad with masked
-        # rows so the bucket kernel runs at its largest block size
-        # instead of silently falling back. +1.6% corpus rows — noise
-        # next to the chip's session variance.
-        from verbatim_rag_tpu.ops.fused_topk import BLOCK_ROWS
+        # rows so the kernels run at their largest block size instead of
+        # silently falling back. +1.6% corpus rows — noise next to the
+        # chip's session variance.
+        if candidate_impl == "bucket":
+            from verbatim_rag_tpu.ops.fused_topk import BLOCK_ROWS
+        else:
+            BLOCK_ROWS = section_block_cols
 
         pad = -(-N_CHUNKS // BLOCK_ROWS) * BLOCK_ROWS - N_CHUNKS
         if pad:
@@ -144,6 +149,12 @@ def main() -> None:
             if dense_scale is not None:
                 dense_scale = jnp.pad(dense_scale, ((0, pad), (0, 0)))
                 sketch_scale = jnp.pad(sketch_scale, ((0, pad), (0, 0)))
+        if candidate_impl == "section":
+            # The section kernel wants TRANSPOSED [d, N] corpora (layout-
+            # native MXU dots) — same eager device transposes the store
+            # keeps (`DeviceVectorStore._section_transposed`).
+            dense_t = jnp.swapaxes(dense, 0, 1)
+            sp_proj_t = jnp.swapaxes(sp_proj, 0, 1)
 
     fetch_k = 2 * TOP_K
 
@@ -158,6 +169,17 @@ def main() -> None:
 
     def dispatch(queries):
         dq, q_proj, q_ids, q_w = queries
+        if candidate_impl == "section":
+            from verbatim_rag_tpu.ops.section import hybrid_section_topk
+
+            return hybrid_section_topk(
+                dense_t, sp_proj_t, sp_ids, sp_w, dq, q_proj, q_ids, q_w,
+                k=TOP_K, fetch_k=fetch_k, depth=RESCORE_DEPTH, mask=mask,
+                rrf_k=RRF_K, dense_scale=dense_scale, sketch_scale=sketch_scale,
+                rescore_impl=rescore_impl,
+                table_select="approx",  # serving default: hardware MIPS
+                block_cols=section_block_cols,
+            )
         return hybrid_fused_topk(
             dense, sp_proj, sp_ids, sp_w, dq, q_proj, q_ids, q_w,
             k=TOP_K, fetch_k=fetch_k, depth=RESCORE_DEPTH, mask=mask,

@@ -126,35 +126,16 @@ def test_invalid_impl_rejected():
         DeviceVectorStore(dense_dim=DIM, candidate_impl="xla,bucket,xla")
 
 
-def test_split_candidate_impl_spec():
-    from verbatim_rag_tpu.ops.hybrid import split_candidate_impl
+def test_validate_candidate_impl_spec():
+    """The round-3 per-stage comma-pair spec was retired with the round-4
+    whole-section kernel (VERDICT r3 #9) — only single impls validate."""
+    from verbatim_rag_tpu.ops.hybrid import validate_candidate_impl
 
-    assert split_candidate_impl("xla") == ("xla", "xla")
-    assert split_candidate_impl("bucket") == ("bucket", "bucket")
-    assert split_candidate_impl("bucket,xla") == ("bucket", "xla")
-    assert split_candidate_impl("xla,bucket") == ("xla", "bucket")
-    with pytest.raises(ValueError, match="candidate_impl"):
-        split_candidate_impl("")
-
-
-@pytest.mark.parametrize("impl", ["bucket,xla", "xla,bucket"])
-def test_per_stage_candidate_impl_queries(impl):
-    """The comma pair must flow through the store's fused programs — on a
-    CPU test backend the bucket stage falls back to xla, so results match
-    the plain store exactly (the plumbing, validation, and static-argname
-    hashing are what this exercises; kernel-vs-xla selection parity is
-    covered by tests/test_fused_topk.py in interpret mode)."""
-    rng = np.random.default_rng(17)
-    ref = _build("scan")
-    alt = _build("scan")
-    alt.candidate_impl = impl
-    qd, qs = _query(rng)
-    r_ref = ref.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
-    r_alt = alt.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)[0]
-    assert [h.id for h in r_ref] == [h.id for h in r_alt]
-    s_ref = ref.query_batch(sparse_queries=[qs], top_k=6)[0]
-    s_alt = alt.query_batch(sparse_queries=[qs], top_k=6)[0]
-    assert [h.id for h in s_ref] == [h.id for h in s_alt]
+    assert validate_candidate_impl("xla") == "xla"
+    assert validate_candidate_impl("bucket") == "bucket"
+    for retired in ("", "bucket,xla", "xla,bucket", "section"):
+        with pytest.raises(ValueError, match="candidate_impl"):
+            validate_candidate_impl(retired)
 
 
 def test_impl_knobs_survive_save_load(tmp_path):
@@ -306,3 +287,65 @@ def test_section_falls_back_off_tpu_and_on_geometry():
 def test_section_rejects_int4_and_mesh():
     with pytest.raises(ValueError, match="int4"):
         DeviceVectorStore(dense_dim=DIM, dense_dtype="int4", candidate_impl="section")
+
+
+def test_section_three_way_store_parity(monkeypatch):
+    """The `enable_full_text` 3-way hybrid rides the section program too
+    (ops/section.py::hybrid_section_topk_3way): all three arms' tables come
+    from ONE grid pass, then two exact rescores + 3-way weighted RRF. Must
+    agree with the XLA 3-way program (hybrid_fused_topk_3way) on small
+    corpora where the bucket tables are effectively exhaustive."""
+    monkeypatch.setenv("VERBATIM_SECTION_INTERPRET", "1")
+    rng = np.random.default_rng(41)
+    n = 200
+    dense = rng.normal(size=(n, DIM)).astype(np.float32)
+    sparse_rows = [
+        {
+            int(t): float(rng.random() + 0.05)
+            for t in rng.choice(np.arange(1, VOCAB), size=NNZ, replace=False)
+        }
+        for _ in range(n)
+    ]
+    topics = ["solar panels", "wind turbines", "hydro dams", "coal plants"]
+    stores = []
+    for impl in ("xla", "section"):
+        s = DeviceVectorStore(
+            dense_dim=DIM,
+            sparse_vocab=VOCAB,
+            sparse_max_nnz=NNZ,
+            block=8192,
+            candidate_impl=impl,
+            enable_full_text=True,
+            full_text_vocab=1 << 12,
+        )
+        s.add_vectors(
+            [
+                {
+                    "id": f"r{i}",
+                    "text": f"Document {i} about {topics[i % 4]} and energy.",
+                    "metadata": {},
+                    "dense": dense[i],
+                    "sparse": sparse_rows[i],
+                }
+                for i in range(n)
+            ]
+        )
+        s.flush()
+        stores.append(s)
+    ref, alt = stores
+    qd, qs = _query(rng)
+    kwargs = dict(
+        dense_queries=[qd],
+        sparse_queries=[qs],
+        text_queries=["solar panels energy"],
+        hybrid_weights={"dense": 0.3, "sparse": 0.3, "full_text": 0.4},
+        top_k=6,
+    )
+    r_ref = ref.query_batch(**kwargs)[0]
+    r_alt = alt.query_batch(**kwargs)[0]
+    assert r_ref and r_alt
+    # Same contract as the 2-way section parity test: the dense arm's
+    # bucket table is approximate, so require rank-1 agreement + overlap.
+    assert r_ref[0].id == r_alt[0].id
+    overlap = len({h.id for h in r_ref} & {h.id for h in r_alt})
+    assert overlap >= 4, (r_ref, r_alt)

@@ -221,7 +221,7 @@ class DeviceVectorStore(VectorStore):
             raise ValueError(
                 f"rescore_impl must be 'scan', 'oneshot' or 'pallas', got {rescore_impl!r}"
             )
-        from ..ops.hybrid import split_candidate_impl
+        from ..ops.hybrid import validate_candidate_impl
 
         if candidate_impl == "section":
             # Whole-candidate-section Pallas program (ops/section.py): both
@@ -242,7 +242,7 @@ class DeviceVectorStore(VectorStore):
                     "parallel/sharded_search.py)"
                 )
         else:
-            split_candidate_impl(candidate_impl)  # raises on bad specs
+            validate_candidate_impl(candidate_impl)  # raises on bad specs
         if dense_dtype not in ("bfloat16", "float32", "int8", "int4"):
             raise ValueError(
                 "dense_dtype must be 'bfloat16', 'float32', 'int8' or 'int4', "
@@ -328,13 +328,15 @@ class DeviceVectorStore(VectorStore):
         #: reduction), "pallas" (VMEM-resident kernel). Differential-tested
         #: equal; switches the device program, so A/B-able per store.
         self.rescore_impl = rescore_impl
-        #: Candidate-selection strategy (ops/dense.py candidate_topk):
-        #: "xla" matmul + approx/exact top-k, or "bucket" the Pallas fused
-        #: matmul+bucket-max kernel (auto-falls back off-TPU or on shapes/
-        #: dtypes the kernel doesn't serve); a "dense,sketch" comma pair
-        #: picks per stage (ops/hybrid.split_candidate_impl). Same
+        #: Candidate-selection strategy: "xla" matmul + approx/exact top-k
+        #: (ops/dense.py candidate_topk), "section" the whole-candidate-
+        #: section Pallas program (ops/section.py, round-4 default-eligible
+        #: winner on TPU 2-way hybrids), or "bucket" the per-stage Pallas
+        #: matmul+bucket-max kernel (measured A/B instrument; auto-falls
+        #: back off-TPU or on shapes/dtypes it doesn't serve). Same
         #: selection family — candidate recall knob, not a correctness
-        #: knob.
+        #: knob. (The round-3 "dense,sketch" comma-pair spec was retired
+        #: with the section kernel, VERDICT r3 #9.)
         self.candidate_impl = candidate_impl
         self._warned_section_fallback = False
         #: Forward-index weight storage. At scale the [N, m] id+weight
@@ -386,6 +388,7 @@ class DeviceVectorStore(VectorStore):
         #: flip the mask, which is passed fresh per query). Costs one extra
         #: corpus copy in HBM (~2.3 GB at 1M bf16, ~1.2 GB int8).
         self._section_t = None
+        self._section_ft_t = None  # [d_p, cap] BM25-sketch transpose (3-way)
 
         # Full-text corpus stats (host).
         self._doc_len = np.zeros(0, dtype=np.float32)
@@ -519,6 +522,15 @@ class DeviceVectorStore(VectorStore):
                 jnp.swapaxes(sketch_c, 0, 1),
             )
         return self._section_t
+
+    def _section_ft_transposed(self, ft_sketch):
+        """[d_p, cap] device transpose of the BM25 sketches for the 3-way
+        section program; same lifecycle as `_section_transposed`."""
+        if self._section_ft_t is None:
+            import jax.numpy as jnp
+
+            self._section_ft_t = jnp.swapaxes(ft_sketch, 0, 1)
+        return self._section_ft_t
 
     @property
     def size(self) -> int:
@@ -744,7 +756,7 @@ class DeviceVectorStore(VectorStore):
         valid_padded[: self._valid.size] = self._valid
         self._valid_dev = self._place(jnp.asarray(valid_padded))
         self._capacity = new_cap
-        self._section_t = None  # backing arrays changed
+        self._section_t = self._section_ft_t = None  # backing arrays changed
 
     def _place(self, arr):
         """Row-shard an index array over the mesh (no-op without one)."""
@@ -935,7 +947,7 @@ class DeviceVectorStore(VectorStore):
         valid_padded[: self._valid.size] = self._valid
         self._valid_dev = self._place(jnp.asarray(valid_padded))
         self._capacity = cap
-        self._section_t = None  # backing arrays changed
+        self._section_t = self._section_ft_t = None  # backing arrays changed
 
     def compact(self, min_dead_fraction: float = 0.0) -> int:
         """Reclaim tombstoned rows by rebuilding the arrays densely.
@@ -1459,6 +1471,45 @@ class DeviceVectorStore(VectorStore):
                 rescore_impl=self.rescore_impl,
                 candidate_impl=self._per_stage_candidate_impl,
                 ft_arm=ft_arm,
+            )
+        elif ft_args is not None and self.candidate_impl == "section" and self._section_serves():
+            import jax
+
+            from verbatim_rag_tpu.ops.section import hybrid_section_topk_3way
+
+            ft_sketch, ft_qids, ft_qw, ft_qproj, ft_scale = ft_args
+            dense_t, sketch_t = self._section_transposed()
+            interp = jax.devices()[0].platform not in ("tpu", "axon")
+            scores, rows = hybrid_section_topk_3way(
+                dense_t,
+                sketch_t,
+                self._sp_ids,
+                self._sp_w,
+                self._section_ft_transposed(ft_sketch),
+                self._ft_ids,
+                self._ft_w,
+                jnp.asarray(q),
+                q_proj,
+                q_ids,
+                q_w,
+                ft_qproj,
+                ft_qids,
+                ft_qw,
+                k=min(top_k, fetch_k),
+                fetch_k=fetch_k,
+                depth=depth,
+                mask=mask,
+                dense_weight=float(weights.get("dense", 1 / 3)),
+                sparse_weight=float(weights.get("sparse", 1 / 3)),
+                ft_weight=float(weights.get("full_text", 1 / 3)),
+                rrf_k=rrf_k,
+                dense_scale=dense_s,
+                sketch_scale=sketch_s,
+                ft_scale=ft_scale,
+                rescore_impl=self.rescore_impl,
+                table_select="exact" if exact_topk else "approx",
+                block_cols=16384 if self._capacity % 16384 == 0 else 8192,
+                interpret=interp,
             )
         elif ft_args is not None:
             ft_sketch, ft_qids, ft_qw, ft_qproj, ft_scale = ft_args

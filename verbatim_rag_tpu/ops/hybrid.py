@@ -19,24 +19,18 @@ from .fusion import rrf_fuse_device
 from .sparse import sparse_topk
 
 
-def split_candidate_impl(impl: str) -> tuple[str, str]:
-    """Candidate-impl spec → (dense stage, sketch stage) strategies.
-
-    A bare "xla"/"bucket" applies to both candidate matmuls; a comma pair
-    like "bucket,xla" picks per stage (dense first). The split exists
-    because the two stages sit at different operating points — dense
-    [B, 1M]·d384/fetch_k 20 vs sketch d768/depth 256 — and the fused
-    bucket kernel can win one and lose the other on a given generation.
+def validate_candidate_impl(impl: str) -> str:
+    """Per-stage candidate-impl knob: "xla" (matmul + `approx_max_k`) or
+    "bucket" (the fused Pallas matmul+bucket-max, kept as the measured A/B
+    instrument — the round-3 program matrix showed it losing in composition
+    on every tier). The round-3 per-stage comma-pair spec ("dense,sketch")
+    was retired with the round-4 whole-section kernel (VERDICT r3 #9):
+    "section" is a whole-program impl dispatched by the store and never
+    reaches these per-stage programs.
     """
-    parts = [p.strip() for p in impl.split(",")]
-    if len(parts) == 1:
-        parts = parts + parts
-    if len(parts) != 2 or any(p not in ("xla", "bucket") for p in parts):
-        raise ValueError(
-            "candidate_impl must be 'xla', 'bucket', or a 'dense,sketch' "
-            f"pair of those, got {impl!r}"
-        )
-    return parts[0], parts[1]
+    if impl not in ("xla", "bucket"):
+        raise ValueError(f"candidate_impl must be 'xla' or 'bucket', got {impl!r}")
+    return impl
 
 
 @partial(jax.jit, static_argnames=("fetch_k", "depth", "exact_topk", "candidate_impl"))
@@ -64,14 +58,14 @@ def hybrid_candidates(
     top-k) unless ``exact_topk`` — candidate lists feed RRF/rescoring, so
     per-list selection recall folds into the same knob as the sketch depth.
     ``candidate_impl`` picks the strategy like the other fused programs
-    ("xla", "bucket", or a per-stage "dense,sketch" pair).
+    ("xla" or "bucket").
     """
-    dense_impl, sketch_impl = split_candidate_impl(candidate_impl)
+    impl = validate_candidate_impl(candidate_impl)
     d_top, d_rows = candidate_topk(
-        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, dense_impl
+        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, impl
     )
     s_top, s_rows = candidate_topk(
-        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, sketch_impl
+        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, impl
     )
     d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
     s_rows = jnp.where(s_top > NEG_INF / 2, s_rows, -1)
@@ -162,9 +156,9 @@ def projected_sparse_topk(
 
     Returns (exact scores [B, k], rows [B, k]; −1/−inf where missing).
     """
-    _, sketch_impl = split_candidate_impl(candidate_impl)
+    impl = validate_candidate_impl(candidate_impl)
     c_top, cand = candidate_topk(
-        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, sketch_impl
+        sketch_corpus, sketch_q, depth, mask, sketch_scale, exact_topk, impl
     )
     cand = jnp.where(c_top > NEG_INF / 2, cand, -1)
 
@@ -253,15 +247,15 @@ def hybrid_fused_topk(
 
     Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
     """
-    dense_impl, sketch_impl = split_candidate_impl(candidate_impl)
+    impl = validate_candidate_impl(candidate_impl)
     d_top, d_rows = candidate_topk(
-        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, dense_impl
+        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, impl
     )
     d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
 
     s_rows = _projected_arm(
         sketch_corpus, sp_ids, sp_w, sketch_q, q_ids, q_w, fetch_k, depth,
-        mask, exact_topk, sketch_scale, rescore_impl, sketch_impl,
+        mask, exact_topk, sketch_scale, rescore_impl, impl,
     )
 
     total = dense_weight + sparse_weight
@@ -323,19 +317,19 @@ def hybrid_fused_topk_3way(
 
     Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
     """
-    dense_impl, sketch_impl = split_candidate_impl(candidate_impl)
+    impl = validate_candidate_impl(candidate_impl)
     d_top, d_rows = candidate_topk(
-        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, dense_impl
+        dense_corpus, dense_q, fetch_k, mask, dense_scale, exact_topk, impl
     )
     d_rows = jnp.where(d_top > NEG_INF / 2, d_rows, -1)
 
     s_rows = _projected_arm(
         sketch_corpus, sp_ids, sp_w, sketch_q, q_ids, q_w, fetch_k, depth,
-        mask, exact_topk, sketch_scale, rescore_impl, sketch_impl,
+        mask, exact_topk, sketch_scale, rescore_impl, impl,
     )
     f_rows = _projected_arm(
         ft_sketch, ft_ids, ft_w, ft_q_proj, ft_q_ids, ft_q_w, fetch_k, depth,
-        mask, exact_topk, ft_scale, rescore_impl, sketch_impl,
+        mask, exact_topk, ft_scale, rescore_impl, impl,
     )
 
     total = dense_weight + sparse_weight + ft_weight

@@ -400,24 +400,143 @@ def hybrid_section_topk(
         d_rows = jnp.pad(d_rows, ((0, 0), (0, fetch_k - d_rows.shape[1])),
                          constant_values=-1)
 
-    _, cand = table_topk(ts, depth, block_cols, n, select_impl=table_select)
-    exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
-    # cand can be narrower than depth when the bucket table itself is
-    # narrow (tiny capacities: width = (N/block_cols)*128).
-    r_top, r_pos = jax.lax.top_k(exact, min(fetch_k, depth, exact.shape[1]))
-    s_rows = jnp.take_along_axis(cand, r_pos, axis=1)
-    # Zero exact score = no term overlap → not a hit (Milvus parity, same
-    # rule as ops/hybrid.py `_projected_arm`).
-    s_rows = jnp.where(r_top > 0.0, s_rows, -1)
-    if s_rows.shape[1] < fetch_k:
-        s_rows = jnp.pad(s_rows, ((0, 0), (0, fetch_k - s_rows.shape[1])),
-                         constant_values=-1)
+    s_rows = _section_projected_arm(
+        ts, sp_ids, sp_w, q_ids, q_w, fetch_k, depth, block_cols, n,
+        rescore_impl, table_select,
+    )
 
     total = dense_weight + sparse_weight
     weights = jnp.stack(
         [jnp.asarray(dense_weight, jnp.float32), jnp.asarray(sparse_weight, jnp.float32)]
     ) / jnp.asarray(total, jnp.float32)
     stacked = jnp.stack([d_rows, s_rows])  # [2, B, fetch_k]
+    return rrf_fuse_device(stacked, weights, k=min(k, fetch_k), rrf_k=rrf_k)
+
+
+def _section_projected_arm(
+    table: jax.Array,  # [B, W] packed bucket table of a sketch arm
+    sp_ids: jax.Array,
+    sp_w: jax.Array,
+    q_ids: jax.Array,
+    q_w: jax.Array,
+    fetch_k: int,
+    depth: int,
+    block_cols: int,
+    n: int,
+    rescore_impl: str,
+    table_select: str,
+) -> jax.Array:
+    """Sketch-arm post-processing shared by the 2- and 3-way section
+    programs: table top-`depth` candidates → exact forward-index rescore →
+    top-`fetch_k` rows ([B, fetch_k] i32; −1 pads). Mirrors
+    `ops/hybrid.py::_projected_arm` with the bucket table replacing the
+    score-matrix candidate stage."""
+    from .hybrid import rescore_fn
+
+    _, cand = table_topk(table, depth, block_cols, n, select_impl=table_select)
+    exact = rescore_fn(rescore_impl)(cand, sp_ids, sp_w, q_ids, q_w)
+    # cand can be narrower than depth when the bucket table itself is
+    # narrow (tiny capacities: width = (N/block_cols)*128).
+    r_top, r_pos = jax.lax.top_k(exact, min(fetch_k, depth, exact.shape[1]))
+    rows = jnp.take_along_axis(cand, r_pos, axis=1)
+    # Zero exact score = no term overlap → not a hit (Milvus parity, same
+    # rule as ops/hybrid.py `_projected_arm`).
+    rows = jnp.where(r_top > 0.0, rows, -1)
+    if rows.shape[1] < fetch_k:
+        rows = jnp.pad(rows, ((0, 0), (0, fetch_k - rows.shape[1])),
+                       constant_values=-1)
+    return rows
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "fetch_k", "depth", "rrf_k", "rescore_impl", "table_select",
+        "block_cols", "dot_chunk", "q_block", "vmem_mb", "interpret",
+    ),
+)
+def hybrid_section_topk_3way(
+    dense_t: jax.Array,  # [d, N] TRANSPOSED row-normalized corpus
+    sketch_t: jax.Array,  # [d_p, N] TRANSPOSED SPLADE sketches
+    sp_ids: jax.Array,  # [N, m] SPLADE forward index
+    sp_w: jax.Array,  # [N, m]
+    ft_sketch_t: jax.Array,  # [d_p, N] TRANSPOSED BM25 sketches
+    ft_ids: jax.Array,  # [N, fm] BM25 forward index
+    ft_w: jax.Array,  # [N, fm] BM25-saturated weights
+    dense_q: jax.Array,  # [B, d] row-normalized
+    sketch_q: jax.Array,  # [B, d_p]
+    q_ids: jax.Array,  # [B, qm] padded SPLADE query terms
+    q_w: jax.Array,  # [B, qm]
+    ft_q_proj: jax.Array,  # [B, d_p] BM25 query sketches
+    ft_q_ids: jax.Array,  # [B, fqm] padded BM25 query terms
+    ft_q_w: jax.Array,  # [B, fqm] idf weights
+    k: int,
+    fetch_k: int,
+    depth: int,
+    mask: jax.Array | None,  # [N] bool; None = every row live
+    dense_weight: jax.Array | float = 1.0,
+    sparse_weight: jax.Array | float = 1.0,
+    ft_weight: jax.Array | float = 1.0,
+    rrf_k: int = 60,
+    dense_scale: jax.Array | None = None,  # [N, 1] — int8 dense corpus only
+    sketch_scale: jax.Array | None = None,  # [N, 1] — int8 sketches only
+    ft_scale: jax.Array | None = None,  # [N, 1] — int8 BM25 sketches only
+    rescore_impl: str = "pallas",
+    table_select: str = "approx",
+    block_cols: int = BLOCK_COLS,
+    dot_chunk: int = DOT_CHUNK,
+    q_block: int = Q_BLOCK,
+    vmem_mb: int = 100,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """The 3-way hybrid (dense + SPLADE + BM25 full text) with the SECTION
+    KERNEL as its candidate stage: all THREE matmuls + selections ride one
+    grid pass (the corpus blocks of every arm stream while the MXU
+    alternates arms), then two exact forward-index rescores and 3-way
+    weighted RRF — the `enable_full_text` configuration keeps the
+    single-program design on the section path too. Drop-in contract of
+    `ops/hybrid.py::hybrid_fused_topk_3way` with TRANSPOSED corpora.
+    Reference: the 3-way weighted hybrid of `milvus_base.py:366-459`.
+
+    Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
+    """
+    from .fusion import rrf_fuse_device
+
+    n = dense_t.shape[1]
+    scales = ()
+    if any(s is not None for s in (dense_scale, sketch_scale, ft_scale)):
+        scales = (dense_scale, sketch_scale, ft_scale)
+    td, ts, tf = section_bucket_tables(
+        (dense_t, sketch_t, ft_sketch_t),
+        (dense_q, sketch_q, ft_q_proj),
+        mask,
+        scales=scales,
+        block_cols=block_cols, dot_chunk=dot_chunk, q_block=q_block,
+        vmem_mb=vmem_mb, interpret=interpret,
+    )
+    _, d_rows = table_topk(td, fetch_k, block_cols, n, select_impl=table_select)
+    if d_rows.shape[1] < fetch_k:  # narrow table (tiny capacity)
+        d_rows = jnp.pad(d_rows, ((0, 0), (0, fetch_k - d_rows.shape[1])),
+                         constant_values=-1)
+
+    s_rows = _section_projected_arm(
+        ts, sp_ids, sp_w, q_ids, q_w, fetch_k, depth, block_cols, n,
+        rescore_impl, table_select,
+    )
+    f_rows = _section_projected_arm(
+        tf, ft_ids, ft_w, ft_q_ids, ft_q_w, fetch_k, depth, block_cols, n,
+        rescore_impl, table_select,
+    )
+
+    total = dense_weight + sparse_weight + ft_weight
+    weights = jnp.stack(
+        [
+            jnp.asarray(dense_weight, jnp.float32),
+            jnp.asarray(sparse_weight, jnp.float32),
+            jnp.asarray(ft_weight, jnp.float32),
+        ]
+    ) / jnp.asarray(total, jnp.float32)
+    stacked = jnp.stack([d_rows, s_rows, f_rows])  # [3, B, fetch_k]
     return rrf_fuse_device(stacked, weights, k=min(k, fetch_k), rrf_k=rrf_k)
 
 

@@ -123,9 +123,9 @@ def sharded_projected_sparse_topk(
     apply per shard inside the shard_map body.
     """
     from verbatim_rag_tpu.ops.dense import candidate_topk
-    from verbatim_rag_tpu.ops.hybrid import rescore_fn, split_candidate_impl
+    from verbatim_rag_tpu.ops.hybrid import rescore_fn, validate_candidate_impl
 
-    _, sketch_impl = split_candidate_impl(candidate_impl)
+    sketch_impl = validate_candidate_impl(candidate_impl)
     axis = ("dp", "tp")
     has_sscale = sketch_scale is not None
 
@@ -217,9 +217,9 @@ def sharded_hybrid_topk(
     """
     from verbatim_rag_tpu.ops.dense import candidate_topk
     from verbatim_rag_tpu.ops.fusion import rrf_fuse_device
-    from verbatim_rag_tpu.ops.hybrid import rescore_fn, split_candidate_impl
+    from verbatim_rag_tpu.ops.hybrid import rescore_fn, validate_candidate_impl
 
-    dense_impl, sketch_impl = split_candidate_impl(candidate_impl)
+    dense_impl = sketch_impl = validate_candidate_impl(candidate_impl)
     axis = ("dp", "tp")
     has_dscale = dense_scale is not None
     has_sscale = sketch_scale is not None
