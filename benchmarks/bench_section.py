@@ -118,9 +118,13 @@ def main() -> None:
         sketch, s_scale = jax.jit(quantize_rows_int8)(sketch)
 
     # Transposed copies for the section kernel (one-time flush cost in the
-    # store; materialized here outside the timed region).
-    dense_t = jnp.asarray(np.asarray(dense).T.copy())
-    sketch_t = jnp.asarray(np.asarray(sketch).T.copy())
+    # store; materialized here outside the timed region). On-device
+    # transpose, like `DeviceVectorStore._section_transposed` — the old
+    # np.asarray round-trip pulled ~2.2 GB through the tunnel and
+    # dominated the harness wall time.
+    dense_t = jnp.swapaxes(dense, 0, 1)
+    sketch_t = jnp.swapaxes(sketch, 0, 1)
+    np.asarray(dense_t[:1, :1]), np.asarray(sketch_t[:1, :1])  # materialize
 
     if args.full:
         run_full_program_ab(args, dense, sketch, dense_t, sketch_t, dq, sq,
