@@ -142,7 +142,7 @@ def test_impl_knobs_survive_save_load(tmp_path):
     """The configured kernels must be what a reloaded deployment runs —
     save() persists the impl knobs alongside the other constructor config."""
     store = _build("pallas")
-    store.candidate_impl = "bucket"
+    store.candidate_impl = store.candidate_impl_requested = "bucket"
     path = str(tmp_path / "idx")
     store.save(path)
     loaded = DeviceVectorStore.load(path)
@@ -287,6 +287,54 @@ def test_section_falls_back_off_tpu_and_on_geometry():
 def test_section_rejects_int4_and_mesh():
     with pytest.raises(ValueError, match="int4"):
         DeviceVectorStore(dense_dim=DIM, dense_dtype="int4", candidate_impl="section")
+
+
+def test_candidate_impl_auto_resolution(tmp_path):
+    """'auto' (the ctor default) follows the measured composition A/B
+    (benchmarks/RESULTS.md round 4): the whole-section kernel only wins the
+    composed program on the int8 tier, so auto → section there and xla
+    everywhere else (bf16, int4, meshes). save() persists the REQUESTED
+    spec so a reload re-resolves against the load-time mesh/backend."""
+    s_int8 = DeviceVectorStore(
+        dense_dim=DIM,
+        sparse_vocab=VOCAB,
+        sparse_max_nnz=NNZ,
+        dense_dtype="int8",
+        sketch_dtype="int8",
+    )
+    assert s_int8.candidate_impl == "section"
+    assert s_int8.candidate_impl_requested == "auto"
+
+    s_bf16 = DeviceVectorStore(dense_dim=DIM, sparse_vocab=VOCAB, sparse_max_nnz=NNZ)
+    assert s_bf16.candidate_impl == "xla"
+
+    # int4 resolves to xla silently (explicit 'section' raises instead).
+    s_int4 = DeviceVectorStore(
+        dense_dim=DIM, dense_dtype="int4", sketch_dtype="int4"
+    )
+    assert s_int4.candidate_impl == "xla"
+
+    # Round-trip: the saved config says 'auto', and the reload re-resolves.
+    s_int8.add_vectors(
+        [
+            {
+                "id": "r0",
+                "text": "t",
+                "metadata": {},
+                "dense": np.ones(DIM, np.float32),
+                "sparse": {1: 1.0},
+            }
+        ]
+    )
+    s_int8.flush()
+    path = str(tmp_path / "auto_idx")
+    s_int8.save(path)
+    import json
+
+    with open(path + ".json") as f:
+        assert json.load(f)["config"]["candidate_impl"] == "auto"
+    loaded = DeviceVectorStore.load(path)
+    assert loaded.candidate_impl == "section"
 
 
 def test_section_three_way_store_parity(monkeypatch):

@@ -211,7 +211,7 @@ class DeviceVectorStore(VectorStore):
         auto_compact_threshold: float | None = None,
         allow_exact_at_scale: bool = False,
         rescore_impl: str = "pallas",
-        candidate_impl: str = "xla",
+        candidate_impl: str = "auto",
         sparse_weight_dtype: str = "float32",
         sparse_ids_dtype: str = "int32",
     ):
@@ -223,6 +223,23 @@ class DeviceVectorStore(VectorStore):
             )
         from ..ops.hybrid import validate_candidate_impl
 
+        #: the spec as passed ("auto" before resolution) — persisted by
+        #: save() so a reloaded store re-resolves against the load-time
+        #: mesh/tier instead of freezing one machine's resolution.
+        self.candidate_impl_requested = candidate_impl
+        if candidate_impl == "auto":
+            # Measured policy (benchmarks/RESULTS.md round 4, full-program
+            # composition A/B at [512, 1M]): the whole-section kernel wins
+            # the COMPOSED serving program only on the int8 tier, where its
+            # halved DMA + doubled MXU rate survive the composition tax
+            # (15.27 vs 16.28 ms); on bf16 the XLA program's software
+            # pipelining of the two matmuls against the rescore wins
+            # (17.61 vs 19.42). int4 and mesh-sharded stores are XLA-only.
+            candidate_impl = (
+                "section"
+                if dense_dtype == "int8" and sketch_dtype == "int8" and mesh is None
+                else "xla"
+            )
         if candidate_impl == "section":
             # Whole-candidate-section Pallas program (ops/section.py): both
             # hybrid matmuls + in-VMEM selection in ONE kernel over
@@ -1008,7 +1025,7 @@ class DeviceVectorStore(VectorStore):
             auto_compact_threshold=self.auto_compact_threshold,
             allow_exact_at_scale=self.allow_exact_at_scale,
             rescore_impl=self.rescore_impl,
-            candidate_impl=self.candidate_impl,
+            candidate_impl=self.candidate_impl_requested,
             sparse_weight_dtype=self.sparse_weight_dtype,
             sparse_ids_dtype=self.sparse_ids_dtype,
         )
@@ -1818,7 +1835,7 @@ class DeviceVectorStore(VectorStore):
                         "auto_compact_threshold": self.auto_compact_threshold,
                         "allow_exact_at_scale": self.allow_exact_at_scale,
                         "rescore_impl": self.rescore_impl,
-                        "candidate_impl": self.candidate_impl,
+                        "candidate_impl": self.candidate_impl_requested,
                         "sparse_weight_dtype": self.sparse_weight_dtype,
                         "sparse_ids_dtype": self.sparse_ids_dtype,
                     },
