@@ -69,11 +69,27 @@ class TestScriptedUISession:
     async def test_full_session_query_stream_highlight_jump(self, app):
         client = await _session(app)
         try:
-            # -- page load: index.html served, script + new controls present
+            # -- page load: markup served, then the browser pulls the
+            #    stylesheet and the ES-module graph (src/main.js imports the
+            #    component modules) — each must come back 200 with a
+            #    JS/CSS content type or the module load fails silently.
             page = await client.get("/index.html")
             assert page.status == 200
             html = await page.text()
-            assert 'id="view-facts"' in html and "renderFactsView" in html
+            assert 'id="view-facts"' in html
+            assert 'type="module" src="src/main.js"' in html
+            css = await client.get("/styles.css")
+            assert css.status == 200 and "css" in css.content_type
+            for mod in ("src/main.js", "src/api.js", "src/state.js",
+                        "src/components/chat.js", "src/components/facts.js",
+                        "src/components/documents.js",
+                        "src/components/options.js",
+                        "src/components/statusbar.js"):
+                r = await client.get(f"/{mod}")
+                assert r.status == 200, mod
+                assert "javascript" in r.content_type, (mod, r.content_type)
+            facts_src = await (await client.get("/src/components/facts.js")).text()
+            assert "renderFactsView" in facts_src
 
             # -- boot sequence: the script fires /api/status + /api/documents
             status = await (await client.get("/api/status")).json()

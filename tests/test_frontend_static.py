@@ -1,11 +1,15 @@
-"""Static sanity for the no-build frontend (frontend/index.html).
+"""Static sanity for the no-build frontend (frontend/).
 
-There is no JS runtime in CI (or this image), so a syntax error in the
-single-file UI would otherwise only surface when a human loads the page.
-This test tokenizes the inline script — respecting strings, template
-literals with nested ``${}`` interpolation, regex literals and comments —
-and checks bracket balance, plus that every DOM id the script references
-exists in the markup.
+The UI is markup (index.html) + styles.css + native ES modules under
+frontend/src/ (one module per component, mirroring the reference React
+app's src/components + src/contexts split) — no bundler, no node. There
+is no JS runtime in CI (or this image), so a syntax error or a broken
+import would otherwise only surface when a human loads the page. These
+tests tokenize every module — respecting strings, template literals with
+nested ``${}`` interpolation, regex literals and comments — and check
+bracket balance, that every DOM id the scripts reference exists in the
+markup, and that the ES-module import graph resolves (every imported
+path exists and every imported name is exported by its target).
 """
 
 import re
@@ -13,7 +17,9 @@ from pathlib import Path
 
 import pytest
 
-HTML = Path(__file__).resolve().parent.parent / "frontend" / "index.html"
+FRONTEND = Path(__file__).resolve().parent.parent / "frontend"
+HTML = FRONTEND / "index.html"
+MODULES = sorted(FRONTEND.glob("src/**/*.js"))
 
 _REGEX_PRECEDERS = set("=([{,;:!&|?+-*%~^<>")
 
@@ -113,23 +119,66 @@ def html() -> str:
 
 
 @pytest.fixture(scope="module")
-def script(html: str) -> str:
-    return html[html.index("<script>") + 8 : html.index("</script>")]
+def script() -> str:
+    """All component modules concatenated — the full client codebase."""
+    assert MODULES, "no ES modules found under frontend/src/"
+    return "\n".join(p.read_text() for p in MODULES)
 
 
-def test_brackets_balanced(script):
-    clean = _strip_js(script)
+@pytest.mark.parametrize("module", MODULES, ids=lambda p: p.name)
+def test_brackets_balanced(module):
+    clean = _strip_js(module.read_text())
     for opener, closer in (("{", "}"), ("(", ")"), ("[", "]")):
         assert clean.count(opener) == clean.count(closer), (
-            f"unbalanced {opener}{closer}: "
+            f"{module.name}: unbalanced {opener}{closer}: "
             f"{clean.count(opener)} vs {clean.count(closer)}"
         )
 
 
-def test_no_unterminated_template_literal(script):
+@pytest.mark.parametrize("module", MODULES, ids=lambda p: p.name)
+def test_no_unterminated_template_literal(module):
     # an odd structural backtick count means a template literal never closed
-    clean_no_tmpl = _strip_js(script)
+    clean_no_tmpl = _strip_js(module.read_text())
     assert "`" not in clean_no_tmpl
+
+
+def _exports(src: str) -> set[str]:
+    names = set(re.findall(
+        r"^export\s+(?:async\s+)?(?:function|const|let|class)\s+(\w+)", src, re.M
+    ))
+    for group in re.findall(r"^export\s*\{([^}]*)\}", src, re.M):
+        names |= {n.strip().split(" as ")[-1] for n in group.split(",") if n.strip()}
+    return names
+
+
+def test_import_graph_resolves():
+    """Without a JS runtime, a typo'd import path or name 404s/throws only
+    in the browser — resolve the whole module graph statically instead."""
+    for module in MODULES:
+        src = module.read_text()
+        for names, rel in re.findall(
+            r'^import\s*\{([^}]*)\}\s*from\s*"([^"]+)"', src, re.M
+        ):
+            target = (module.parent / rel).resolve()
+            assert target.is_file(), f"{module.name} imports missing file {rel}"
+            exported = _exports(target.read_text())
+            for name in (n.strip().split(" as ")[0] for n in names.split(",")):
+                if name:
+                    assert name in exported, (
+                        f"{module.name} imports {name!r} but {target.name} "
+                        f"exports {sorted(exported)}"
+                    )
+
+
+def test_entry_module_wired_in_markup(html):
+    """index.html must load the entry module; styles.css must exist and be
+    linked (the markup/styles/modules split only works if all three are
+    actually served)."""
+    assert '<script type="module" src="src/main.js"></script>' in html
+    assert (FRONTEND / "src" / "main.js").is_file()
+    assert 'href="styles.css"' in html and (FRONTEND / "styles.css").is_file()
+    # Markup-only file: no inline script remains.
+    assert "<script>" not in html
 
 
 def test_referenced_dom_ids_exist(html, script):
@@ -178,7 +227,7 @@ def test_citation_chips_skip_code_blocks(script):
     [n] — `arr[0]` inside a code block is code, not a citation."""
     assert r"(<pre>[\s\S]*?<\/pre>|<code>[\s\S]*?<\/code>)" in script
     fn = script[script.index("function renderAnswer"):]
-    fn = fn[: fn.index("\nfunction ")]
+    fn = fn[: fn.index("\nexport function ")]
     assert ".split(" in fn and "startsWith(\"<pre>\")" in fn
 
 
