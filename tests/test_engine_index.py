@@ -379,3 +379,18 @@ class TestExplicitHybridValidation:
             [DocumentSchema(content="# A\n\nSome chunkable body here.", title="A")]
         )
         assert idx.query("body") is not None
+
+
+def test_int8_tier_facade_resolves_section_kernel():
+    """The facade's dtype tier rides through to the store's
+    candidate_impl='auto' policy: an int8/int8 index gets the
+    whole-section kernel, the bf16 default stays on the XLA program
+    (benchmarks/RESULTS.md round-4 composition A/B)."""
+    idx8 = VerbatimIndex(
+        dense_provider=HashedBowDenseProvider(dim=64),
+        dense_dtype="int8",
+        sketch_dtype="int8",
+    )
+    assert idx8.store.candidate_impl == "section"
+    idx16 = VerbatimIndex(dense_provider=HashedBowDenseProvider(dim=64))
+    assert idx16.store.candidate_impl == "xla"
