@@ -308,8 +308,13 @@ def run_full_program_ab(args, dense, sketch, dense_t, sketch_t, dq, sq,
 
     sync, dev = timeit(baseline, dense, sketch, dqn, sq, q_ids, q_w, mask,
                        d_scale, s_scale)
-    base_scores, base_rows = jax.jit(baseline)(
-        dense, sketch, dqn, sq, q_ids, q_w, mask, d_scale, s_scale
+    # Plain call — hybrid_fused_topk is already jitted; wrapping another
+    # jax.jit around it compiles a SECOND (outer) program that misses the
+    # in-memory cache and can die on a tunnel remote-compile drop.
+    from profile_stages import _retry_compile
+
+    base_scores, base_rows = _retry_compile(
+        baseline, dense, sketch, dqn, sq, q_ids, q_w, mask, d_scale, s_scale
     )
     base_rows = np.asarray(base_rows)
     print(json.dumps({
@@ -338,8 +343,9 @@ def run_full_program_ab(args, dense, sketch, dense_t, sketch_t, dq, sq,
         try:
             sync, dev = timeit(section_prog, dense_t, sketch_t, dqn, sq,
                                q_ids, q_w, mask, d_scale, s_scale)
-            _, rows = jax.jit(section_prog)(
-                dense_t, sketch_t, dqn, sq, q_ids, q_w, mask, d_scale, s_scale
+            _, rows = _retry_compile(
+                section_prog, dense_t, sketch_t, dqn, sq, q_ids, q_w, mask,
+                d_scale, s_scale
             )
             rows = np.asarray(rows)
             ovl = float(np.mean([
