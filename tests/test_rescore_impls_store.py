@@ -288,6 +288,74 @@ def test_section_rejects_int4_and_mesh():
     with pytest.raises(ValueError, match="int4"):
         DeviceVectorStore(dense_dim=DIM, dense_dtype="int4", candidate_impl="section")
 
+    from verbatim_rag_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(dp=4, tp=2)
+    with pytest.raises(ValueError, match="single-device"):
+        DeviceVectorStore(
+            dense_dim=DIM, mesh=mesh, block=mesh.size * 2, candidate_impl="section"
+        )
+
+
+def test_legacy_comma_pair_spec_maps_to_xla(caplog):
+    """0.4.x checkpoints persisted per-stage comma-pair specs; the retired
+    format must stay loadable (ADVICE r4): map to 'xla' with a warning."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="verbatim_rag_tpu.engine.store"):
+        store = DeviceVectorStore(dense_dim=DIM, candidate_impl="bucket,xla")
+    assert store.candidate_impl == "xla"
+    # The mapped spec is what persists — a re-save clears the legacy format.
+    assert store.candidate_impl_requested == "xla"
+    assert any("comma-pair" in r.message for r in caplog.records)
+
+
+def test_section_exact_request_falls_back_to_xla(monkeypatch):
+    """approx_topk=False is a documented exactness knob; the section
+    kernel's bucket table cannot honor it (one winner per bucket), so the
+    dispatch must take the XLA program instead (ADVICE r4, medium)."""
+    monkeypatch.setenv("VERBATIM_SECTION_INTERPRET", "1")
+    rng = np.random.default_rng(7)
+    ref, store = _build_section_pair()
+
+    calls = {"section": 0}
+    import verbatim_rag_tpu.ops.section as section_mod
+
+    real = section_mod.hybrid_section_topk
+
+    def spy(*a, **kw):
+        calls["section"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(section_mod, "hybrid_section_topk", spy)
+
+    qd, qs = _query(rng)
+    # Control: an approx hybrid query on this store DOES ride the kernel.
+    store.query_batch(dense_queries=[qd], sparse_queries=[qs], top_k=6)
+    assert calls["section"] == 1
+
+    exact = store.query_batch(
+        dense_queries=[qd], sparse_queries=[qs], top_k=6,
+        search_params={"approx_topk": False},
+    )[0]
+    assert calls["section"] == 1, "exact request must not ride the bucket table"
+
+    # The exact path returns exactly what the exact XLA store returns.
+    r_ref = ref.query_batch(
+        dense_queries=[qd], sparse_queries=[qs], top_k=6,
+        search_params={"approx_topk": False},
+    )[0]
+    assert [h.id for h in exact] == [h.id for h in r_ref]
+
+    # Store-level approx_topk=False + auto resolves straight to xla.
+    exact_store = DeviceVectorStore(
+        dense_dim=DIM,
+        dense_dtype="int8",
+        sketch_dtype="int8",
+        approx_topk=False,
+    )
+    assert exact_store.candidate_impl == "xla"
+
 
 def test_candidate_impl_auto_resolution(tmp_path):
     """'auto' (the ctor default) follows the measured composition A/B

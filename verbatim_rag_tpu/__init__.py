@@ -18,4 +18,4 @@ Layering (mirrors the reference's core/engine split, SURVEY.md §1):
 - ``verbatim_rag_tpu.api``       HTTP service
 """
 
-__version__ = "0.5.1"
+__version__ = "0.5.2"

@@ -34,7 +34,7 @@ from .templates import (
 from .transform import VerbatimTransform, verbatim_query, verbatim_query_async
 from .universal_document import UniversalDocument
 
-__version__ = "0.5.1"
+__version__ = "0.5.2"
 
 __all__ = [
     "Citation",

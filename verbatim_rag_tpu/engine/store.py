@@ -223,6 +223,26 @@ class DeviceVectorStore(VectorStore):
             )
         from ..ops.hybrid import validate_candidate_impl
 
+        if "," in candidate_impl:
+            # 0.4.x persisted per-stage comma-pair specs ("dense,sketch"
+            # splits like "bucket,xla"); the split was retired in 0.5.0 but
+            # indexes saved under it must stay loadable. Map a valid legacy
+            # pair to its measured composition winner instead of raising;
+            # junk specs still fail like any other typo.
+            parts = candidate_impl.split(",")
+            if len(parts) != 2 or any(p not in ("xla", "bucket") for p in parts):
+                raise ValueError(
+                    f"candidate_impl {candidate_impl!r} is not a valid spec "
+                    "(the 0.4.x comma-pair format held exactly two of "
+                    "'xla'/'bucket')"
+                )
+            logger.warning(
+                "candidate_impl=%r is the retired 0.4.x per-stage comma-pair "
+                "spec; using 'xla' (the measured composition winner). "
+                "Re-save the index to persist the new spec.",
+                candidate_impl,
+            )
+            candidate_impl = "xla"
         #: the spec as passed ("auto" before resolution) — persisted by
         #: save() so a reloaded store re-resolves against the load-time
         #: mesh/tier instead of freezing one machine's resolution.
@@ -234,10 +254,16 @@ class DeviceVectorStore(VectorStore):
             # halved DMA + doubled MXU rate survive the composition tax
             # (15.27 vs 16.28 ms); on bf16 the XLA program's software
             # pipelining of the two matmuls against the rescore wins
-            # (17.61 vs 19.42). int4 and mesh-sharded stores are XLA-only.
+            # (17.61 vs 19.42). int4 and mesh-sharded stores are XLA-only,
+            # and a store built for exact selection (approx_topk=False)
+            # resolves to the XLA program outright — the section kernel's
+            # bucket table is approximate by construction.
             candidate_impl = (
                 "section"
-                if dense_dtype == "int8" and sketch_dtype == "int8" and mesh is None
+                if dense_dtype == "int8"
+                and sketch_dtype == "int8"
+                and mesh is None
+                and approx_topk
                 else "xla"
             )
         if candidate_impl == "section":
@@ -355,7 +381,7 @@ class DeviceVectorStore(VectorStore):
         #: knob. (The round-3 "dense,sketch" comma-pair spec was retired
         #: with the section kernel, VERDICT r3 #9.)
         self.candidate_impl = candidate_impl
-        self._warned_section_fallback = False
+        self._warned_section_fallback: set[str] = set()
         #: Forward-index weight storage. At scale the [N, m] id+weight
         #: arrays dominate HBM (8 B/slot at 1M x 128 = 1 GB; 4x that at
         #: the 4M capacity point) — "float16" halves the weight half.
@@ -1489,7 +1515,11 @@ class DeviceVectorStore(VectorStore):
                 candidate_impl=self._per_stage_candidate_impl,
                 ft_arm=ft_arm,
             )
-        elif ft_args is not None and self.candidate_impl == "section" and self._section_serves():
+        elif (
+            ft_args is not None
+            and self.candidate_impl == "section"
+            and self._section_serves(exact_topk)
+        ):
             import jax
 
             from verbatim_rag_tpu.ops.section import hybrid_section_topk_3way
@@ -1524,7 +1554,7 @@ class DeviceVectorStore(VectorStore):
                 sketch_scale=sketch_s,
                 ft_scale=ft_scale,
                 rescore_impl=self.rescore_impl,
-                table_select="exact" if exact_topk else "approx",
+                table_select="approx",
                 block_cols=16384 if self._capacity % 16384 == 0 else 8192,
                 interpret=interp,
             )
@@ -1560,7 +1590,7 @@ class DeviceVectorStore(VectorStore):
                 rescore_impl=self.rescore_impl,
                 candidate_impl=self._per_stage_candidate_impl,
             )
-        elif self.candidate_impl == "section" and self._section_serves():
+        elif self.candidate_impl == "section" and self._section_serves(exact_topk):
             import jax
 
             from verbatim_rag_tpu.ops.section import hybrid_section_topk
@@ -1586,9 +1616,10 @@ class DeviceVectorStore(VectorStore):
                 dense_scale=dense_s,
                 sketch_scale=sketch_s,
                 rescore_impl=self.rescore_impl,
-                # exact_topk maps onto the table-selection layer: the
-                # bucket table itself stays the approx family either way.
-                table_select="exact" if exact_topk else "approx",
+                # exact-selection queries never reach here (_section_serves
+                # falls back to the XLA program), so the table-select layer
+                # stays on the measured approx winner.
+                table_select="approx",
                 block_cols=16384 if self._capacity % 16384 == 0 else 8192,
                 interpret=interp,
             )
@@ -1617,7 +1648,7 @@ class DeviceVectorStore(VectorStore):
             )
         return np.asarray(scores), np.asarray(rows)
 
-    def _section_serves(self) -> bool:
+    def _section_serves(self, exact_topk: bool = False) -> bool:
         """Whether the section kernel can serve this query/backend.
 
         Geometry: the kernel grids the corpus in block_cols-column steps,
@@ -1625,14 +1656,23 @@ class DeviceVectorStore(VectorStore):
         block guarantees it; tiny custom-block stores fall back). Backend:
         off-TPU the Pallas program would need interpret mode (debug-only
         speed) — fall back to the XLA hybrid program, like the rescore
-        dispatch does (ops/rescore.exact_rescore_dispatch). Tests force
-        interpret via VERBATIM_SECTION_INTERPRET=1."""
+        dispatch does (ops/rescore.exact_rescore_dispatch). Exactness: a
+        query requesting exact selection (approx_topk=False) falls back
+        too — the kernel's bucket table keeps one winner per bucket, so
+        rows the exact `lax.top_k` path would return can be dropped no
+        matter how the table is then selected over. Tests force interpret
+        via VERBATIM_SECTION_INTERPRET=1."""
         import os
 
         import jax
 
         reason = None
-        if self._capacity % 8192 != 0:
+        if exact_topk:
+            reason = (
+                "exact selection requested (approx_topk=False) — the "
+                "kernel's bucket table is approximate by construction"
+            )
+        elif self._capacity % 8192 != 0:
             reason = (
                 f"capacity {self._capacity} is not a multiple of the section "
                 "kernel's 8192-column grid (custom block size?)"
@@ -1644,13 +1684,13 @@ class DeviceVectorStore(VectorStore):
             reason = "no TPU backend"
         if reason is None:
             return True
-        if not self._warned_section_fallback:
+        if reason not in self._warned_section_fallback:
             logger.warning(
-                "candidate_impl='section' cannot serve this store (%s); "
+                "candidate_impl='section' cannot serve this query (%s); "
                 "using the XLA hybrid program instead",
                 reason,
             )
-            self._warned_section_fallback = True
+            self._warned_section_fallback.add(reason)
         return False
 
     def _bm25_query_sparse(self, texts: Sequence[str]) -> list[dict[int, float]]:
