@@ -640,3 +640,209 @@ class TestDistributedGuards:
         with pytest.raises(ValueError, match="divide evenly"):
             distributed.process_local_batch_slice(10)
         assert distributed.process_local_batch_slice(12) == slice(3, 6)
+
+
+class TestShardedSection:
+    """Mesh-sharded section-kernel hybrid (sharded_hybrid_section_topk) vs
+    the single-device section program on the SAME table semantics: shards
+    are block_cols multiples, so the single-device bucket table is exactly
+    the concatenation of the per-shard tables (with row offsets) — at
+    depth ≥ table width and exact table select the two programs rank the
+    identical candidate union and must return the same rows."""
+
+    def _data(self, n=2048, d=32, dp=64, m=8, b=4, qm=4):
+        rng = np.random.default_rng(11)
+        dense = rng.normal(size=(n, d)).astype(np.float32)
+        dense /= np.linalg.norm(dense, axis=1, keepdims=True)
+        sketch = rng.normal(size=(n, dp)).astype(np.float32)
+        sp_ids = rng.integers(1, 500, size=(n, m)).astype(np.int32)
+        sp_w = rng.random(size=(n, m)).astype(np.float32)
+        dq = rng.normal(size=(b, d)).astype(np.float32)
+        dq /= np.linalg.norm(dq, axis=1, keepdims=True)
+        sq = rng.normal(size=(b, dp)).astype(np.float32)
+        q_ids = rng.integers(1, 500, size=(b, qm)).astype(np.int32)
+        q_w = rng.random(size=(b, qm)).astype(np.float32)
+        mask = np.ones(n, bool)
+        mask[::13] = False
+        return dense, sketch, sp_ids, sp_w, dq, sq, q_ids, q_w, mask
+
+    def test_matches_single_device_section(self, mesh):
+        from verbatim_rag_tpu.ops.section import hybrid_section_topk
+        from verbatim_rag_tpu.parallel.sharded_search import (
+            sharded_hybrid_section_topk,
+        )
+
+        dense, sketch, sp_ids, sp_w, dq, sq, q_ids, q_w, mask = self._data()
+        n = dense.shape[0]
+        bc = 256
+        depth = (n // bc) * 128  # full table width: both paths rescore
+        # every bucket winner, so the candidate unions are identical
+        k, fetch_k = 6, 16
+
+        single = hybrid_section_topk(
+            jnp.asarray(dense.T), jnp.asarray(sketch.T),
+            jnp.asarray(sp_ids), jnp.asarray(sp_w),
+            jnp.asarray(dq), jnp.asarray(sq), jnp.asarray(q_ids),
+            jnp.asarray(q_w), k=k, fetch_k=fetch_k, depth=depth,
+            mask=jnp.asarray(mask), rescore_impl="oneshot",
+            table_select="exact", block_cols=bc, dot_chunk=bc, q_block=8,
+            interpret=True,
+        )
+
+        col = lambda x: jax.device_put(
+            jnp.asarray(x),
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, ("dp", "tp"))
+            ),
+        )
+        sharded = sharded_hybrid_section_topk(
+            col(dense.T), col(sketch.T),
+            shard_rows(jnp.asarray(sp_ids), mesh),
+            shard_rows(jnp.asarray(sp_w), mesh),
+            replicate(jnp.asarray(dq), mesh), replicate(jnp.asarray(sq), mesh),
+            replicate(jnp.asarray(q_ids), mesh), replicate(jnp.asarray(q_w), mesh),
+            k=k, fetch_k=fetch_k, depth=depth,
+            mask=shard_rows(jnp.asarray(mask), mesh), mesh=mesh,
+            rescore_impl="oneshot", table_select="exact",
+            block_cols=bc, interpret=True,
+        )
+
+        s_scores, s_rows = np.asarray(single[0]), np.asarray(single[1])
+        m_scores, m_rows = np.asarray(sharded[0]), np.asarray(sharded[1])
+        np.testing.assert_allclose(m_scores, s_scores, rtol=1e-5)
+        np.testing.assert_array_equal(m_rows, s_rows)
+
+    def test_three_way_full_text_arm(self, mesh):
+        """3-way (dense + SPLADE + BM25) mesh section program vs the
+        single-device hybrid_section_topk_3way at full-table depth."""
+        from verbatim_rag_tpu.ops.section import hybrid_section_topk_3way
+        from verbatim_rag_tpu.parallel.sharded_search import (
+            sharded_hybrid_section_topk,
+        )
+
+        dense, sketch, sp_ids, sp_w, dq, sq, q_ids, q_w, mask = self._data()
+        rng = np.random.default_rng(12)
+        n, dp = dense.shape[0], sketch.shape[1]
+        b, fm, fqm = dq.shape[0], 8, 4
+        ft_sketch = rng.normal(size=(n, dp)).astype(np.float32)
+        ft_ids = rng.integers(1, 300, size=(n, fm)).astype(np.int32)
+        ft_w = rng.random(size=(n, fm)).astype(np.float32)
+        ft_qproj = rng.normal(size=(b, dp)).astype(np.float32)
+        ft_qids = rng.integers(1, 300, size=(b, fqm)).astype(np.int32)
+        ft_qw = rng.random(size=(b, fqm)).astype(np.float32)
+        bc = 256
+        depth = (n // bc) * 128
+        k, fetch_k = 6, 16
+
+        single = hybrid_section_topk_3way(
+            jnp.asarray(dense.T), jnp.asarray(sketch.T),
+            jnp.asarray(sp_ids), jnp.asarray(sp_w),
+            jnp.asarray(ft_sketch.T), jnp.asarray(ft_ids), jnp.asarray(ft_w),
+            jnp.asarray(dq), jnp.asarray(sq),
+            jnp.asarray(q_ids), jnp.asarray(q_w),
+            jnp.asarray(ft_qproj), jnp.asarray(ft_qids), jnp.asarray(ft_qw),
+            k=k, fetch_k=fetch_k, depth=depth, mask=jnp.asarray(mask),
+            rescore_impl="oneshot", table_select="exact",
+            block_cols=bc, dot_chunk=bc, q_block=8, interpret=True,
+        )
+
+        col = lambda x: jax.device_put(
+            jnp.asarray(x),
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(None, ("dp", "tp"))
+            ),
+        )
+        ft_arm = (
+            col(ft_sketch.T),
+            shard_rows(jnp.asarray(ft_ids), mesh),
+            shard_rows(jnp.asarray(ft_w), mesh),
+            replicate(jnp.asarray(ft_qproj), mesh),
+            replicate(jnp.asarray(ft_qids), mesh),
+            replicate(jnp.asarray(ft_qw), mesh),
+            1.0,
+            None,
+        )
+        sharded = sharded_hybrid_section_topk(
+            col(dense.T), col(sketch.T),
+            shard_rows(jnp.asarray(sp_ids), mesh),
+            shard_rows(jnp.asarray(sp_w), mesh),
+            replicate(jnp.asarray(dq), mesh), replicate(jnp.asarray(sq), mesh),
+            replicate(jnp.asarray(q_ids), mesh), replicate(jnp.asarray(q_w), mesh),
+            k=k, fetch_k=fetch_k, depth=depth,
+            mask=shard_rows(jnp.asarray(mask), mesh), mesh=mesh,
+            dense_weight=1.0, sparse_weight=1.0,
+            rescore_impl="oneshot", table_select="exact",
+            ft_arm=ft_arm, block_cols=bc, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(sharded[0]), np.asarray(single[0]), rtol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(sharded[1]), np.asarray(single[1]))
+
+
+class TestMeshSectionStore:
+    """DeviceVectorStore(mesh=..., candidate_impl='section'): hybrid queries
+    ride the per-shard section kernel (interpret mode forced via env) and
+    agree with the single-device section store on the same corpus. The live
+    rows land in shard 0's first block, so both stores build the identical
+    bucket structure over the populated region."""
+
+    def _store(self, mesh, rng, records, **kwargs):
+        from verbatim_rag_tpu.engine.store import DeviceVectorStore
+
+        block = 8192 if mesh is None else mesh.size * 8192
+        s = DeviceVectorStore(
+            dense_dim=16, sparse_vocab=64, sparse_max_nnz=8, block=block,
+            projection_dim=32, candidate_impl="section", mesh=mesh, **kwargs,
+        )
+        s.add_vectors([dict(r) for r in records])
+        s.flush()
+        return s
+
+    def test_mesh_store_section_parity(self, mesh, monkeypatch):
+        monkeypatch.setenv("VERBATIM_SECTION_INTERPRET", "1")
+        rng = np.random.default_rng(11)
+        records = TestMeshStore._records(TestMeshStore(), n=200)
+        plain = self._store(None, rng, records)
+        sharded = self._store(mesh, rng, records)
+        assert sharded.candidate_impl == "section"
+
+        import verbatim_rag_tpu.parallel.sharded_search as ss
+
+        calls = {"n": 0}
+        real = ss.sharded_hybrid_section_topk
+
+        def spy(*a, **kw):
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(ss, "sharded_hybrid_section_topk", spy)
+
+        q = rng.normal(size=(2, 16)).astype(np.float32)
+        qs = [{3: 1.0, 9: 0.5}, {40: 2.0, 5: 0.1}]
+        r_plain = plain.query_batch(dense_queries=q, sparse_queries=qs, top_k=6)
+        r_mesh = sharded.query_batch(dense_queries=q, sparse_queries=qs, top_k=6)
+        assert calls["n"] == 1, "mesh store must dispatch the sharded section program"
+        for hits_p, hits_m in zip(r_plain, r_mesh):
+            assert hits_p and hits_m
+            assert hits_p[0].id == hits_m[0].id
+            overlap = len({h.id for h in hits_p} & {h.id for h in hits_m})
+            assert overlap >= 4, (hits_p, hits_m)
+
+    def test_mesh_store_exact_request_falls_back(self, mesh, monkeypatch):
+        """approx_topk=False on a mesh section store serves through the XLA
+        sharded program (same exactness contract as single-device)."""
+        monkeypatch.setenv("VERBATIM_SECTION_INTERPRET", "1")
+        rng = np.random.default_rng(11)
+        records = TestMeshStore._records(TestMeshStore(), n=64)
+        store = self._store(mesh, rng, records, approx_topk=False)
+
+        import verbatim_rag_tpu.parallel.sharded_search as ss
+
+        def boom(*a, **kw):  # pragma: no cover - must not be reached
+            raise AssertionError("exact request must not ride the bucket table")
+
+        monkeypatch.setattr(ss, "sharded_hybrid_section_topk", boom)
+        q = rng.normal(size=(1, 16)).astype(np.float32)
+        out = store.query_batch(dense_queries=q, sparse_queries=[{3: 1.0}], top_k=4)
+        assert out and out[0]

@@ -284,17 +284,23 @@ def test_section_falls_back_off_tpu_and_on_geometry():
     assert [h.id for h in r_ref] == [h.id for h in r_alt]
 
 
-def test_section_rejects_int4_and_mesh():
+def test_section_rejects_int4_and_bad_mesh_block():
     with pytest.raises(ValueError, match="int4"):
         DeviceVectorStore(dense_dim=DIM, dense_dtype="int4", candidate_impl="section")
 
     from verbatim_rag_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(dp=4, tp=2)
-    with pytest.raises(ValueError, match="single-device"):
+    # A mesh block that cannot tile the per-shard 8192-column grid fails at
+    # construction; a conforming block (mesh.size * 8192) is accepted.
+    with pytest.raises(ValueError, match="8192"):
         DeviceVectorStore(
             dense_dim=DIM, mesh=mesh, block=mesh.size * 2, candidate_impl="section"
         )
+    store = DeviceVectorStore(
+        dense_dim=DIM, mesh=mesh, block=mesh.size * 8192, candidate_impl="section"
+    )
+    assert store.candidate_impl == "section"
 
 
 def test_legacy_comma_pair_spec_maps_to_xla(caplog):

@@ -254,10 +254,13 @@ class DeviceVectorStore(VectorStore):
             # halved DMA + doubled MXU rate survive the composition tax
             # (15.27 vs 16.28 ms); on bf16 the XLA program's software
             # pipelining of the two matmuls against the rescore wins
-            # (17.61 vs 19.42). int4 and mesh-sharded stores are XLA-only,
-            # and a store built for exact selection (approx_topk=False)
-            # resolves to the XLA program outright — the section kernel's
-            # bucket table is approximate by construction.
+            # (17.61 vs 19.42). int4 stores are XLA-only; mesh stores
+            # resolve to 'xla' under "auto" (the per-shard section path
+            # exists — sharded_hybrid_section_topk — but is opt-in until
+            # measured on multi-chip hardware); and a store built for
+            # exact selection (approx_topk=False) resolves to the XLA
+            # program outright — the section kernel's bucket table is
+            # approximate by construction.
             candidate_impl = (
                 "section"
                 if dense_dtype == "int8"
@@ -278,11 +281,12 @@ class DeviceVectorStore(VectorStore):
                     "(the section kernel streams int8/bf16 blocks; no packed "
                     "4-bit unpack) — use 'xla' for int4 stores"
                 )
-            if mesh is not None:
+            if mesh is not None and block % (mesh.size * 8192) != 0:
                 raise ValueError(
-                    "candidate_impl='section' is single-device for now; "
-                    "mesh-sharded stores use 'xla' (per-shard kernels in "
-                    "parallel/sharded_search.py)"
+                    "candidate_impl='section' on a mesh needs each shard's "
+                    "capacity to tile the kernel's 8192-column grid: pass "
+                    f"block as a multiple of mesh.size*8192 ({mesh.size * 8192}), "
+                    f"got block={block}"
                 )
         else:
             validate_candidate_impl(candidate_impl)  # raises on bad specs
@@ -559,12 +563,23 @@ class DeviceVectorStore(VectorStore):
             )
             # Eager device transposes: one [cap, d] read + [d, cap] write
             # each — a few ms at 1M, amortized over every query until the
-            # next flush/compact.
+            # next flush/compact. On a mesh the transposes are re-placed
+            # COLUMN-sharded (P(None, ('dp','tp'))) so each shard holds
+            # exactly its row range's transpose for the per-shard kernel.
             self._section_t = (
-                jnp.swapaxes(dense_c, 0, 1),
-                jnp.swapaxes(sketch_c, 0, 1),
+                self._place_cols(jnp.swapaxes(dense_c, 0, 1)),
+                self._place_cols(jnp.swapaxes(sketch_c, 0, 1)),
             )
         return self._section_t
+
+    def _place_cols(self, arr):
+        """Column-shard a [d, cap] transpose over the mesh (no-op without)."""
+        if self.mesh is None:
+            return arr
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P(None, ("dp", "tp"))))
 
     def _section_ft_transposed(self, ft_sketch):
         """[d_p, cap] device transpose of the BM25 sketches for the 3-way
@@ -572,7 +587,7 @@ class DeviceVectorStore(VectorStore):
         if self._section_ft_t is None:
             import jax.numpy as jnp
 
-            self._section_ft_t = jnp.swapaxes(ft_sketch, 0, 1)
+            self._section_ft_t = self._place_cols(jnp.swapaxes(ft_sketch, 0, 1))
         return self._section_ft_t
 
     @property
@@ -1480,41 +1495,86 @@ class DeviceVectorStore(VectorStore):
                 sharded_hybrid_topk,
             )
 
+            use_section = self.candidate_impl == "section" and self._section_serves(
+                exact_topk
+            )
             ft_arm = None
             if ft_args is not None:
                 ft_sketch, ft_qids, ft_qw, ft_qproj, ft_scale = ft_args
                 ft_arm = (
-                    ft_sketch, self._ft_ids, self._ft_w,
+                    self._section_ft_transposed(ft_sketch) if use_section else ft_sketch,
+                    self._ft_ids, self._ft_w,
                     replicate(ft_qproj, self.mesh),
                     replicate(ft_qids, self.mesh),
                     replicate(ft_qw, self.mesh),
                     float(weights.get("full_text", 0.5)),
                     ft_scale,
                 )
-            scores, rows = sharded_hybrid_topk(
-                dense_c,
-                sketch_c,
-                self._sp_ids,
-                self._sp_w,
-                replicate(jnp.asarray(q), self.mesh),
-                replicate(q_proj, self.mesh),
-                replicate(q_ids, self.mesh),
-                replicate(q_w, self.mesh),
-                k=min(top_k, fetch_k),
-                fetch_k=fetch_k,
-                depth=depth,
-                mask=mask,
-                mesh=self.mesh,
-                dense_weight=float(weights.get("dense", 0.5)),
-                sparse_weight=float(weights.get("sparse", 0.5)),
-                rrf_k=rrf_k,
-                exact_topk=exact_topk,
-                dense_scale=dense_s,
-                sketch_scale=sketch_s,
-                rescore_impl=self.rescore_impl,
-                candidate_impl=self._per_stage_candidate_impl,
-                ft_arm=ft_arm,
-            )
+            if use_section:
+                # Per-shard section kernel (VERDICT r4 #6): each shard runs
+                # the single-device Pallas program over its own transposed
+                # blocks; the ICI merge is the same as sharded_hybrid_topk.
+                import jax
+
+                from verbatim_rag_tpu.parallel.sharded_search import (
+                    sharded_hybrid_section_topk,
+                )
+
+                dense_t, sketch_t = self._section_transposed()
+                per_shard = self._capacity // self.mesh.size
+                interp = jax.devices()[0].platform not in ("tpu", "axon")
+                scores, rows = sharded_hybrid_section_topk(
+                    dense_t,
+                    sketch_t,
+                    self._sp_ids,
+                    self._sp_w,
+                    replicate(jnp.asarray(q), self.mesh),
+                    replicate(q_proj, self.mesh),
+                    replicate(q_ids, self.mesh),
+                    replicate(q_w, self.mesh),
+                    k=min(top_k, fetch_k),
+                    fetch_k=fetch_k,
+                    depth=depth,
+                    mask=mask,
+                    mesh=self.mesh,
+                    dense_weight=float(weights.get("dense", 0.5)),
+                    sparse_weight=float(weights.get("sparse", 0.5)),
+                    rrf_k=rrf_k,
+                    dense_scale=dense_s,
+                    sketch_scale=sketch_s,
+                    rescore_impl=self.rescore_impl,
+                    # exact-selection queries fall back above, so the
+                    # table-select layer stays on the measured approx winner.
+                    table_select="approx",
+                    ft_arm=ft_arm,
+                    block_cols=16384 if per_shard % 16384 == 0 else 8192,
+                    interpret=interp,
+                )
+            else:
+                scores, rows = sharded_hybrid_topk(
+                    dense_c,
+                    sketch_c,
+                    self._sp_ids,
+                    self._sp_w,
+                    replicate(jnp.asarray(q), self.mesh),
+                    replicate(q_proj, self.mesh),
+                    replicate(q_ids, self.mesh),
+                    replicate(q_w, self.mesh),
+                    k=min(top_k, fetch_k),
+                    fetch_k=fetch_k,
+                    depth=depth,
+                    mask=mask,
+                    mesh=self.mesh,
+                    dense_weight=float(weights.get("dense", 0.5)),
+                    sparse_weight=float(weights.get("sparse", 0.5)),
+                    rrf_k=rrf_k,
+                    exact_topk=exact_topk,
+                    dense_scale=dense_s,
+                    sketch_scale=sketch_s,
+                    rescore_impl=self.rescore_impl,
+                    candidate_impl=self._per_stage_candidate_impl,
+                    ft_arm=ft_arm,
+                )
         elif (
             ft_args is not None
             and self.candidate_impl == "section"
@@ -1667,15 +1727,17 @@ class DeviceVectorStore(VectorStore):
         import jax
 
         reason = None
+        shards = self.mesh.size if self.mesh is not None else 1
         if exact_topk:
             reason = (
                 "exact selection requested (approx_topk=False) — the "
                 "kernel's bucket table is approximate by construction"
             )
-        elif self._capacity % 8192 != 0:
+        elif self._capacity % (shards * 8192) != 0:
             reason = (
-                f"capacity {self._capacity} is not a multiple of the section "
-                "kernel's 8192-column grid (custom block size?)"
+                f"capacity {self._capacity} does not tile the section "
+                f"kernel's 8192-column grid over {shards} shard(s) "
+                "(custom block size?)"
             )
         elif (
             os.environ.get("VERBATIM_SECTION_INTERPRET") != "1"

@@ -555,11 +555,25 @@ def table_topk(
     select_impl="approx" uses `lax.approx_max_k` (recall 0.99, aggregated
     to an exact top-k of the survivors) — the table is already an
     approximate selection, so the extra approximation layer composes
-    inside the same quality knob; measured A/B in bench_section.py."""
+    inside the same quality knob; measured A/B in bench_section.py.
+    "approx95" drops recall_target to 0.95: at the serving point
+    (k=depth=256 over a [B, 15616/7808] table) the 0.99 target forbids
+    PartialReduce from reducing at all, so XLA lowers a FULL SORT of the
+    table (3.6 ms at width 15616, the composed program's largest
+    post-kernel op per the round-5 device trace); 0.95 re-enables the
+    reduction. Candidate-set overlap vs exact 0.9918 measured at that
+    shape (probe_table_select.py) — downstream of the exact rescore the
+    final-list effect folds into the same quality knob.
+    (`reduction_input_size_override` — the honest fix, since the table
+    already summarizes the original N rows — crashes this toolchain's
+    remote TPU compiler: tpu_compile_helper exit 1, 6/6 attempts,
+    2026-08-19.)"""
     k = min(k, table.shape[1])
-    if select_impl == "approx":
+    if select_impl in ("approx", "approx95"):
         top_packed, cols = jax.lax.approx_max_k(
-            table, k, recall_target=0.99, aggregate_to_topk=True
+            table, k,
+            recall_target=0.95 if select_impl == "approx95" else 0.99,
+            aggregate_to_topk=True,
         )
     else:
         top_packed, cols = jax.lax.top_k(table, k)

@@ -331,6 +331,182 @@ def sharded_hybrid_topk(
     return scores, rows
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "k", "fetch_k", "depth", "rrf_k", "mesh", "rescore_impl",
+        "table_select", "block_cols", "dot_chunk", "interpret",
+    ),
+)
+def sharded_hybrid_section_topk(
+    dense_t: jax.Array,  # [d, N] TRANSPOSED corpus, column-sharded
+    sketch_t: jax.Array,  # [d_p, N] TRANSPOSED sketches, column-sharded
+    sp_ids: jax.Array,  # [N, m] row-sharded forward index
+    sp_w: jax.Array,  # [N, m] row-sharded
+    dense_q: jax.Array,  # [B, d] replicated
+    sketch_q: jax.Array,  # [B, d_p] replicated
+    q_ids: jax.Array,  # [B, qm] replicated
+    q_w: jax.Array,  # [B, qm] replicated
+    k: int,
+    fetch_k: int,
+    depth: int,
+    mask: jax.Array,  # [N] row-sharded
+    mesh: Mesh,
+    dense_weight: jax.Array | float = 0.5,
+    sparse_weight: jax.Array | float = 0.5,
+    rrf_k: int = 60,
+    dense_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 corpus
+    sketch_scale: jax.Array | None = None,  # [N, 1] row-sharded — int8 sketches
+    rescore_impl: str = "pallas",
+    table_select: str = "approx",
+    ft_arm: tuple | None = None,  # (ft_sketch_t [d_p, N] column-sharded,
+    #  ft_ids, ft_w [row-sharded], ft_q_proj, ft_q_ids, ft_q_w [replicated],
+    #  ft_weight, ft_scale [row-sharded]|None)
+    block_cols: int = 8192,
+    dot_chunk: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """The mesh-sharded hybrid query with the SECTION KERNEL as its
+    per-shard candidate stage (VERDICT r4 #6): each shard is exactly the
+    single-device section problem — one Pallas grid pass over the shard's
+    transposed corpus blocks producing packed bucket tables, then the
+    shard-local table top-ks + exact forward-index rescore — and the ICI
+    merge is unchanged from `sharded_hybrid_topk` (all_gather of
+    (score, global-row) pairs, O(devices·fetch_k) traffic). Per-shard
+    candidate depth means sharded recall ≥ the single-device store's at
+    equal ``depth``, same argument as the XLA path.
+
+    Geometry: each shard's column count must be a ``block_cols`` multiple
+    (the store's `_section_serves` gate checks capacity % (devices·8192)).
+    Reference capability: Milvus's distributed hybrid search
+    (`milvus_base.py:189-313`) — re-designed as one mesh program.
+
+    Returns (fused RRF scores [B, k], row indices [B, k]; −1 pads).
+    """
+    from verbatim_rag_tpu.ops.fusion import rrf_fuse_device
+    from verbatim_rag_tpu.ops.section import section_bucket_tables, table_topk
+
+    axis = ("dp", "tp")
+    has_dscale = dense_scale is not None
+    has_sscale = sketch_scale is not None
+    has_ft = ft_arm is not None
+    if has_ft:
+        ft_t, ft_ids, ft_w, ft_qproj, ft_qids, ft_qw, ft_weight, ft_scale = ft_arm
+        has_fscale = ft_scale is not None
+    else:
+        ft_weight, ft_scale, has_fscale = 0.0, None, False
+
+    def _merge_rows(scores_l, rows_l, width):
+        """ICI merge of local (score, global-row) pairs → top-``width``."""
+        all_s = jax.lax.all_gather(scores_l, axis, axis=1)
+        all_i = jax.lax.all_gather(rows_l, axis, axis=1)
+        flat_s = all_s.reshape(all_s.shape[0], -1)
+        flat_i = all_i.reshape(all_i.shape[0], -1)
+        gk = min(width, flat_s.shape[1])
+        g_s, pos = jax.lax.top_k(flat_s, gk)
+        return g_s, jnp.take_along_axis(flat_i, pos, axis=1)
+
+    def local(dense_t_s, sketch_t_s, ids_s, w_s, mask_s, dq, qproj, qids, qw, *rest):
+        rest = list(rest)
+        ft_t_s = ft_i_s = ft_w_s = fqp = fqi = fqw = None
+        if has_ft:
+            ft_t_s, ft_i_s, ft_w_s, fqp, fqi, fqw = rest[:6]
+            rest = rest[6:]
+        dscale_s = rest.pop(0) if has_dscale else None
+        sscale_s = rest.pop(0) if has_sscale else None
+        fscale_s = rest.pop(0) if has_fscale else None
+        n_local = dense_t_s.shape[1]
+        offset = jax.lax.axis_index(axis) * n_local
+
+        corpora = [dense_t_s, sketch_t_s]
+        queries = [dq, qproj]
+        scale_list = [dscale_s, sscale_s]
+        if has_ft:
+            corpora.append(ft_t_s)
+            queries.append(fqp)
+            scale_list.append(fscale_s)
+        scales = (
+            tuple(scale_list) if any(s is not None for s in scale_list) else ()
+        )
+        tables = section_bucket_tables(
+            tuple(corpora), tuple(queries), mask_s, scales=scales,
+            block_cols=block_cols, dot_chunk=dot_chunk or min(2048, block_cols),
+            interpret=interpret,
+        )
+
+        # Dense arm: shard-local table top-k, merged by (packed) value —
+        # the packed low bits perturb ordering ≤127 ulp across shards
+        # identically, the same contract as the single-device table_topk.
+        lk = min(fetch_k, tables[0].shape[1])
+        d_vals, d_rows = table_topk(
+            tables[0], lk, block_cols, n_local, select_impl=table_select
+        )
+        d_rows = jnp.where(d_rows >= 0, d_rows + offset, -1)
+        d_gs, d_rows = _merge_rows(d_vals, d_rows, fetch_k)
+        d_rows = jnp.where(d_gs > NEG_INF / 2, d_rows, -1)
+        d_rows = _pad_cols(d_rows, fetch_k, -1)
+
+        def projected_arm(table, ids_a, w_a, qi, qv):
+            """Shard-local table top-depth → exact rescore → ICI merge by
+            exact score (shard-independent, so the merge is exact over the
+            union of per-shard candidates)."""
+            local_depth = min(depth, table.shape[1])
+            _, cand = table_topk(
+                table, local_depth, block_cols, n_local, select_impl=table_select
+            )
+            from verbatim_rag_tpu.ops.hybrid import rescore_fn
+
+            exact = rescore_fn(rescore_impl)(cand, ids_a, w_a, qi, qv)
+            lrk = min(fetch_k, local_depth)
+            r_top, r_pos = jax.lax.top_k(exact, lrk)
+            rows_l = jnp.take_along_axis(cand, r_pos, axis=1)
+            rows_l = jnp.where(r_top > NEG_INF / 2, rows_l + offset, -1)
+            g_s, rows = _merge_rows(r_top, rows_l, fetch_k)
+            # Zero exact score = no term overlap → not a hit (Milvus
+            # parity; see ops/hybrid.py `_projected_arm`).
+            return _pad_cols(jnp.where(g_s > 0.0, rows, -1), fetch_k, -1)
+
+        arms = [d_rows, projected_arm(tables[1], ids_s, w_s, qids, qw)]
+        raw_weights = [dense_weight, sparse_weight]
+        if has_ft:
+            arms.append(projected_arm(tables[2], ft_i_s, ft_w_s, fqi, fqw))
+            raw_weights.append(ft_weight)
+
+        stacked = jnp.stack(arms)
+        total = sum(raw_weights)
+        weights = jnp.stack(
+            [jnp.asarray(w, jnp.float32) for w in raw_weights]
+        ) / jnp.asarray(total, jnp.float32)
+        return rrf_fuse_device(stacked, weights, k=min(k, fetch_k), rrf_k=rrf_k)
+
+    from jax import shard_map
+
+    col = P(None, axis)
+    in_specs = [col, col, P(axis), P(axis), P(axis), P(), P(), P(), P()]
+    args = [dense_t, sketch_t, sp_ids, sp_w, mask, dense_q, sketch_q, q_ids, q_w]
+    if has_ft:
+        in_specs += [col, P(axis), P(axis), P(), P(), P()]
+        args += [ft_t, ft_ids, ft_w, ft_qproj, ft_qids, ft_qw]
+    for scale, present in (
+        (dense_scale, has_dscale), (sketch_scale, has_sscale), (ft_scale, has_fscale),
+    ):
+        if present:
+            in_specs.append(P(axis))
+            args.append(scale)
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    scores, rows = fn(*args)
+    if rows.shape[1] < k:
+        scores = _pad_cols(scores, k, 0.0)
+        rows = _pad_cols(rows, k, -1)
+    return scores, rows
+
+
 @partial(jax.jit, static_argnames=("k", "mesh", "block"))
 def sharded_sparse_topk(
     token_ids: jax.Array,  # [N, m] row-sharded
