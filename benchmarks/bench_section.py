@@ -70,7 +70,7 @@ def main() -> None:
         help="single-arm decomposition probe",
     )
     parser.add_argument(
-        "--table-select", default="exact", choices=("exact", "approx"),
+        "--table-select", default="exact", choices=("exact", "approx", "approx95"),
         help="table top-k impl: exact lax.top_k vs approx_max_k(0.99)",
     )
     parser.add_argument(

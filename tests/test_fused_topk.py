@@ -300,13 +300,16 @@ class TestCandidateImplDispatch:
         expect_rows = np.argsort(-scores, axis=1)[:, :8]
         np.testing.assert_array_equal(got[1], expect_rows)
 
-    @pytest.mark.parametrize("variant", ["onedot", "chunked"])
-    def test_int4_corpus_unpacks_in_kernel(self, variant):
-        """Int4Rows corpora stream packed through VMEM and unpack in-body
-        (half-split layout: shifts + lane concat). Bucket maxima must
-        match the XLA int4 scoring path within the pack tolerance."""
+    def test_int4_corpus_is_refused_and_routed_to_xla(self):
+        """The int4 bucket arm was REMOVED in 0.5.2 (it never compiled on
+        TPU hardware; native int4 operands crash the client — VERDICT r4
+        #9): the kernel refuses Int4Rows loudly, the support gate routes
+        int4 to the XLA path, and candidate_topk(impl='bucket') on an
+        int4 corpus still returns correct (XLA-path) results."""
         from verbatim_rag_tpu.ops.dense import (
             Int4Rows,
+            bucket_kernel_supported,
+            candidate_topk,
             dense_scores,
             quantize_rows_int4,
         )
@@ -316,17 +319,17 @@ class TestCandidateImplDispatch:
         rows4 = quantize_rows_int4(corpus_f)
         carrier = Int4Rows(jnp.asarray(rows4.packed), jnp.asarray(rows4.scale))
         mask = jnp.ones(n, bool)
-        vals, rows = jax.device_get(
-            matmul_bucket_max_v2(
-                carrier, q, mask, variant=variant, chunk_pos=2, interpret=True
+        with pytest.raises(ValueError, match="int4"):
+            matmul_bucket_max_v2(carrier, q, mask, interpret=True)
+        assert not bucket_kernel_supported(carrier, None, interpret=True)
+        got = jax.device_get(
+            candidate_topk(
+                carrier, q, 8, mask, exact_topk=True, impl="bucket", interpret=True
             )
         )
-        oracle = np.asarray(dense_scores(carrier, q))
-        expect = oracle.reshape(b, n // BUCKET, BUCKET).max(axis=1)
-        np.testing.assert_allclose(vals, expect, rtol=PACK_TOL, atol=1e-6)
-        for qi in range(b):
-            for lane in range(BUCKET):
-                assert rows[qi, lane] % BUCKET == lane
+        scores = np.asarray(dense_scores(carrier, q.astype(jnp.float32)))
+        expect_rows = np.argsort(-scores, axis=1)[:, :8]
+        np.testing.assert_array_equal(got[1], expect_rows)
 
     def test_fallback_to_xla_on_bad_geometry(self):
         from verbatim_rag_tpu.ops.dense import candidate_topk

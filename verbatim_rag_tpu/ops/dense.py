@@ -184,14 +184,15 @@ def bucket_kernel_supported(
     and a bucket table wide enough to supply `k` candidates. int8
     corpora need their per-row scale (the kernel rescales in-block).
 
-    int4 corpora are interpret-mode only: the in-kernel half-split
-    unpack fails Mosaic hardware compilation on v5e (remote-compile
-    helper exit 1 at every shape tried — scripts/tpu_shape_smoke.py),
-    so on a real backend the int4 tier falls back to the XLA candidate
-    path instead of crashing the serving program."""
+    int4 corpora never ride the bucket kernel: the in-kernel half-split
+    unpack failed Mosaic hardware compilation on v5e (remote-compile
+    helper exit 1 at every shape tried — scripts/tpu_shape_smoke.py) and
+    native jnp.int4 operands crash this toolchain's client, so the arm
+    was REMOVED in 0.5.2 (VERDICT r4 #9) — the int4 tier always serves
+    through the XLA candidate path."""
     from .fused_topk import bucket_table_width
 
-    if isinstance(corpus, Int4Rows) and not interpret:
+    if isinstance(corpus, Int4Rows):
         return False
     if not isinstance(corpus, Int4Rows) and corpus.dtype == jnp.int8 and scale is None:
         return False

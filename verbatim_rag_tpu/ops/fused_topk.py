@@ -234,15 +234,17 @@ def _packed_chunk_max(s3, mask3, pos0):
     return jnp.max(packed, axis=1)
 
 
-def _raw_dot(q, rows, int4: bool = False):
-    """[qb, d] x [r, d(/2 packed)] → [qb, r]; int8 operands take the MXU
-    int8 path (raw ≤ 127·127·d < 2^24, so the later f32 cast is exact).
-    int4 blocks unpack in-body: two shifts + a lane concat (the half-split
-    packing makes column order line up without an interleave relayout)."""
-    if int4:
-        lo = jnp.right_shift(jnp.left_shift(rows, 4), 4)
-        hi = jnp.right_shift(rows, 4)
-        rows = jnp.concatenate([lo, hi], axis=-1)  # [r, d] int8
+def _raw_dot(q, rows):
+    """[qb, d] x [r, d] → [qb, r]; int8 operands take the MXU int8 path
+    (raw ≤ 127·127·d < 2^24, so the later f32 cast is exact).
+
+    No int4 arm: the 0.5.x in-kernel half-split unpack (two shifts + a
+    lane concat) validated in interpret mode but NEVER compiled on v5e
+    hardware (remote Mosaic helper exit 1 at every shape tried), and a
+    native jnp.int4 operand crashes this toolchain's client before the
+    kernel is even reached (round-5 probe, 2026-08-19) — so the arm was
+    removed rather than shipped uncompilable (VERDICT r4 #9). int4 tiers
+    serve through the XLA candidate path (ops/dense.py unpack_int4)."""
     acc = jnp.int32 if rows.dtype == jnp.int8 else jnp.float32
     out = jax.lax.dot_general(
         q, rows, (((1,), (1,)), ((), ())), preferred_element_type=acc
@@ -250,10 +252,10 @@ def _raw_dot(q, rows, int4: bool = False):
     return out.astype(jnp.float32)
 
 
-def _bucket_max_v2_onedot_kernel(*refs, has_scale: bool, int4: bool = False):
+def _bucket_max_v2_onedot_kernel(*refs, has_scale: bool):
     """One MXU dot for the whole block, then a packed second-minor reduce.
 
-    Scales (int8/int4 modes) apply on the [qb, p, 128] view — the corpus
+    Scales (int8 mode) apply on the [qb, p, 128] view — the corpus
     scale arrives pre-laid-out [p, 128] (strided bucket geometry, like
     the mask), so no in-kernel relayout is needed."""
     if has_scale:
@@ -264,7 +266,7 @@ def _bucket_max_v2_onedot_kernel(*refs, has_scale: bool, int4: bool = False):
     block = corpus_ref[...]  # [block_rows, d] (or [block_rows, d/2] packed)
     qb, block_rows = q.shape[0], block.shape[0]
     p = block_rows // BUCKET
-    s3 = _raw_dot(q, block, int4).reshape(qb, p, BUCKET)  # (query, pos, lane)
+    s3 = _raw_dot(q, block).reshape(qb, p, BUCKET)  # (query, pos, lane)
     if has_scale:
         s3 = s3 * qscale_ref[...][:, :, None] * cscale_ref[...][None, :, :]
     best = _packed_chunk_max(s3, mask_ref[...], 0)
@@ -273,7 +275,7 @@ def _bucket_max_v2_onedot_kernel(*refs, has_scale: bool, int4: bool = False):
     idx_ref[...] = winner
 
 
-def _bucket_max_v2_chunked_kernel(*refs, chunk_pos: int, has_scale: bool, int4: bool = False):
+def _bucket_max_v2_chunked_kernel(*refs, chunk_pos: int, has_scale: bool):
     """Chunked variant: the [qb, block] score matrix is never materialized —
     `chunk_pos` 128-row groups at a time go MXU → pack → reduce → running
     max, so live score state is [qb, chunk_pos·128] plus one [qb, 128]
@@ -292,7 +294,7 @@ def _bucket_max_v2_chunked_kernel(*refs, chunk_pos: int, has_scale: bool, int4: 
         start = pl.multiple_of(i * rows_per_iter, rows_per_iter)
         rows = corpus_ref[pl.ds(start, rows_per_iter), :]  # [cp·128, d(/2)]
         p_start = pl.multiple_of(i * chunk_pos, chunk_pos)
-        s3 = _raw_dot(q, rows, int4).reshape(qb, chunk_pos, BUCKET)
+        s3 = _raw_dot(q, rows).reshape(qb, chunk_pos, BUCKET)
         if has_scale:
             cs = cscale_ref[pl.ds(p_start, chunk_pos), :]  # [cp, 128]
             s3 = s3 * qscale_ref[...][:, :, None] * cs[None, :, :]
@@ -324,20 +326,21 @@ def matmul_bucket_max_v2(
     serving block size (16384) that is one winner per 128 rows, the same
     granularity as v1/approx_max_k, and finer (better recall) below it.
 
-    `corpus` may be an `ops.dense.Int4Rows` (packed 4-bit capacity tier):
-    blocks stream through VMEM packed and unpack in-kernel."""
+    int4 corpora are NOT accepted: the in-kernel half-split unpack never
+    compiled on v5e hardware and native int4 operands crash the client
+    (see _raw_dot) — the arm was removed in 0.5.2 rather than shipped
+    uncompilable; int4 tiers serve through the XLA candidate path."""
     from .dense import Int4Rows
 
-    int4 = isinstance(corpus, Int4Rows)
-    if int4:
-        scale = corpus.scale
-        n, d = corpus.shape
-        corpus_arr = corpus.packed  # [n, d//2]
-        d_stored = d // 2
-    else:
-        n, d = corpus.shape
-        corpus_arr = corpus
-        d_stored = d
+    if isinstance(corpus, Int4Rows):
+        raise ValueError(
+            "matmul_bucket_max_v2 does not serve int4 corpora (the unpack "
+            "arm never compiled on TPU hardware; removed in 0.5.2) — use "
+            "the XLA candidate path (candidate_topk impl='xla')"
+        )
+    n, d = corpus.shape
+    corpus_arr = corpus
+    d_stored = d
     b = q.shape[0]
     block_rows = choose_block_rows(n)
     if block_rows is None:
@@ -346,7 +349,7 @@ def matmul_bucket_max_v2(
             f"{BUCKET}) or divisible by a block size ≥ {MIN_BLOCK_ROWS}"
         )
     p = block_rows // BUCKET
-    has_scale = int4 or corpus_arr.dtype == jnp.int8
+    has_scale = corpus_arr.dtype == jnp.int8
     if has_scale and scale is None:
         raise ValueError("quantized corpus requires scale")
     if variant == "chunked":
@@ -354,11 +357,11 @@ def matmul_bucket_max_v2(
             raise ValueError(f"chunk_pos ({chunk_pos}) must divide positions ({p})")
         kernel = partial(
             _bucket_max_v2_chunked_kernel,
-            chunk_pos=chunk_pos, has_scale=has_scale, int4=int4,
+            chunk_pos=chunk_pos, has_scale=has_scale,
         )
     elif variant == "onedot":
         kernel = partial(
-            _bucket_max_v2_onedot_kernel, has_scale=has_scale, int4=int4
+            _bucket_max_v2_onedot_kernel, has_scale=has_scale
         )
     else:
         raise ValueError(f"unknown variant {variant!r}")
