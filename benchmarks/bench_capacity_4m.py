@@ -48,6 +48,11 @@ def main() -> None:
         "--slim-index", action="store_true",
         help="int16 ids + f16 weights in the forward index (4 B/slot)",
     )
+    parser.add_argument(
+        "--skip-overlap", action="store_true",
+        help="skip the approx-vs-exact top-10 overlap companion (saves one "
+        "exact-selection compile at huge N)",
+    )
     args = parser.parse_args()
 
     import os
@@ -163,6 +168,7 @@ def main() -> None:
     qps_windows = sorted(b * args.iters / e for e in elapsed_windows)
     best = qps_windows[-1]
     p50 = qps_windows[len(qps_windows) // 2]
+
     print(
         json.dumps(
             {
@@ -178,6 +184,80 @@ def main() -> None:
                 "vs_target_share": round(best / TARGET_PER_CHIP_QPS, 3),
             }
         )
+    )
+
+    # Device-honest companion (round 5): profiler module wall per batch —
+    # excludes the ~7-9 ms/dispatch tunnel RPC the pipelined windows carry.
+    trace_ms = None
+    try:
+        import shutil
+
+        from verbatim_rag_tpu.utils.profiling import trace_module_wall_ms
+
+        logdir = "/tmp/cap_trace"
+        shutil.rmtree(logdir, ignore_errors=True)
+        reps_q = [make_queries(90_000 + i) for i in range(4)]
+        jax.profiler.start_trace(logdir)
+        out = None
+        for q in reps_q:
+            out = dispatch(q)
+        host_phase(out)
+        jax.profiler.stop_trace()
+        trace_ms = round(trace_module_wall_ms(logdir) / len(reps_q), 2)
+        shutil.rmtree(logdir, ignore_errors=True)
+        mark(f"trace module wall {trace_ms} ms/batch")
+    except Exception as exc:  # best-effort companion
+        mark(f"trace companion unavailable: {str(exc)[:80]}")
+
+    # Quality-at-capacity companion: hybrid top-10 overlap of the serving
+    # (approx_max_k) program vs the exact-selection program on the SAME
+    # tier arrays — the in-place analog of recall_1m.py's pipeline overlap
+    # (a bf16 reference cannot co-reside at this capacity).
+    overlap = None
+    overlap_note = None
+    try:
+        if args.skip_overlap:
+            raise RuntimeError("skipped by flag")
+        q = make_queries(77_000)
+        dq, q_proj, q_ids, q_w = q
+        mark("compiling the exact-selection comparison program")
+        _, rows_exact = hybrid_fused_topk(
+            dense, sketch, sp_ids, sp_w, dq, q_proj, q_ids, q_w,
+            k=TOP_K, fetch_k=fetch_k, depth=RESCORE_DEPTH, mask=mask,
+            rrf_k=RRF_K, exact_topk=True,
+            dense_scale=dense_scale, sketch_scale=sketch_scale,
+        )
+        rows_exact = np.asarray(rows_exact)
+        rows_approx = np.asarray(dispatch(q)[1])
+        inter = [
+            len(set(a[a >= 0]) & set(e[e >= 0])) / max((e >= 0).sum(), 1)
+            for a, e in zip(rows_approx, rows_exact)
+        ]
+        overlap = round(float(np.mean(inter)), 4)
+        mark(f"approx-vs-exact hybrid top-{TOP_K} overlap {overlap}")
+    except Exception as exc:
+        # At ~8M rows the exact-selection program needs a [B, N] f32
+        # score matrix (16.6 GB at 8.1M) that cannot co-reside with the
+        # corpus: exact top-k is impossible at this capacity, which is
+        # the reason the approx family exists. Record, don't die.
+        overlap_note = str(exc).splitlines()[0][:160]
+        mark(f"overlap companion unavailable: {overlap_note}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "hybrid_4m_companions",
+                "rows": n,
+                "tier": tier,
+                "trace_device_ms": trace_ms,
+                "trace_device_qps": (
+                    None if not trace_ms else round(b / trace_ms * 1000.0, 1)
+                ),
+                "approx_vs_exact_top10_overlap": overlap,
+                "overlap_note": overlap_note,
+            }
+        ),
+        flush=True,
     )
 
 

@@ -202,6 +202,7 @@ def main() -> None:
         API_PORT=str(PORT),
         API_HOST="127.0.0.1",
         LOG_LEVEL="WARNING",
+        API_DEBUG_TRACE="1",  # device-trace bracketing (round 5)
     )
     log_path = os.path.join(tmp, "server.log")
     server_log = open(log_path, "w")
@@ -218,6 +219,33 @@ def main() -> None:
             for _ in range(args.windows)
         ]
         qps = sorted(args.requests / t for t in times)
+
+        # RTT-independent companion (VERDICT r4 #5): bracket one more load
+        # window with the server's device profiler — module wall over the
+        # window is the server's ACTUAL device time for those requests,
+        # independent of HTTP fabric and tunnel RTT. device_ms_per_request
+        # and the device-bound QPS it implies are the numbers a different
+        # session can reproduce within noise.
+        device_ms_per_req = None
+        try:
+            def _trace(action):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{PORT}/api/debug/trace",
+                    data=json.dumps({"action": action}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                return json.loads(urllib.request.urlopen(req, timeout=120).read())
+
+            _trace("start")
+            asyncio.run(fire(args.requests, args.concurrency))
+            stopped = _trace("stop")
+            if stopped.get("module_wall_ms"):
+                device_ms_per_req = round(
+                    stopped["module_wall_ms"] / args.requests, 3
+                )
+        except Exception as exc:  # best-effort companion
+            print(f"# trace companion unavailable: {str(exc)[:120]}", flush=True)
+
         stages = asyncio.run(stage_timings())
         status = json.loads(
             urllib.request.urlopen(
@@ -240,6 +268,14 @@ def main() -> None:
                     # trust when the tunnel band shifts.
                     "stage_p50_ms": stages,
                     "micro_batching": status.get("micro_batching"),
+                    # Device time per request over a traced load window —
+                    # RTT-free; 1000/x is the single-chip device-bound QPS.
+                    "device_ms_per_request": device_ms_per_req,
+                    "device_bound_qps": (
+                        None
+                        if not device_ms_per_req
+                        else round(1000.0 / device_ms_per_req, 1)
+                    ),
                 }
             )
         )

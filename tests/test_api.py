@@ -78,6 +78,33 @@ class TestRoutes:
         status, body, _ = await _request(client_factory(), "GET", "/api/templates")
         assert json.loads(body)["current_mode"] == "static"
 
+    async def test_debug_trace_gated_and_brackets(self, client_factory, monkeypatch, tmp_path):
+        """/api/debug/trace: 403 without API_DEBUG_TRACE=1; with it, a
+        start/stop bracket returns a logdir (module wall may be null on
+        backends without the xplane parser)."""
+        app = client_factory()
+        status, _, _ = await _request(
+            app, "POST", "/api/debug/trace", {"action": "start"}
+        )
+        assert status == 403
+
+        monkeypatch.setenv("API_DEBUG_TRACE", "1")
+        status, body, _ = await _request(
+            app, "POST", "/api/debug/trace",
+            {"action": "start", "logdir": str(tmp_path / "tr")},
+        )
+        assert status == 200 and json.loads(body)["status"] == "tracing"
+        status, body, _ = await _request(
+            app, "POST", "/api/debug/trace", {"action": "stop"}
+        )
+        assert status == 200
+        stopped = json.loads(body)
+        assert stopped["status"] == "stopped" and stopped["logdir"]
+        status, _, _ = await _request(
+            app, "POST", "/api/debug/trace", {"action": "bogus"}
+        )
+        assert status == 400
+
     async def test_query(self, client_factory):
         status, body, _ = await _request(
             client_factory(), "POST", "/api/query", {"question": "how do panels work"}

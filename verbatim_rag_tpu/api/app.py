@@ -14,6 +14,7 @@ from __future__ import annotations
 import asyncio
 import json
 import logging
+import tempfile
 from typing import Any
 
 from aiohttp import web
@@ -53,6 +54,47 @@ async def handle_status(request: web.Request) -> web.Response:
 async def handle_documents(request: web.Request) -> web.Response:
     index = deps.get_index()
     return web.json_response({"documents": index.get_all_documents()})
+
+
+async def handle_debug_trace(request: web.Request) -> web.Response:
+    """POST /api/debug/trace {"action": "start"|"stop", "logdir": ...}.
+
+    Device-profiling hooks for load benchmarks (VERDICT r4 #5): a client
+    brackets a load window with start/stop and reads the trace's module
+    wall — the server's actual device time, independent of HTTP/tunnel
+    RTT. "stop" returns {"module_wall_ms": total} when the xplane parser
+    is available (else null, with the logdir for offline analysis).
+    Debug-only surface: enabled by API_DEBUG_TRACE=1 (never in default
+    deployments — a trace can be multi-MB per second of load)."""
+    import os
+
+    if os.environ.get("API_DEBUG_TRACE") != "1":
+        return web.json_response({"error": "set API_DEBUG_TRACE=1"}, status=403)
+    try:
+        data = await request.json()
+    except Exception:
+        return web.json_response({"error": "invalid JSON body"}, status=400)
+    action = data.get("action")
+    import jax
+
+    if action == "start":
+        logdir = data.get("logdir") or tempfile.mkdtemp(prefix="api_trace_")
+        jax.profiler.start_trace(logdir)
+        request.app["trace_logdir"] = logdir
+        return web.json_response({"status": "tracing", "logdir": logdir})
+    if action == "stop":
+        jax.profiler.stop_trace()
+        logdir = request.app.get("trace_logdir")
+        wall = None
+        try:
+            from verbatim_rag_tpu.utils.profiling import trace_module_wall_ms
+
+            wall = round(trace_module_wall_ms(logdir), 3)
+        except Exception:
+            pass
+        return web.json_response({"status": "stopped", "logdir": logdir,
+                                  "module_wall_ms": wall})
+    return web.json_response({"error": "action must be start|stop"}, status=400)
 
 
 async def handle_templates(request: web.Request) -> web.Response:
@@ -345,6 +387,7 @@ def create_app(static_dir: str | None = None, warmup: bool = True) -> web.Applic
     app.router.add_post("/api/query/async", handle_query_async)
     app.router.add_post("/api/transform/verbatim", handle_transform)
     app.router.add_post("/api/query/stream", handle_query_stream)
+    app.router.add_post("/api/debug/trace", handle_debug_trace)
     if static_dir:
         app.router.add_static("/", static_dir, show_index=True)
     return app
