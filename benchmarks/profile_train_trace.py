@@ -41,7 +41,6 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
-    import optax
 
     from verbatim_rag_tpu.utils.jax_cache import (
         enable_persistent_compilation_cache,
@@ -54,22 +53,21 @@ def main() -> None:
     from verbatim_rag_tpu.models.config import TrainingConfig, modernbert_base_config
     from verbatim_rag_tpu.models.highlighter import init_highlighter_params
     from verbatim_rag_tpu.training.model import token_loss
-    from verbatim_rag_tpu.training.trainer import make_optimizer
+    from verbatim_rag_tpu.training.trainer import make_optimizer, train_step
     from verbatim_rag_tpu.utils.profiling import trace_module_wall_ms
 
     config = modernbert_base_config(max_position_embeddings=args.seq)
-    params = init_highlighter_params(jax.random.PRNGKey(0), config)
-    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    optimizer = make_optimizer(TrainingConfig(learning_rate=3e-4))
-    opt_state = optimizer.init(params)
+    n_params = None
 
-    @jax.jit
-    def step(params, opt_state, batch):
-        (loss, _aux), grads = jax.value_and_grad(token_loss, has_aux=True)(
-            params, config, batch
+    # The PRODUCTION step (training/trainer.py::train_step): donated
+    # params/opt_state buffers — a hand-rolled undonated step at this size
+    # AOT-estimates 18.4 GB HBM and refuses to compile (measured; donation
+    # is load-bearing at 150M, not a nicety).
+    def step(params, opt_state, batch, optimizer):
+        p, o, loss, _aux = train_step(
+            params, opt_state, batch, config, optimizer, loss_fn=token_loss
         )
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return p, o, loss
 
     rng = np.random.default_rng(0)
     t0 = time.perf_counter()
@@ -83,17 +81,21 @@ def main() -> None:
             "labels": jnp.asarray(rng.integers(0, 2, (b, args.seq)), jnp.int32),
             "label_mask": jnp.ones((b, args.seq), jnp.int32),
         }
-        p, o, loss = step(params, opt_state, batch)  # compile + warm
+        params = init_highlighter_params(jax.random.PRNGKey(0), config)
+        if n_params is None:
+            n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+        optimizer = make_optimizer(TrainingConfig(learning_rate=3e-4))
+        opt_state = optimizer.init(params)
+        p, o, loss = step(params, opt_state, batch, optimizer)  # compile + warm
         np.asarray(loss)
         print(f"# b={b} warm t={time.perf_counter() - t0:.1f}s", flush=True)
 
         logdir = f"/tmp/train_trace_b{b}"
         shutil.rmtree(logdir, ignore_errors=True)
         jax.profiler.start_trace(logdir)
-        p, o = params, opt_state
         out = None
         for _ in range(args.reps):
-            p, o, out = step(p, o, batch)
+            p, o, out = step(p, o, batch, optimizer)
         np.asarray(out)
         jax.profiler.stop_trace()
 
@@ -125,7 +127,7 @@ def main() -> None:
         tokens = b * args.seq
         # matmul params dominate (embedding lookups are gathers); 6N·T for
         # fwd+bwd, + attention 12·L·S²·H·B/1e12 both directions.
-        L, H = config.num_hidden_layers, config.hidden_size
+        L, H = config.num_layers, config.hidden_size
         matmul_flops = 6.0 * n_params * tokens
         attn_flops = 12.0 * L * args.seq * args.seq * H * b
         tflop = (matmul_flops + attn_flops) / 1e12
