@@ -57,6 +57,7 @@ def _flash_kernel(
     k_ref,  # [1, S, D]
     v_ref,  # [1, S, D]
     o_ref,  # [1, q_block, D]
+    lse_ref=None,  # [1, q_block, 128] f32 — logsumexp, lane-broadcast (training)
     *,
     seq_len: int,
     q_block: int,
@@ -113,8 +114,85 @@ def _flash_kernel(
         jnp.full((q_block,), NEG_INF, jnp.float32),
         jnp.zeros((q_block,), jnp.float32),
     )
-    acc, _m, l = jax.lax.fori_loop(0, n_k_blocks, run_block, init)
+    acc, m, l = jax.lax.fori_loop(0, n_k_blocks, run_block, init)
     o_ref[0] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(o_ref.dtype)
+    if lse_ref is not None:
+        # Fully-masked rows (length 0, or every key outside the band) have
+        # l == 0 and m == NEG_INF; any finite stand-in works — the backward
+        # masks those entries before use, the guard just keeps exp() finite.
+        lse = jnp.where(l > 0, m + jnp.log(jnp.maximum(l, 1e-38)), 0.0)
+        lse_ref[0] = jnp.broadcast_to(lse[:, None], (q_block, 128))
+
+
+def _pad_fold(q, k, v, q_block, k_block):
+    """Pad S to the block lcm and fold heads into the leading grid axis."""
+    batch, orig_seq, heads, head_dim = q.shape
+    # Pad the sequence to a common block multiple: the in-kernel `pl.ds`
+    # K-slices must never run off the array (OOB dynamic slices clamp and
+    # would silently misalign the mask). lcm, not max: with q_block=512,
+    # k_block=384, max would pad to 512 and the second K-slice would clamp.
+    unit = math.lcm(q_block, k_block)
+    seq = ((orig_seq + unit - 1) // unit) * unit
+    if seq != orig_seq:
+        pad = ((0, 0), (0, seq - orig_seq), (0, 0), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    fold = lambda x: jnp.moveaxis(x, 2, 1).reshape(batch * heads, seq, head_dim)  # noqa: E731
+    return fold(q), fold(k), fold(v), seq
+
+
+def _flash_forward(q, k, v, lengths, window, q_block, k_block, interpret, with_lse):
+    batch, orig_seq, heads, head_dim = q.shape
+    q_block = min(q_block, orig_seq)
+    k_block = min(k_block, orig_seq)
+    scale = 1.0 / (head_dim**0.5)
+
+    qbh, kbh, vbh, seq = _pad_fold(q, k, v, q_block, k_block)
+    lengths_bh = jnp.repeat(lengths.astype(jnp.int32), heads)
+
+    kernel = partial(
+        _flash_kernel,
+        seq_len=seq,
+        q_block=q_block,
+        k_block=k_block,
+        window=window,
+        scale=scale,
+    )
+
+    out_specs = pl.BlockSpec((1, q_block, head_dim), lambda bh, qi, *_: (bh, qi, 0))
+    out_shape = jax.ShapeDtypeStruct(qbh.shape, q.dtype)
+    if with_lse:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((1, q_block, 128), lambda bh, qi, *_: (bh, qi, 0)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((batch * heads, seq, 128), jnp.float32),
+        ]
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch * heads, pl.cdiv(seq, q_block)),
+            in_specs=[
+                pl.BlockSpec((1, q_block, head_dim), lambda bh, qi, *_: (bh, qi, 0)),
+                pl.BlockSpec((1, seq, head_dim), lambda bh, qi, *_: (bh, 0, 0)),
+                pl.BlockSpec((1, seq, head_dim), lambda bh, qi, *_: (bh, 0, 0)),
+            ],
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(lengths_bh, qbh, kbh, vbh)
+
+    if with_lse:
+        out, lse = out
+        lse = lse[..., 0].reshape(batch, heads, seq)[:, :, :orig_seq]  # [B, H, S]
+    result = jnp.moveaxis(out.reshape(batch, heads, seq, head_dim), 1, 2)[:, :orig_seq]
+    return (result, lse) if with_lse else result
 
 
 @partial(jax.jit, static_argnames=("window", "q_block", "k_block", "interpret"))
@@ -128,56 +206,302 @@ def flash_attention_tpu(
     k_block: int = DEFAULT_K_BLOCK,
     interpret: bool = False,
 ) -> jax.Array:
+    return _flash_forward(
+        q, k, v, lengths, window, q_block, k_block, interpret, with_lse=False
+    )
+
+
+@partial(jax.jit, static_argnames=("window", "q_block", "k_block", "interpret"))
+def flash_attention_tpu_lse(
+    q: jax.Array,  # [B, S, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    lengths: jax.Array,
+    window: int | None = None,
+    q_block: int = DEFAULT_Q_BLOCK,
+    k_block: int = DEFAULT_K_BLOCK,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Forward + per-row logsumexp ([B, H, S] f32) — the training residual
+    the Pallas backward needs (FlashAttention-2 recomputes p from q·kᵀ and
+    lse instead of saving the [S, S] probability matrix)."""
+    return _flash_forward(
+        q, k, v, lengths, window, q_block, k_block, interpret, with_lse=True
+    )
+
+
+# -- backward kernels (FlashAttention-2 style) ---------------------------------------
+#
+# The backward recomputes attention probabilities blockwise from q·kᵀ and the
+# saved logsumexp, so the [S, S] probability/score matrices never touch HBM —
+# the round-5 train-step trace attributed ~8 ms/step (150M, B=8, S=512) to the
+# previous reference-recompute backward materializing f32 [B, H, S, S] tensors
+# (benchmarks/analyze_train_trace.py). delta = rowsum(dO ∘ O) is computed in
+# XLA outside (one cheap fused reduce); lse/delta enter lane-broadcast
+# ([BH, S, 128]) to satisfy the (8, 128) tiling rules, same trick as the ring
+# partial kernel above.
+
+
+def _flash_bwd_dq_kernel(
+    lengths_ref,  # scalar prefetch: [B*H] int32
+    q_ref,  # [1, q_block, D]
+    do_ref,  # [1, q_block, D]
+    lse_ref,  # [1, q_block, 128] f32 lane-broadcast
+    delta_ref,  # [1, q_block, 128] f32 lane-broadcast
+    k_ref,  # [1, S, D]
+    v_ref,  # [1, S, D]
+    dq_ref,  # [1, q_block, D] f32
+    *,
+    seq_len: int,
+    q_block: int,
+    k_block: int,
+    window: int | None,
+    scale: float,
+):
+    bh = pl.program_id(0)
+    qi = pl.program_id(1)
+    length = lengths_ref[bh]
+    q_start = qi * q_block
+
+    q = q_ref[0].astype(jnp.float32)  # [q_block, D]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0][:, :1]  # [q_block, 1]
+    delta = delta_ref[0][:, :1]
+    n_k_blocks = pl.cdiv(seq_len, k_block)
+
+    def body(ki, acc):
+        k_start = ki * k_block
+        k_blk = k_ref[0, pl.ds(k_start, k_block), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(k_start, k_block), :].astype(jnp.float32)
+        s = (
+            jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # [q_block, k_block]
+        kidx = k_start + jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 1)
+        mask = kidx < length
+        if window is not None:
+            qidx = q_start + jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 0)
+            mask = mask & (jnp.abs(qidx - kidx) <= window // 2)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        return acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def run_block(ki, acc):
+        if window is None:
+            return body(ki, acc)
+        k_start = ki * k_block
+        in_band = jnp.logical_and(
+            k_start <= q_start + q_block - 1 + window // 2,
+            k_start + k_block - 1 >= q_start - window // 2,
+        )
+        return jax.lax.cond(in_band, lambda a: body(ki, a), lambda a: a, acc)
+
+    acc = jax.lax.fori_loop(
+        0, n_k_blocks, run_block, jnp.zeros((q_block, q_ref.shape[-1]), jnp.float32)
+    )
+    dq_ref[0] = acc
+
+
+def _flash_bwd_dkv_kernel(
+    lengths_ref,  # scalar prefetch: [B*H] int32
+    q_ref,  # [1, q_block, D]
+    do_ref,  # [1, q_block, D]
+    lse_ref,  # [1, q_block, 128] f32 lane-broadcast
+    delta_ref,  # [1, q_block, 128] f32 lane-broadcast
+    k_ref,  # [1, k_block, D]
+    v_ref,  # [1, k_block, D]
+    dk_ref,  # [1, k_block, D] f32 — accumulated across the qi grid dim
+    dv_ref,  # [1, k_block, D] f32
+    *,
+    q_block: int,
+    k_block: int,
+    window: int | None,
+    scale: float,
+):
+    # Grid: (BH, ki, qi) with qi the REDUCTION dim — dk/dv blocks are indexed
+    # by (bh, ki) only, so Mosaic keeps them VMEM-resident across qi steps and
+    # per-step VMEM stays block-sized regardless of S (the full-seq-refs
+    # variant scope-OOM'd at S=8192: lane-broadcast lse/delta alone were 8 MB).
+    bh = pl.program_id(0)
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    length = lengths_ref[bh]
+    k_start = ki * k_block
+    q_start = qi * q_block
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    in_band = (
+        jnp.bool_(True)
+        if window is None
+        else jnp.logical_and(
+            q_start <= k_start + k_block - 1 + window // 2,
+            q_start + q_block - 1 >= k_start - window // 2,
+        )
+    )
+
+    @pl.when(in_band)
+    def _compute():
+        k_blk = k_ref[0].astype(jnp.float32)  # [k_block, D]
+        v_blk = v_ref[0].astype(jnp.float32)
+        q_blk = q_ref[0].astype(jnp.float32)  # [q_block, D]
+        do_blk = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0][:, :1]  # [q_block, 1]
+        delta = delta_ref[0][:, :1]
+        s = (
+            jax.lax.dot_general(
+                q_blk, k_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            * scale
+        )  # [q_block, k_block]
+        kidx = k_start + jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 1)
+        mask = kidx < length
+        if window is not None:
+            qidx = q_start + jax.lax.broadcasted_iota(jnp.int32, (q_block, k_block), 0)
+            mask = mask & (jnp.abs(qidx - kidx) <= window // 2)
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale
+        # pᵀ·dO and dsᵀ·q via contracting dim 0 — no explicit transposes.
+        dv_ref[0] += jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dk_ref[0] += jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+
+@partial(jax.jit, static_argnames=("window", "q_block", "k_block", "interpret"))
+def flash_attention_bwd_tpu(
+    q: jax.Array,  # [B, S, H, D]
+    k: jax.Array,
+    v: jax.Array,
+    lengths: jax.Array,  # [B] int32
+    out: jax.Array,  # [B, S, H, D] — forward output (for delta)
+    lse: jax.Array,  # [B, H, S] f32 — forward logsumexp
+    g: jax.Array,  # [B, S, H, D] — output cotangent
+    window: int | None = None,
+    q_block: int = DEFAULT_Q_BLOCK,
+    k_block: int = DEFAULT_K_BLOCK,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Pallas flash backward: (dq, dk, dv) without materializing [S, S]."""
     batch, orig_seq, heads, head_dim = q.shape
     q_block = min(q_block, orig_seq)
     k_block = min(k_block, orig_seq)
     scale = 1.0 / (head_dim**0.5)
 
-    # Pad the sequence to a common block multiple: the in-kernel `pl.ds`
-    # K-slices must never run off the array (OOB dynamic slices clamp and
-    # would silently misalign the mask). lcm, not max: with q_block=512,
-    # k_block=384, max would pad to 512 and the second K-slice would clamp.
-    unit = math.lcm(q_block, k_block)
-    seq = ((orig_seq + unit - 1) // unit) * unit
-    if seq != orig_seq:
-        pad = ((0, 0), (0, seq - orig_seq), (0, 0), (0, 0))
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-
-    # Fold heads into the grid; each program handles one (b, h) row.
-    qbh = jnp.moveaxis(q, 2, 1).reshape(batch * heads, seq, head_dim)
-    kbh = jnp.moveaxis(k, 2, 1).reshape(batch * heads, seq, head_dim)
-    vbh = jnp.moveaxis(v, 2, 1).reshape(batch * heads, seq, head_dim)
-    lengths_bh = jnp.repeat(lengths.astype(jnp.int32), heads)
-
-    kernel = partial(
-        _flash_kernel,
-        seq_len=seq,
-        q_block=q_block,
-        k_block=k_block,
-        window=window,
-        scale=scale,
+    # delta[b, h, s] = Σ_d dO ∘ O — one fused XLA reduce, [B, S, H] → [B, H, S].
+    delta = jnp.moveaxis(
+        jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1), 2, 1
     )
 
-    out = pl.pallas_call(
-        kernel,
+    qbh, kbh, vbh, seq = _pad_fold(q, k, v, q_block, k_block)
+    dobh = _pad_fold(g, g, g, q_block, k_block)[0]
+    lengths_bh = jnp.repeat(lengths.astype(jnp.int32), heads)
+
+    def fold_rows(x):  # [B, H, S_orig] f32 → lane-broadcast [BH, S_pad, 128]
+        x = x.reshape(batch * heads, orig_seq)
+        if seq != orig_seq:
+            x = jnp.pad(x, ((0, 0), (0, seq - orig_seq)))
+        return jnp.broadcast_to(x[:, :, None], (batch * heads, seq, 128))
+
+    lse_b = fold_rows(lse.astype(jnp.float32))
+    delta_b = fold_rows(delta)
+
+    row_spec = lambda blk: pl.BlockSpec(  # noqa: E731
+        (1, blk, head_dim), lambda bh, i, *_: (bh, i, 0)
+    )
+    full_spec = pl.BlockSpec((1, seq, head_dim), lambda bh, i, *_: (bh, 0, 0))
+    stat_blk_spec = lambda blk: pl.BlockSpec(  # noqa: E731
+        (1, blk, 128), lambda bh, i, *_: (bh, i, 0)
+    )
+
+    dq = pl.pallas_call(
+        partial(
+            _flash_bwd_dq_kernel,
+            seq_len=seq,
+            q_block=q_block,
+            k_block=k_block,
+            window=window,
+            scale=scale,
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(batch * heads, pl.cdiv(seq, q_block)),
             in_specs=[
-                pl.BlockSpec((1, q_block, head_dim), lambda bh, qi, *_: (bh, qi, 0)),
-                pl.BlockSpec((1, seq, head_dim), lambda bh, qi, *_: (bh, 0, 0)),
-                pl.BlockSpec((1, seq, head_dim), lambda bh, qi, *_: (bh, 0, 0)),
+                row_spec(q_block),
+                row_spec(q_block),
+                stat_blk_spec(q_block),
+                stat_blk_spec(q_block),
+                full_spec,
+                full_spec,
             ],
-            out_specs=pl.BlockSpec((1, q_block, head_dim), lambda bh, qi, *_: (bh, qi, 0)),
+            out_specs=row_spec(q_block),
         ),
-        out_shape=jax.ShapeDtypeStruct(qbh.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(qbh.shape, jnp.float32),
         interpret=interpret,
-    )(lengths_bh, qbh, kbh, vbh)
+    )(lengths_bh, qbh, dobh, lse_b, delta_b, kbh, vbh)
 
-    result = jnp.moveaxis(out.reshape(batch, heads, seq, head_dim), 1, 2)
-    return result[:, :orig_seq]
+    # dkv: 3D grid, qi innermost as a reduction dim (dk/dv block index is
+    # constant over qi → accumulated in VMEM). q/do/lse/delta stream in
+    # q_block-sized tiles, so the kernel scales to long sequences.
+    qi_spec = lambda blk: pl.BlockSpec(  # noqa: E731
+        (1, blk, head_dim), lambda bh, ki, qi, *_: (bh, qi, 0)
+    )
+    stat_qi_spec = pl.BlockSpec((1, q_block, 128), lambda bh, ki, qi, *_: (bh, qi, 0))
+    ki_spec = pl.BlockSpec((1, k_block, head_dim), lambda bh, ki, qi, *_: (bh, ki, 0))
+    dk, dv = pl.pallas_call(
+        partial(
+            _flash_bwd_dkv_kernel,
+            q_block=q_block,
+            k_block=k_block,
+            window=window,
+            scale=scale,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(batch * heads, pl.cdiv(seq, k_block), pl.cdiv(seq, q_block)),
+            in_specs=[
+                qi_spec(q_block),
+                qi_spec(q_block),
+                stat_qi_spec,
+                stat_qi_spec,
+                ki_spec,
+                ki_spec,
+            ],
+            out_specs=[
+                pl.BlockSpec((1, k_block, head_dim), lambda bh, ki, qi, *_: (bh, ki, 0)),
+                pl.BlockSpec((1, k_block, head_dim), lambda bh, ki, qi, *_: (bh, ki, 0)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(kbh.shape, jnp.float32),
+            jax.ShapeDtypeStruct(kbh.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(lengths_bh, qbh, dobh, lse_b, delta_b, kbh, vbh)
+
+    def unfold(x, dtype):
+        x = jnp.moveaxis(x.reshape(batch, heads, seq, head_dim), 1, 2)[:, :orig_seq]
+        return x.astype(dtype)
+
+    return unfold(dq, q.dtype), unfold(dk, k.dtype), unfold(dv, v.dtype)
 
 
 def _flash_dispatch(q, k, v, lengths, window):
@@ -199,27 +523,51 @@ def flash_attention(
     """Flash attention with a training path.
 
     Forward runs the Pallas kernel (TPU) or the jnp reference (elsewhere);
-    `pallas_call` has no JVP rule, so the backward is defined explicitly: it
-    recomputes attention with the jnp reference and lets JAX derive the
-    gradient — the standard recompute-in-backward trade (forward activations
-    stay VMEM-resident; the backward materializes block scores only while
-    differentiating, i.e. during training).
+    `pallas_call` has no JVP rule, so the backward is defined explicitly:
+
+    - seq < FLASH_BWD_MIN_SEQ: the jnp reference's derived VJP. At S=512
+      XLA's batched-matmul softmax backward runs AT roofline and overlaps
+      with the rest of the step — the Pallas backward measured 14 ms SLOWER
+      per 150M train step (69.9 vs 55.9 ms module wall, round 5), the same
+      opaque-custom-call tax the serving section kernel pays.
+    - seq ≥ FLASH_BWD_MIN_SEQ: the Pallas FlashAttention-2 backward
+      (blockwise recompute from q·kᵀ + saved logsumexp — the [S, S]
+      matrices never touch HBM). The reference VJP materializes
+      [B, H, S, S] f32, which is 25 GB at S=8192: long-context training
+      is only possible on this path.
     """
     return _flash_dispatch(q, k, v, lengths, window)
 
 
+#: Sequence length at which the training backward switches from the XLA
+#: reference VJP (faster at short seq, measured round 5) to the Pallas
+#: flash backward (the only path whose memory doesn't scale with S²).
+FLASH_BWD_MIN_SEQ = 1024
+
+
 def _flash_fwd(q, k, v, lengths, window):
-    return _flash_dispatch(q, k, v, lengths, window), (q, k, v, lengths)
+    platform = jax.devices()[0].platform
+    if (
+        platform in ("tpu", "axon")
+        and q.shape[1] % 128 == 0
+        and q.shape[1] >= FLASH_BWD_MIN_SEQ
+    ):
+        out, lse = flash_attention_tpu_lse(q, k, v, lengths, window=window)
+        return out, (q, k, v, lengths, out, lse)
+    return _flash_dispatch(q, k, v, lengths, window), (q, k, v, lengths, None, None)
 
 
 def _flash_bwd(window, residuals, g):
     import numpy as np
 
-    q, k, v, lengths = residuals
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: attention_reference(q_, k_, v_, lengths, window), q, k, v
-    )
-    dq, dk, dv = vjp(g.astype(jnp.float32))
+    q, k, v, lengths, out, lse = residuals
+    if lse is not None:
+        dq, dk, dv = flash_attention_bwd_tpu(q, k, v, lengths, out, lse, g, window)
+    else:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: attention_reference(q_, k_, v_, lengths, window), q, k, v
+        )
+        dq, dk, dv = vjp(g.astype(jnp.float32))
     # lengths is integral — its cotangent is float0 by convention.
     return dq, dk, dv, np.zeros(lengths.shape, dtype=jax.dtypes.float0)
 
