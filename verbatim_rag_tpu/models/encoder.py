@@ -122,8 +122,11 @@ def _rope(x: jax.Array, theta: jax.Array, positions: jax.Array) -> jax.Array:
     freq = positions[:, None].astype(jnp.float32) / (
         theta ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / head_dim)
     )  # [S, half]
-    cos = jnp.cos(freq)[None, :, None, :]  # [1, S, 1, half]
-    sin = jnp.sin(freq)[None, :, None, :]
+    # Angles in f32, rotation in x's dtype: under bf16 compute the rotated
+    # q/k are what autodiff saves, and keeping them (and the multiplies) in
+    # bf16 avoids f32 residual stacks in the train step's layer scan.
+    cos = jnp.cos(freq).astype(x.dtype)[None, :, None, :]  # [1, S, 1, half]
+    sin = jnp.sin(freq).astype(x.dtype)[None, :, None, :]
     x1, x2 = x[..., :half], x[..., half:]
     return jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
 
@@ -145,11 +148,15 @@ def _attention(
 
 def _mlp(p: Params, x: jax.Array, activation: str, dtype) -> jax.Array:
     up = _dense(p["wi"], x, dtype)
+    # The activation runs in compute dtype: autodiff saves the gelu/product
+    # operands as residuals, and in f32 the two [B, S, intermediate] stacks
+    # are the largest per-layer activation traffic in the train step (~3 ms
+    # of the 150M step's dynamic-update-slice time, round-5 trace).
     if activation == "geglu":
         gate, val = jnp.split(up, 2, axis=-1)
-        hidden = jax.nn.gelu(gate, approximate=False) * val
+        hidden = jax.nn.gelu(gate.astype(dtype), approximate=False) * val.astype(dtype)
     else:
-        hidden = jax.nn.gelu(up, approximate=False)
+        hidden = jax.nn.gelu(up.astype(dtype), approximate=False)
     return _dense(p["wo"], hidden, dtype)
 
 
@@ -232,8 +239,8 @@ def encoder_forward(
         k = _dense(layer["attn"]["k"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
         v = _dense(layer["attn"]["v"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
         if use_rope:
-            q = _rope(q, theta, positions)
-            k = _rope(k, theta, positions)
+            q = _rope(q.astype(dtype), theta, positions)
+            k = _rope(k.astype(dtype), theta, positions)
         if config.use_flash_attention:
             from verbatim_rag_tpu.ops.flash_attention import flash_attention
 
@@ -331,8 +338,8 @@ def encoder_forward_sp(
         k = _dense(layer["attn"]["k"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
         v = _dense(layer["attn"]["v"], a_in, dtype).reshape(batch, seq_len, heads, head_dim)
         if use_rope:
-            q = _rope(q, theta, positions).astype(dtype)
-            k = _rope(k, theta, positions).astype(dtype)
+            q = _rope(q.astype(dtype), theta, positions)
+            k = _rope(k.astype(dtype), theta, positions)
         if all_global:
             ctx = ring_attention(q, k, v, lengths, mesh, axis=axis)
         else:
