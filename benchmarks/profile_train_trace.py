@@ -37,6 +37,13 @@ def main() -> None:
     parser.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32])
     parser.add_argument("--seq", type=int, default=512)
     parser.add_argument("--reps", type=int, default=6)
+    parser.add_argument(
+        "--no-flash",
+        action="store_true",
+        help="A/B arm: XLA bias-based attention instead of the Pallas flash "
+        "forward — tests whether the opaque fwd custom call forfeits scan "
+        "overlap at short seq the way the backward measurably does",
+    )
     args = parser.parse_args()
 
     import jax
@@ -56,7 +63,9 @@ def main() -> None:
     from verbatim_rag_tpu.training.trainer import make_optimizer, train_step
     from verbatim_rag_tpu.utils.profiling import trace_module_wall_ms
 
-    config = modernbert_base_config(max_position_embeddings=args.seq)
+    config = modernbert_base_config(
+        max_position_embeddings=args.seq, use_flash_attention=not args.no_flash
+    )
     n_params = None
 
     # The PRODUCTION step (training/trainer.py::train_step): donated
@@ -138,6 +147,7 @@ def main() -> None:
                     "metric": "train_step_150m_trace",
                     "batch": b,
                     "seq": args.seq,
+                    "flash": not args.no_flash,
                     "module_wall_ms": round(wall_ms, 2),
                     "tokens_per_s": round(tokens / (wall_ms / 1e3), 1),
                     "tflops_effective": round(tflops, 1),
