@@ -57,7 +57,11 @@ def build_index(tmp: str, repeat: int) -> tuple[str, int]:
     return path, index.inspect()["num_chunks"]
 
 
-def wait_ready(server, log_path: str, timeout_s: float = 600.0) -> None:
+def wait_ready(server, log_path: str, timeout_s: float = 1800.0) -> None:
+    # 1800 s: a cold server pays jit compiles for the retrieval program and
+    # several extractor window buckets; over the tunneled backend each costs
+    # 30 s-4 min and a fully cold start can exceed the old 600 s budget
+    # (observed round 5). The persistent XLA cache makes warm starts fast.
     """Poll /api/status, then one real query (absorbs warmup compiles)."""
 
     def die(reason: str):

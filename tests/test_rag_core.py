@@ -430,6 +430,27 @@ class TestExtractorReviewFixes:
             assert start == 0 or text[start - 1] in " \n"
             assert s.rstrip().endswith(".")
 
+    def test_burst_batch_chunks_forward_and_matches_small_batches(self):
+        """>512 window rows are scored in 512-row device slices (the
+        round-5 serving OOM fix: a 512-deep request burst must not compile
+        an unboundedly tall forward). Chunked results must equal the
+        per-pair decode exactly — padding rows never leak across slices."""
+        extractor = self._extractor(threshold=-1.0, min_span_chars=3)
+        contexts = [f"document number {i} talks about topic {i % 7}." for i in range(600)]
+        calls: list[int] = []
+        orig = extractor._forward_probs
+
+        def counting(ids, mask):
+            calls.append(ids.shape[0])
+            return orig(ids, mask)
+
+        extractor._forward_probs = counting
+        batched = extractor.process_batch("which topic?", contexts)
+        assert len(calls) >= 2 and all(c <= 512 for c in calls)
+        extractor._forward_probs = orig
+        for i in (0, 511, 512, 599):
+            assert batched[i] == extractor.process("which topic?", contexts[i])
+
     def test_structured_template_rejects_span_only_placeholders(self):
         from verbatim_rag_tpu.core.templates.structured import StructuredTemplate
 

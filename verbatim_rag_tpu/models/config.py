@@ -145,6 +145,13 @@ def demo_highlighter_config(**overrides) -> EncoderConfig:
         final_norm=True,
         type_vocab_size=0,
         first_layer_no_attn_norm=True,
+        # Same attention path as the production 150M backbone: the bias-based
+        # XLA attention materializes f32 [B, H, S, S], which at a full
+        # 512-row x 2048-token serving micro-batch is a 32 GB allocation —
+        # an HBM OOM at compile time (hit by bench_serving under a 512-deep
+        # burst, round 5). Flash keeps the score matrix in VMEM; off-TPU the
+        # dispatch falls back to the jnp reference automatically.
+        use_flash_attention=True,
     )
     base.update(overrides)
     return EncoderConfig(**base)

@@ -264,7 +264,20 @@ class ModelSpanExtractor(SpanExtractor):
             ids[i, : len(row)] = row
             mask[i, : len(row)] = 1
 
-        probs = self._forward_probs(ids, mask)
+        if n_padded > 512:
+            # Bound the per-call activation footprint under burst load: a
+            # 512-deep request queue draining into one micro-batch must not
+            # compile an unboundedly tall forward. n_padded is a multiple of
+            # 512 here, so every slice reuses the one [512, seq] executable.
+            probs = np.concatenate(
+                [
+                    self._forward_probs(ids[i : i + 512], mask[i : i + 512])
+                    for i in range(0, n_padded, 512)
+                ],
+                axis=0,
+            )
+        else:
+            probs = self._forward_probs(ids, mask)
 
         out: list[list[tuple[int, int]]] = []
         cursor = 0
